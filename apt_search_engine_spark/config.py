@@ -1,0 +1,55 @@
+"""Engine constants, each tied to the reference behavior it reproduces."""
+
+from __future__ import annotations
+
+import os
+
+# IDF numerator. The reference hardcodes its crawl cap (6000,
+# server/src/main/java/Crawler/Crawler.java:41) into the ranking formula
+# `tf * (6000 / df)` with Java int division
+# (server/src/main/java/ranker/Ranker.java:58). It is a CONSTANT there, not
+# the observed corpus size, so we keep it a constant too; parity tests and
+# the oracle both use this value.
+IDF_NUMERATOR = 6000
+
+# Default top-k returned by a search (the reference returns everything and
+# lets the client slice 10 per page — client/src/pages/ResultsPage.jsx:26-30;
+# at 10^12 turns return-everything is not a contract we keep, SURVEY.md P9).
+DEFAULT_TOP_K = 10
+
+# Snippet: only paragraphs <= this length are eligible
+# (server/src/main/java/ranker/Snippeterr.java:8).
+SNIPPET_MAX_LEN = 1000
+
+# Index layout -------------------------------------------------------------
+# Number of hash buckets the postings tables are directory-partitioned by
+# (partition column `term_bucket = pmod(xxhash64(term), N)`). Query-time
+# term lookup prunes to |query terms| directories. At 100 TB this would be
+# sized so one bucket ~= a few GB; 32 suits the local test scales.
+N_TERM_BUCKETS = int(os.environ.get("APTSE_TERM_BUCKETS", "32"))
+
+# Salt factor for the two-level (term, salt) -> term aggregation that
+# de-skews Zipfian head terms during posting-list construction
+# (SURVEY.md section 4.2 item 1).
+DEFAULT_SALT = int(os.environ.get("APTSE_SALT", "8"))
+
+# Docs per compressed posting block (block-max WAND granularity).
+POSTING_BLOCK_SIZE = 128
+
+# Document adapter (FIXTURES.md section A): doc_id = conv_id '#' zero-padded
+# turn_idx. Width 6 keeps lexicographic == numeric ordering to 10^6 turns
+# per conversation (reference max is ~50).
+TURN_PAD = 6
+
+
+def doc_id_expr():
+    """Spark Column for the adapter doc_id."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "#", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), TURN_PAD, "0")
+    )
+
+
+def make_doc_id(conv_id: str, turn_idx: int) -> str:
+    return f"{conv_id}#{turn_idx:0{TURN_PAD}d}"

@@ -1,0 +1,119 @@
+"""Fixed StructType schemas for every table the engine reads or writes.
+
+The reference's schemas are implied by MongoDB writer code only
+(SURVEY.md section 1.1); declaring them once here is the schema-first
+replacement. Input table shape is fixed by BASELINE.json `input_hint`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input: Iceberg/Parquet table of multi-turn transcripts (input_hint).
+TRANSCRIPTS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# Analyzer UDF output: one row per input turn.
+ANALYZED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField(
+            "postings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("tf", T.DoubleType(), False),
+                        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+                        T.StructField("tags", T.ArrayType(T.StringType()), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+# Per-(term, doc) posting entry struct reused by the grouped table.
+POSTING_ENTRY = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tf", T.DoubleType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+# Canonical index: one row per term (FIXTURES.md section P), postings sorted
+# by doc_id, directory-partitioned by term_bucket for lookup pruning.
+POSTINGS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.IntegerType(), False),
+        T.StructField("postings", T.ArrayType(POSTING_ENTRY), False),
+        T.StructField("term_bucket", T.IntegerType(), False),
+    ]
+)
+
+# Compressed companion for block-max WAND (FIXTURES.md section P).
+POSTING_BLOCKS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("doc_ids_vb", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("positions_vb", T.BinaryType(), False),
+        # max over docs in block of tf * sum(tag_weights) — multiply by
+        # floor(6000/df) at query time for the score upper bound
+        T.StructField("block_max_wtf", T.DoubleType(), False),
+        T.StructField("term_bucket", T.IntegerType(), False),
+    ]
+)
+
+# Build lineage / metrics (FIXTURES.md section L; north-rule requirement).
+LINEAGE = T.StructType(
+    [
+        T.StructField("build_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("term_lo", T.StringType(), True),
+        T.StructField("term_hi", T.StringType(), True),
+        T.StructField("doc_lo", T.StringType(), True),
+        T.StructField("doc_hi", T.StringType(), True),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_postings", T.LongType(), False),
+        T.StructField("build_ms", T.LongType(), False),
+        T.StructField("snapshot_id", T.StringType(), False),
+    ]
+)
+
+# Slim projection of transcripts used for result assembly (S9).
+DOC_META = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("ps", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+# Search result row (reference RankedDocument,
+# server/src/main/java/ranker/RankedDocument.java:3-14).
+RANKED_DOCUMENT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("snippet", T.StringType(), True),
+    ]
+)
