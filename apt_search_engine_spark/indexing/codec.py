@@ -1,0 +1,112 @@
+"""Delta + varbyte posting compression (SURVEY.md section 4.2 item 2).
+
+The reference stores postings as raw BSON arrays (no compression —
+DBManager.java:249-263). For 10^12 turns the index must be compressed:
+sorted doc ordinals are delta-encoded then varbyte-packed; position lists
+are packed as [n, delta positions...] runs. Everything is vectorized numpy
+(a bounded number of mask passes, max 10 for 64-bit values) — no per-value
+Python loops.
+
+Varbyte format: little-endian 7-bit groups, high bit set on the LAST byte
+of each value (classic vByte as in Manning/Raghavan/Schuetze ch. 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]  # 2^7, 2^14, ... 2^63
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints."""
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    nb = np.ones(arr.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += arr >= t
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for k in range(max_nb):
+        sel = nb > k
+        payload = (arr[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        pos = starts[sel] + k
+        last = nb[sel] == k + 1
+        out[pos] = payload.astype(np.uint8) | (last.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varbyte_decode(data: bytes) -> np.ndarray:
+    """Decode to an int64 array."""
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    is_last = (b & 0x80) != 0
+    # group id for each byte: 0-based index of the value it belongs to
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last[:-1])
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    within = np.arange(b.size) - starts[group]
+    contrib = (b & 0x7F).astype(np.int64) << (7 * within)
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    a = np.asarray(sorted_vals, dtype=np.int64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    out[1:] = np.diff(a)
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    a = np.asarray(deltas, dtype=np.int64)
+    return np.cumsum(a)
+
+
+def encode_doc_ids(sorted_ordinals: np.ndarray) -> bytes:
+    return varbyte_encode(delta_encode(sorted_ordinals))
+
+
+def decode_doc_ids(data: bytes) -> np.ndarray:
+    return delta_decode(varbyte_decode(data))
+
+
+def encode_positions(position_lists: list[list[int]]) -> bytes:
+    """Pack per-doc position lists as [n, p0, p1-p0, p2-p1, ...] runs."""
+    parts: list[np.ndarray] = []
+    for pl in position_lists:
+        a = np.asarray(pl, dtype=np.int64)
+        run = np.empty(a.size + 1, dtype=np.int64)
+        run[0] = a.size
+        if a.size:
+            run[1] = a[0]
+            run[2:] = np.diff(a)
+        parts.append(run)
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    return varbyte_encode(flat)
+
+
+def decode_positions(data: bytes, n_docs: int) -> list[np.ndarray]:
+    flat = varbyte_decode(data)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(n_docs):
+        n = int(flat[i])
+        i += 1
+        out.append(np.cumsum(flat[i : i + n]))
+        i += n
+    return out
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return np.asarray(tfs, dtype=np.float64).tobytes()
+
+
+def decode_tfs(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.float64)

@@ -1,0 +1,306 @@
+"""Query engine: retrieval + ranking as DataFrame plans (SURVEY.md 2.3/2.4).
+
+Per-query lifecycle (replaces QueryProcessor + Ranker, SURVEY.md 3.1):
+driver parses the query (pure Python, tiny) and builds ONE DataFrame plan:
+
+  bucket-pruned postings scan (P2)         filter(term_bucket in B, term in T)
+  -> explode postings                       (P6: $objectToArray+$unwind)
+  -> candidate set algebra (P4/P7)          semi/anti joins, union-distinct
+  -> positional adjacency (P5)              array_intersect over shifted
+                                            position arrays
+  -> score expression (R1-R4)               tf * floor(6000/df) * sum(tag
+                                            weights) summed per doc in
+                                            ascending term order
+  -> TakeOrderedAndProject (R5)             orderBy(score desc, doc_id).limit(k)
+  -> metadata join + snippets on k rows (S9/R9)
+
+Faithful reference semantics, verified against tests/oracle.py:
+  - df used in scoring is the size of the term's doc-map AT RANKING TIME
+    (Ranker.java:194,324): true df for normal queries, the FILTERED
+    candidate count for phrase/boolean queries (quirk Q12). Implemented as
+    count() over Window.partitionBy(term) on the final filtered postings.
+  - phrase ranking iterates docs of the FIRST scoring word only (quirk Q7,
+    Ranker.java:303) — a semi join against that term's filtered docs.
+  - boolean structure affects the candidate set, not the scoring word list
+    (quirk Q8, Ranker.java:409-424); duplicate scoring words contribute
+    once per occurrence (Ranker.java:311).
+  - unquoted boolean queries are bag-of-words with operator words dropped
+    (QueryProcessor.java:121-128).
+  - per-doc sums run in ascending term order (determinism contract,
+    SURVEY.md 7.4) via aggregate(array_sort(collect_list(...))).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from apt_search_engine_spark.config import (
+    DEFAULT_TOP_K,
+    IDF_NUMERATOR,
+    N_TERM_BUCKETS,
+)
+from apt_search_engine_spark.query import parser
+from apt_search_engine_spark.query.snippets import generate_snippet
+
+# SQL fragment: sum of tag weights for a tags array (R1/R2,
+# Ranker.java:43-66). Empty tags arrays score one default weight.
+_WSUM = (
+    "CASE WHEN size(tags) = 0 THEN 0.5D ELSE "
+    "aggregate(tags, 0D, (acc, t) -> acc + CASE lower(t) "
+    "WHEN 'title' THEN 4.0D WHEN 'h1' THEN 2.5D WHEN 'h2' THEN 2.0D "
+    "WHEN 'h3' THEN 1.5D WHEN 'h4' THEN 1.0D WHEN 'h5' THEN 1.0D "
+    "WHEN 'h6' THEN 1.0D ELSE 0.5D END) END"
+)
+
+
+def _esc(term: str) -> str:
+    return term.replace("\\", "\\\\").replace("'", "\\'")
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.postings_path = os.path.join(index_dir, "postings")
+        self.doc_meta_path = os.path.join(index_dir, "doc_meta")
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.n_docs = int(meta["n_docs"])
+        # uniform doc prior: transcripts have no link graph; the reference's
+        # absent-URL default is 1/|pageRanks| (Ranker.java:196) — kept as a
+        # multiplied constant so scores match the oracle bit-for-bit.
+        self.prior = 1.0 / self.n_docs
+
+    # ------------------------------------------------------------------ P2
+    def _exploded(self, terms: list[str]) -> DataFrame:
+        """Bucket-pruned scan of the distinct `terms`, exploded to
+        (term, doc_id, tf, positions, tags) rows."""
+        distinct = sorted(set(terms))
+        if not distinct:
+            return self._empty_postings()
+        buckets = sorted(
+            {self._bucket(t) for t in distinct}
+        )
+        df = (
+            self.spark.read.parquet(self.postings_path)
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(distinct))
+            .select("term", F.explode("postings").alias("p"))
+            .select(
+                "term",
+                F.col("p.doc_id").alias("doc_id"),
+                F.col("p.tf").alias("tf"),
+                F.col("p.positions").alias("positions"),
+                F.col("p.tags").alias("tags"),
+            )
+        )
+        return df
+
+    def _bucket(self, term: str) -> int:
+        # must match F.pmod(F.xxhash64(term), N) used at build time; compute
+        # via a tiny local DataFrame to reuse Spark's xxhash64 exactly
+        if not hasattr(self, "_bucket_cache"):
+            self._bucket_cache: dict[str, int] = {}
+        if term not in self._bucket_cache:
+            row = self.spark.createDataFrame([(term,)], "term string").select(
+                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int").alias("b")
+            ).collect()[0]
+            self._bucket_cache[term] = row.b
+        return self._bucket_cache[term]
+
+    def _empty_postings(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "term string, doc_id string, tf double, "
+            "positions array<int>, tags array<string>",
+        )
+
+    # -------------------------------------------------------------- P4+P5
+    def _phrase_filtered(self, terms: list[str]) -> DataFrame:
+        """handlePhrase (QueryProcessor.java:130-173): returns the exploded
+        postings of `terms` restricted to docs containing the exact phrase."""
+        distinct = sorted(set(terms))
+        if not terms:
+            return self._empty_postings()
+        ex = self._exploded(distinct)
+        per_doc = (
+            ex.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("m"),
+                F.countDistinct("term").alias("nt"),
+            )
+            .filter(F.col("nt") == len(distinct))  # P4 intersection
+        )
+        # P5: fold array_intersect over index-shifted position arrays
+        base = f"m['{_esc(terms[0])}']"
+        for i, t in enumerate(terms[1:], start=1):
+            base = (
+                f"array_intersect({base}, "
+                f"transform(m['{_esc(t)}'], x -> x - {i}))"
+            )
+        matched = per_doc.filter(F.expr(f"size({base}) > 0")).select("doc_id")
+        return ex.join(matched, "doc_id", "left_semi")
+
+    # ----------------------------------------------------------------- P7
+    def _boolean_filtered(self, parsed: parser.ParsedQuery) -> DataFrame:
+        """handlePhraseWithBoolean (QueryProcessor.java:202-281): evaluate
+        segments, fold doc-id sets left-to-right, filter each segment's
+        postings to the merged set. Later segments overwrite same-term
+        entries (reference map-put order)."""
+        segments = [p for p in parsed.segments if not parser.is_operator(p)]
+        operators = parser.extract_operators(parsed.segments)
+
+        seg_postings: list[DataFrame] = []
+        seg_terms: list[list[str]] = []
+        for part in segments:
+            if part.startswith('"') and part.endswith('"'):
+                toks = [parser.stem(w) for w in parser.tokenize(part[1:-1])]
+                seg_postings.append(self._phrase_filtered(toks))
+                seg_terms.append(sorted(set(toks)))
+            else:
+                term = parser.stem(part)
+                seg_postings.append(self._exploded([term]))
+                seg_terms.append([term])
+
+        if not seg_postings:
+            return self._empty_postings()
+
+        doc_sets = [sp.select("doc_id").distinct() for sp in seg_postings]
+        merged = doc_sets[0]
+        for i in range(1, len(doc_sets)):
+            op = operators[i - 1] if i - 1 < len(operators) else None
+            if op == "AND":
+                merged = merged.join(doc_sets[i], "doc_id", "left_semi")
+            elif op == "OR":
+                merged = merged.union(doc_sets[i]).distinct()
+            elif op == "NOT":
+                merged = merged.join(doc_sets[i], "doc_id", "left_anti")
+
+        # later segments overwrite same-term entries
+        owner: dict[str, int] = {}
+        for i, terms in enumerate(seg_terms):
+            for t in terms:
+                owner[t] = i
+        parts = []
+        for i, sp in enumerate(seg_postings):
+            mine = [t for t, o in owner.items() if o == i and t in seg_terms[i]]
+            if mine:
+                parts.append(sp.filter(F.col("term").isin(mine)))
+        cols = ["term", "doc_id", "tf", "positions", "tags"]
+        filtered = parts[0].select(cols)
+        for p in parts[1:]:
+            filtered = filtered.unionByName(p.select(cols))
+        return filtered.join(merged, "doc_id", "left_semi")
+
+    # -------------------------------------------------------------- R1-R5
+    def _score(
+        self,
+        filtered: DataFrame,
+        scoring_words: list[str],
+        gate_word: str | None,
+        k: int,
+    ) -> DataFrame:
+        """Score the final filtered postings. df per term = filtered map
+        size (quirk Q12); duplicate scoring words multiply; optional
+        first-word gate (quirk Q7)."""
+        present = sorted(set(scoring_words))
+        sp = filtered.filter(F.col("term").isin(present))
+        sp = sp.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+
+        mult = {}
+        for w in scoring_words:
+            mult[w] = mult.get(w, 0) + 1
+        mult_expr = "CASE term " + " ".join(
+            f"WHEN '{_esc(t)}' THEN {c}D" for t, c in mult.items()
+        ) + " ELSE 0D END"
+
+        contrib = (
+            F.col("tf")
+            * F.floor(F.lit(IDF_NUMERATOR) / F.col("df")).cast("double")
+            * F.expr(_WSUM)
+        )
+        sp = sp.withColumn("contrib", contrib * F.expr(mult_expr))
+
+        if gate_word is not None:
+            gate = sp.filter(F.col("term") == gate_word).select("doc_id")
+            sp = sp.join(gate, "doc_id", "left_semi")
+
+        scored = (
+            sp.groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                    "0D, (acc, x) -> acc + x.contrib)"
+                ).alias("raw")
+            )
+            .withColumn("score", F.col("raw") * F.lit(self.prior))
+            .filter(F.col("score") != 0.0)
+            .select("doc_id", "score")
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ------------------------------------------------------------- public
+    def search_df(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
+        """The ranked top-k (doc_id, score) plan for `query`."""
+        parsed = parser.parse(query)
+        if parsed.qtype == "phrase":
+            filtered = self._phrase_filtered(parsed.query_words)
+            words = parsed.scoring_words
+            gate = words[0] if words else None
+        elif parsed.qtype == "phrase+boolean":
+            filtered = self._boolean_filtered(parsed)
+            words = parsed.scoring_words
+            gate = words[0] if words else None
+        else:  # normal / normal+boolean: bag of words, operators dropped
+            words = sorted(
+                {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+            )
+            filtered = self._exploded(words)
+            gate = None
+        if not words:
+            return self._empty_results()
+        return self._score(filtered, words, gate, k)
+
+    def search(
+        self, query: str, k: int = DEFAULT_TOP_K, with_snippets: bool = True
+    ) -> list[dict]:
+        """Full search: top-k + metadata join + snippets (driver-side on k
+        rows only, off the hot path — SURVEY.md R9)."""
+        top = self.search_df(query, k).collect()
+        ids = [r.doc_id for r in top]
+        meta = {}
+        if ids:
+            meta_rows = (
+                self.spark.read.parquet(self.doc_meta_path)
+                .filter(F.col("doc_id").isin(ids))
+                .collect()
+            )
+            meta = {r.doc_id: r for r in meta_rows}
+        parsed = parser.parse(query)
+        if parsed.qtype in ("phrase", "phrase+boolean"):
+            snippet_words = parsed.scoring_words
+        else:
+            snippet_words = parsed.segments  # raw segments (Ranker.java:202)
+        out = []
+        for r in top:
+            m = meta.get(r.doc_id)
+            d = {
+                "doc_id": r.doc_id,
+                "url": r.doc_id,
+                "score": r.score,
+                "title": m.title if m else None,
+            }
+            if with_snippets:
+                d["snippet"] = generate_snippet(
+                    list(m.ps) if m and m.ps is not None else [], snippet_words
+                )
+            out.append(d)
+        return out
+
+    def _empty_results(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id string, score double")

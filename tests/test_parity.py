@@ -1,0 +1,99 @@
+"""End-to-end parity: Spark engine vs pure-Python oracle.
+
+The rank-identity contract (BASELINE.json): top-10 doc_ids identical,
+scores within 1e-9 relative, order (score desc, doc_id asc)
+(SURVEY.md section 7.4).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# Reference query set (processor/tony.java:17-20) + coverage additions
+# (FIXTURES.md section Q).
+QUERIES = [
+    "travel guide",
+    '"travel guide"',
+    '"travel guide" AND "europe tips"',
+    '"travel guide" OR "europe tips"',
+    '"travel guide" NOT europe',
+    '"europe tips" AND travel',
+    "spark OR shuffle",
+    "spark NOT shuffle",          # normal+boolean: operators just dropped
+    "index query agent",
+    "the and of",                  # stopword-only -> empty (P1 asymmetry)
+    "1234",                        # digits never indexed
+    "artful start",                # Q3 substring-stem interplay
+    "use user",                    # h1-channel substring quirk
+    "guides",                      # stemming at query time
+    "transcript",
+]
+
+
+def _assert_rank_identical(spark_rows, oracle_rows, query):
+    assert [r["doc_id"] for r in spark_rows] == [
+        r["doc_id"] for r in oracle_rows
+    ], f"doc order mismatch for {query!r}"
+    for s, o in zip(spark_rows, oracle_rows):
+        assert s["score"] == pytest.approx(o["score"], rel=1e-9), (
+            query,
+            s["doc_id"],
+        )
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_topk_rank_identical(engine, oracle, query):
+    got = engine.search(query, k=10, with_snippets=False)
+    want = oracle.search(query, k=10)
+    assert (len(got) == 0) == (len(want) == 0), (
+        f"{query!r}: spark={len(got)} oracle={len(want)}"
+    )
+    _assert_rank_identical(got, want, query)
+
+
+def test_nonempty_results_exist(engine, oracle):
+    """Guard against vacuous parity: the planted terms must actually hit."""
+    assert len(oracle.search("travel guide", k=10)) == 10
+    assert len(oracle.search('"travel guide"', k=10)) > 0
+    assert len(oracle.search('"travel guide" AND "europe tips"', k=10)) > 0
+
+
+def test_snippets_match(engine, oracle):
+    for q in ["travel guide", '"europe tips"']:
+        got = engine.search(q, k=5, with_snippets=True)
+        want = oracle.search(q, k=5, with_snippets=True)
+        for s, o in zip(got, want):
+            assert s["snippet"] == o["snippet"], q
+            assert (s["title"] or "") == (o["title"] or ""), q
+
+
+def test_index_postings_match_oracle(spark, index_dir, oracle):
+    """Every (term, doc) posting matches the oracle's inverted index:
+    tf exact, positions exact, tags exact, df exact."""
+    rows = spark.read.parquet(f"{index_dir}/postings").collect()
+    inv = oracle.inverted
+    assert {r.term for r in rows} == set(inv)
+    for r in rows:
+        odocs = inv[r.term]
+        assert r.df == len(odocs), r.term
+        got_ids = [p.doc_id for p in r.postings]
+        assert got_ids == sorted(odocs), r.term  # sorted by doc_id
+        for p in r.postings:
+            o = odocs[p.doc_id]
+            assert p.tf == pytest.approx(o["tf"], rel=1e-12), (r.term, p.doc_id)
+            assert list(p.positions) == o["positions"], (r.term, p.doc_id)
+            assert list(p.tags) == o["tags"], (r.term, p.doc_id)
+
+
+def test_invariant_text_equality(spark, corpus_df, corpus_pdf):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering."""
+    got = (
+        corpus_df.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    want = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for i, r in enumerate(got):
+        assert r.text == want.at[i, "text"], (r.conv_id, r.turn_idx)
