@@ -164,15 +164,17 @@ class IndexBuilder:
         ).parquet(self.lineage_dir)
 
     # -- stage 1 ----------------------------------------------------------
-    def analyze(self, transcripts: DataFrame, build_id: str) -> None:
+    def analyze(self, transcripts: DataFrame, build_id: str,
+                only_batches: list[int] | None = None) -> None:
         """Resumable analyze: doc-batches not yet in lineage are analyzed
-        and appended under analyzed/batch=<id>/."""
+        and appended under analyzed/batch=<id>/. `only_batches` restricts
+        the run (operational partial runs / crash simulation in tests)."""
         done = self._completed_batches()
         with_batch = transcripts.withColumn(
             "batch", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_batches)).cast("int")
         )
         for b in range(self.n_batches):
-            if b in done:
+            if b in done or (only_batches is not None and b not in only_batches):
                 continue
             t0 = time.time()
             part = with_batch.filter(F.col("batch") == b).drop("batch")

@@ -1,0 +1,127 @@
+"""Index-build properties: resume-equivalence, lineage, blocks round-trip.
+
+Covers the north-rule requirements: resumable builds from per-partition
+lineage checkpoints, metrics emission, and the compressed block companion
+decoding back to the canonical postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apt_search_engine_spark.indexing import codec
+
+
+def _postings_signature(spark, index_dir):
+    rows = spark.read.parquet(f"{index_dir}/postings").collect()
+    return {
+        r.term: (
+            r.df,
+            tuple(
+                (p.doc_id, round(p.tf, 15), tuple(p.positions), tuple(p.tags))
+                for p in r.postings
+            ),
+        )
+        for r in rows
+    }
+
+
+def test_resume_equivalence(spark, corpus_df, index_dir, tmp_path):
+    """Killing a build after some analyze batches and resuming yields the
+    same index as a single uninterrupted build (reference isIndexed-resume
+    semantics, DBManager.java:177-212)."""
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+
+    d = str(tmp_path / "resumed")
+    b = IndexBuilder(spark, d, n_batches=3)
+    # simulate a crash: analyze only (subset of batches recorded in lineage)
+    b.analyze(corpus_df, build_id="first-attempt")
+    done_before = b._completed_batches()
+    assert done_before == {0, 1, 2}
+    # wipe one batch's lineage mark is not possible with parquet append;
+    # instead verify resume skips everything and a fresh builder over the
+    # same dir completes merge identically
+    b2 = IndexBuilder(spark, d, n_batches=3)
+    b2.build(corpus_df, with_blocks=False)
+    assert _postings_signature(spark, d) == _postings_signature(spark, index_dir)
+
+
+def test_partial_resume_equivalence(spark, corpus_df, index_dir, tmp_path):
+    """Analyze half the batches in one builder, resume with another."""
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+
+    d = str(tmp_path / "halves")
+    b = IndexBuilder(spark, d, n_batches=2)
+    # first "run" crashes after analyzing batch 0 only
+    b.analyze(corpus_df, "run1", only_batches=[0])
+    assert b._completed_batches() == {0}
+    # resume run sees the full corpus, skips batch 0
+    b2 = IndexBuilder(spark, d, n_batches=2)
+    b2.build(corpus_df, with_blocks=False)
+    assert _postings_signature(spark, d) == _postings_signature(spark, index_dir)
+
+
+def test_lineage_metrics(spark, index_dir):
+    lin = spark.read.parquet(f"{index_dir}/lineage")
+    rows = lin.collect()
+    analyzed = [r for r in rows if r.snapshot_id.startswith("analyzed-")]
+    postings = [r for r in rows if r.snapshot_id.startswith("postings-")]
+    assert len(analyzed) >= 2  # one per analyze batch
+    assert postings, "per-bucket postings lineage missing"
+    for r in postings:
+        assert r.n_rows > 0 and r.n_postings >= r.n_rows
+        assert r.term_lo <= r.term_hi
+        assert r.build_ms >= 0
+
+
+def test_blocks_roundtrip(spark, index_dir):
+    """Decoding every block reproduces the canonical postings exactly."""
+    blocks = spark.read.parquet(f"{index_dir}/blocks").collect()
+    doc_map = {
+        r.doc_ord: r.doc_id
+        for r in spark.read.parquet(f"{index_dir}/doc_map").collect()
+    }
+    canonical = {
+        r.term: r for r in spark.read.parquet(f"{index_dir}/postings").collect()
+    }
+    assert {b.term for b in blocks} == set(canonical)
+    by_term: dict[str, list] = {}
+    for b in blocks:
+        by_term.setdefault(b.term, []).append(b)
+    for term, bs in by_term.items():
+        bs.sort(key=lambda b: b.block_id)
+        want = canonical[term]
+        assert all(b.df == want.df for b in bs)
+        got_ids, got_tfs, got_pos = [], [], []
+        for b in bs:
+            ords = codec.decode_doc_ids(b.doc_ids_vb)
+            got_ids.extend(doc_map[o] for o in ords)
+            got_tfs.extend(codec.decode_tfs(b.tfs).tolist())
+            got_pos.extend(p.tolist() for p in codec.decode_positions(b.positions_vb, b.n_docs))
+        assert got_ids == [p.doc_id for p in want.postings], term
+        assert got_tfs == pytest.approx([p.tf for p in want.postings]), term
+        assert got_pos == [list(p.positions) for p in want.postings], term
+        # block-max invariant: ub >= any doc's weighted tf in the block
+        from apt_search_engine_spark.analysis.analyzer import tag_weight
+
+        for b in bs:
+            pass
+        wtfs = [
+            p.tf * (sum(tag_weight(t) for t in p.tags) if p.tags else 0.5)
+            for p in want.postings
+        ]
+        assert max(b.block_max_wtf for b in bs) == pytest.approx(max(wtfs)), term
+
+
+def test_no_python_row_udfs_in_merge_plan(spark, index_dir):
+    """North-rule: no per-row Python on the hot path. The merge/query plans
+    must not contain BatchEvalPython (row-at-a-time UDF) nodes; Python only
+    appears as Arrow-batched mapInPandas in the analyze stage."""
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_dir)
+    plan = eng.search_df("travel guide", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
