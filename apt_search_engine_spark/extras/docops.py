@@ -1,0 +1,597 @@
+"""Driver-checkable operator suite over /root/testdata tables.
+
+Each operator exists twice, kept in sync in this one file:
+  SPARK_QUERIES[name](spark, sf_dir) -> DataFrame   (the engine, Spark-first)
+  ORACLE_SQL[name]                                  (ANSI SQL for DuckDB)
+
+These exercise the engine's SQL-expressible building blocks over the
+driver-provided `documents(doc_id, text, lang, source, n_chars)` table —
+tokenize/admission/tf (quirks Q1/Q2 math), df + floor-division IDF,
+candidate intersection, positional phrase adjacency, top-k scoring — plus
+the large-scale training-data-pipeline operators (dedup family, similarity
+search, text analysis) and generic join/window coverage on the TPC-H-ish
+tables. The Porter-stemmed full-engine paths are NOT here (stemming is not
+expressible in SQL); those are verified engine-vs-oracle in tests/ and
+exposed as rows-only queries in __spark_entry__.py.
+
+Float parity rules: every cross-term float aggregate is rounded (6 dp) on
+BOTH sides; pure ratios of integers are exact IEEE and left unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from apt_search_engine_spark.analysis.stopwords import STOPWORDS
+
+_STOPS_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS))
+_STOPS_LIST = sorted(STOPWORDS)
+
+QUERY_TERMS = ("table", "scan", "query")
+PHRASE = ("table", "hash")  # frequent adjacent pair in the driver corpus
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _raw_arr():
+    return F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", " "), r"\s+")
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    """Admitted tokens with pre-filter positions (T1+T2+T3, no stemming)."""
+    t = docs.select("doc_id", F.posexplode(_raw_arr()).alias("pos", "term"))
+    return t.filter(
+        (F.length("term") > 1)
+        & ~F.col("term").rlike("^[0-9]+$")
+        & ~F.col("term").isin(_STOPS_LIST)
+    )
+
+
+# SQL CTE prefix shared by token-based oracles
+_SQL_TOKS = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok AS term, ord - 1 AS pos
+  FROM (SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord FROM base)
+  WHERE length(tok) > 1 AND NOT regexp_full_match(tok, '\\d+')
+        AND tok NOT IN ({_STOPS_SQL})
+)
+"""
+
+
+# --------------------------------------------------------------------- T1-T5
+def q_tokenize_tf(spark, sf_dir):
+    toks = _toks(_docs(spark, sf_dir))
+    agg = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
+    tot = agg.groupBy("doc_id").agg(F.sum(F.col("occ") + 1).alias("total"))
+    return agg.join(tot, "doc_id").select(
+        "doc_id",
+        "term",
+        "occ",
+        ((F.col("occ") + 1).cast("double") / F.col("total")).alias("tf"),
+    )
+
+
+SQL_TOKENIZE_TF = _SQL_TOKS + """
+, agg AS (SELECT doc_id, term, count(*) AS occ FROM toks GROUP BY doc_id, term)
+, tot AS (SELECT doc_id, sum(occ + 1) AS total FROM agg GROUP BY doc_id)
+SELECT a.doc_id, a.term, a.occ, (a.occ + 1)::DOUBLE / t.total AS tf
+FROM agg a JOIN tot t USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------------- df/IDF
+def q_term_df(spark, sf_dir):
+    return (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("int").alias("df"))
+        .withColumn(
+            "idf_floor", F.floor(F.lit(6000) / F.col("df")).cast("int")
+        )
+    )
+
+
+SQL_TERM_DF = _SQL_TOKS + """
+SELECT term, count(DISTINCT doc_id)::INT AS df,
+       (6000 // count(DISTINCT doc_id))::INT AS idf_floor
+FROM toks GROUP BY term
+"""
+
+
+# ------------------------------------------------------------ P4 candidates
+def q_candidate_and(spark, sf_dir):
+    return (
+        _toks(_docs(spark, sf_dir))
+        .filter(F.col("term").isin(list(PHRASE)))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(PHRASE))
+        .select("doc_id")
+    )
+
+
+SQL_CANDIDATE_AND = _SQL_TOKS + f"""
+SELECT doc_id FROM toks WHERE term IN ('{PHRASE[0]}', '{PHRASE[1]}')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+"""
+
+
+# ------------------------------------------------------------------ P5 phrase
+def q_phrase_adjacency(spark, sf_dir):
+    toks = _toks(_docs(spark, sf_dir))
+    p1 = (
+        toks.filter(F.col("term") == PHRASE[0])
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps1"))
+    )
+    p2 = (
+        toks.filter(F.col("term") == PHRASE[1])
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps2"))
+    )
+    return (
+        p1.join(p2, "doc_id")
+        .filter(
+            F.expr("size(array_intersect(transform(ps1, x -> x + 1), ps2)) > 0")
+        )
+        .select("doc_id")
+    )
+
+
+SQL_PHRASE_ADJACENCY = _SQL_TOKS + f"""
+, p1 AS (SELECT doc_id, list(pos) AS ps FROM toks WHERE term = '{PHRASE[0]}' GROUP BY doc_id)
+, p2 AS (SELECT doc_id, list(pos) AS ps FROM toks WHERE term = '{PHRASE[1]}' GROUP BY doc_id)
+SELECT p1.doc_id FROM p1 JOIN p2 USING (doc_id)
+WHERE len(list_intersect(list_transform(p1.ps, x -> x + 1), p2.ps)) > 0
+"""
+
+
+# ----------------------------------------------------------- R2-R4 scoring
+def q_bag_topk_score(spark, sf_dir):
+    """Reference scoring math on unstemmed admitted tokens: per (term,doc)
+    contribution = tf * floor(6000/df) * 0.5 * occ (all-body tags -> one
+    0.5 weight per position), summed per doc, x uniform prior 1/N."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks(docs)
+    agg = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
+    tot = agg.groupBy("doc_id").agg(F.sum(F.col("occ") + 1).alias("total"))
+    dfs = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        agg.filter(F.col("term").isin(list(QUERY_TERMS)))
+        .join(tot, "doc_id")
+        .join(dfs, "term")
+        .withColumn(
+            "contrib",
+            ((F.col("occ") + 1).cast("double") / F.col("total"))
+            * F.floor(F.lit(6000) / F.col("df")).cast("double")
+            * F.lit(0.5)
+            * F.col("occ"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("raw"))
+        .crossJoin(n)
+        .select("doc_id", F.round(F.col("raw") / F.col("n_docs"), 6).alias("score"))
+    )
+    return scored
+
+
+SQL_BAG_TOPK_SCORE = _SQL_TOKS + f"""
+, agg AS (SELECT doc_id, term, count(*) AS occ FROM toks GROUP BY doc_id, term)
+, tot AS (SELECT doc_id, sum(occ + 1) AS total FROM agg GROUP BY doc_id)
+, dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+, n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT a.doc_id,
+       round(sum(((a.occ + 1)::DOUBLE / t.total) * ((6000 // d.df)::DOUBLE) * 0.5 * a.occ)
+             / any_value(n.n_docs), 6) AS score
+FROM agg a JOIN tot t USING (doc_id) JOIN dfs d USING (term) CROSS JOIN n
+WHERE a.term IN ('{QUERY_TERMS[0]}', '{QUERY_TERMS[1]}', '{QUERY_TERMS[2]}')
+GROUP BY a.doc_id
+"""
+
+
+# ------------------------------------------------------------- dedup: exact
+def q_dedup_exact(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------ dedup: minhash sigs
+_N_HASHES = 8
+_N_BANDS = 4  # 2 hashes per band
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Word 3-gram shingles over the raw normalized split array."""
+    return (
+        docs.select("doc_id", _raw_arr().alias("arr"))
+        .filter(F.size("arr") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 3), "
+                    "i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+_SQL_SHINGLES = """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr) - 1),
+                i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+  FROM base WHERE len(arr) >= 3
+)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sh = _shingles(_docs(spark, sf_dir))
+    salted = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("salt"),
+        "shingle",
+    )
+    return salted.groupBy("doc_id", "salt").agg(
+        F.min(
+            F.md5(F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("minh")
+    )
+
+
+SQL_MINHASH_SIGNATURES = _SQL_SHINGLES + f"""
+, salts AS (SELECT unnest(range(0, {_N_HASHES})) AS salt)
+SELECT doc_id, salt, min(md5(salt::VARCHAR || '|' || shingle)) AS minh
+FROM sh CROSS JOIN salts GROUP BY doc_id, salt
+"""
+
+
+# --------------------------------------------------- dedup: minhash LSH pairs
+def q_minhash_pairs(spark, sf_dir):
+    sig = (
+        q_minhash_signatures(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(salt, minh))), x -> x.minh)"
+            ).alias("s")
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_N_BANDS - 1}), "
+                "b -> struct(b as b, concat(s[2*b], s[2*b+1]) as bv))"
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_MINHASH_PAIRS = _SQL_SHINGLES + f"""
+, salts AS (SELECT unnest(range(0, {_N_HASHES})) AS salt)
+, mh AS (
+  SELECT doc_id, salt, min(md5(salt::VARCHAR || '|' || shingle)) AS minh
+  FROM sh CROSS JOIN salts GROUP BY doc_id, salt
+)
+, sig AS (SELECT doc_id, list(minh ORDER BY salt) AS s FROM mh GROUP BY doc_id)
+, bands AS (
+  SELECT doc_id, b, s[2*b + 1] || s[2*b + 2] AS bv
+  FROM sig, LATERAL (SELECT unnest(range(0, {_N_BANDS})) AS b)
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+"""
+
+
+# ------------------------------------------- dedup: n-gram Jaccard (on LSH)
+def q_ngram_jaccard(spark, sf_dir):
+    pairs = q_minhash_pairs(spark, sf_dir)
+    dsh = _shingles(_docs(spark, sf_dir)).distinct()
+    cnt = dsh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = dsh.alias("a"), dsh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"])
+        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = _SQL_SHINGLES + f"""
+, salts AS (SELECT unnest(range(0, {_N_HASHES})) AS salt)
+, mh AS (
+  SELECT doc_id, salt, min(md5(salt::VARCHAR || '|' || shingle)) AS minh
+  FROM sh CROSS JOIN salts GROUP BY doc_id, salt
+)
+, sig AS (SELECT doc_id, list(minh ORDER BY salt) AS s FROM mh GROUP BY doc_id)
+, bands AS (
+  SELECT doc_id, b, s[2*b + 1] || s[2*b + 2] AS bv
+  FROM sig, LATERAL (SELECT unnest(range(0, {_N_BANDS})) AS b)
+)
+, pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)
+, cnt AS (SELECT doc_id, count(*) AS c FROM dsh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(i.inter::DOUBLE / (ca.c + cb.c - i.inter), 6) AS jaccard
+FROM pairs p
+JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+"""
+
+
+# ------------------------------------------------ similarity: cosine to q=0
+def q_embedding_cosine(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    n1 = "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z))"
+    n2 = "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z))"
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(F.expr(dot) / (F.expr(n1) * F.expr(n2)), 6).alias("cos"),
+        )
+    )
+
+
+SQL_EMBEDDING_COSINE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i])) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i]))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))), 6) AS cos
+FROM e CROSS JOIN q WHERE e.vec_id <> 0
+"""
+
+
+# -------------------------------------------------- text analysis operators
+def q_stopword_ratio(spark, sf_dir):
+    raw = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_raw_arr()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return raw.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("tok").isin(_STOPS_LIST), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("stop_ratio"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+SQL_STOPWORD_RATIO = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM documents
+), raw AS (SELECT doc_id, unnest(arr) AS tok FROM base)
+SELECT doc_id,
+       round(sum(CASE WHEN tok IN ({_STOPS_SQL}) THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS stop_ratio,
+       count(*) AS n_tokens
+FROM raw WHERE tok <> '' GROUP BY doc_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    raw = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_raw_arr()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return raw.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("tok")), 6).alias("mean_tok_len"),
+        F.round(
+            F.sum(F.when(F.col("tok").rlike("^[0-9]+$"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("digit_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM documents
+), raw AS (SELECT doc_id, unnest(arr) AS tok FROM base)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(length(tok)), 6) AS mean_tok_len,
+       round(sum(CASE WHEN regexp_full_match(tok, '\\d+') THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS digit_ratio
+FROM raw WHERE tok <> '' GROUP BY doc_id
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    toks = _toks(_docs(spark, sf_dir))
+    raw = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_raw_arr()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return raw.agg(F.count("*").alias("total_raw_tokens")).crossJoin(
+        toks.agg(
+            F.count("*").alias("admitted_tokens"),
+            F.countDistinct("term").alias("distinct_terms"),
+        )
+    )
+
+
+SQL_TOKEN_COUNTS = _SQL_TOKS + """
+, raw AS (
+  SELECT unnest(arr) AS tok FROM base
+)
+SELECT (SELECT count(*) FROM raw WHERE tok <> '') AS total_raw_tokens,
+       (SELECT count(*) FROM toks) AS admitted_tokens,
+       (SELECT count(DISTINCT term) FROM toks) AS distinct_terms
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(
+            F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("term")))).alias(
+                "fingerprint"
+            )
+        )
+    )
+
+
+SQL_DOC_FINGERPRINT = _SQL_TOKS + """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list(DISTINCT term)), ' ')) AS fingerprint
+FROM toks GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------- generic join/agg/window ops
+def q_top_customers(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, round(sum(o_totalprice), 2) AS total_spend,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_events_window(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.row_number().over(w).alias("rn")
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
+SPARK_QUERIES = {
+    "tokenize_tf": q_tokenize_tf,
+    "term_df": q_term_df,
+    "candidate_and": q_candidate_and,
+    "phrase_adjacency": q_phrase_adjacency,
+    "bag_topk_score": q_bag_topk_score,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_cosine": q_embedding_cosine,
+    "stopword_ratio": q_stopword_ratio,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "top_customers": q_top_customers,
+    "events_window": q_events_window,
+}
+
+ORACLE_SQL = {
+    "tokenize_tf": SQL_TOKENIZE_TF,
+    "term_df": SQL_TERM_DF,
+    "candidate_and": SQL_CANDIDATE_AND,
+    "phrase_adjacency": SQL_PHRASE_ADJACENCY,
+    "bag_topk_score": SQL_BAG_TOPK_SCORE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_cosine": SQL_EMBEDDING_COSINE,
+    "stopword_ratio": SQL_STOPWORD_RATIO,
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "events_window": SQL_EVENTS_WINDOW,
+}

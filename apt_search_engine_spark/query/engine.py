@@ -61,18 +61,44 @@ def _esc(term: str) -> str:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str | None = None,
+                 postings_df: DataFrame | None = None, n_docs: int | None = None):
+        """Disk-backed when `index_dir` is given (bucket-pruned scans);
+        in-memory when a grouped `postings_df` (+ n_docs) is given —
+        used for ad-hoc corpora without a persisted index."""
         self.spark = spark
         self.index_dir = index_dir
-        self.postings_path = os.path.join(index_dir, "postings")
-        self.doc_meta_path = os.path.join(index_dir, "doc_meta")
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            meta = json.load(f)
-        self.n_docs = int(meta["n_docs"])
+        self._postings_df = postings_df
+        if index_dir is not None:
+            self.postings_path = os.path.join(index_dir, "postings")
+            self.doc_meta_path = os.path.join(index_dir, "doc_meta")
+            with open(os.path.join(index_dir, "meta.json")) as f:
+                meta = json.load(f)
+            self.n_docs = int(meta["n_docs"])
+        else:
+            if postings_df is None or n_docs is None:
+                raise ValueError("need index_dir or (postings_df, n_docs)")
+            self.doc_meta_path = None
+            self.n_docs = n_docs
         # uniform doc prior: transcripts have no link graph; the reference's
         # absent-URL default is 1/|pageRanks| (Ranker.java:196) — kept as a
         # multiplied constant so scores match the oracle bit-for-bit.
         self.prior = 1.0 / self.n_docs
+
+    @classmethod
+    def over_transcripts(cls, spark: SparkSession, transcripts: DataFrame,
+                         n_docs: int | None = None) -> "SearchEngine":
+        """Ad-hoc engine: analyze+merge the corpus into an in-memory
+        postings DataFrame (cached) — the no-persisted-index path."""
+        from apt_search_engine_spark.indexing.build import (
+            analyze_transcripts,
+            merge_postings,
+        )
+
+        if n_docs is None:
+            n_docs = transcripts.count()
+        postings = merge_postings(analyze_transcripts(transcripts)).cache()
+        return cls(spark, postings_df=postings, n_docs=n_docs)
 
     # ------------------------------------------------------------------ P2
     def _exploded(self, terms: list[str]) -> DataFrame:
@@ -81,13 +107,15 @@ class SearchEngine:
         distinct = sorted(set(terms))
         if not distinct:
             return self._empty_postings()
-        buckets = sorted(
-            {self._bucket(t) for t in distinct}
-        )
+        if self._postings_df is not None:
+            src = self._postings_df
+        else:
+            buckets = sorted({self._bucket(t) for t in distinct})
+            src = self.spark.read.parquet(self.postings_path).filter(
+                F.col("term_bucket").isin(buckets)
+            )
         df = (
-            self.spark.read.parquet(self.postings_path)
-            .filter(F.col("term_bucket").isin(buckets))
-            .filter(F.col("term").isin(distinct))
+            src.filter(F.col("term").isin(distinct))
             .select("term", F.explode("postings").alias("p"))
             .select(
                 "term",
@@ -274,7 +302,7 @@ class SearchEngine:
         top = self.search_df(query, k).collect()
         ids = [r.doc_id for r in top]
         meta = {}
-        if ids:
+        if ids and self.doc_meta_path is not None:
             meta_rows = (
                 self.spark.read.parquet(self.doc_meta_path)
                 .filter(F.col("doc_id").isin(ids))
