@@ -1,0 +1,130 @@
+"""Bench harness (driver contract): index-build throughput + query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+What is measured (BASELINE.md targets):
+  - index_build: full resumable build (analyze -> salted merge -> blocks ->
+    doc_meta) over the seeded synthetic transcripts corpus scaled by sf
+    (sf0.1 -> ~50k turns); reported as wall sec + turns/sec.
+  - the reference query set (BASELINE.md: travel guide / "travel guide" /
+    "travel guide" AND "europe tips") against the built disk index, p50 of 3
+    runs each, exact scoring path and block-max WAND path.
+  - a sample of the docops/dedup operator suite on the sf `documents` table.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately
+by jobs/bench_scaling.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else 0.1
+
+
+def _time(fn, repeat: int = 1) -> float:
+    runs = []
+    for _ in range(repeat):
+        t0 = time.time()
+        fn()
+        runs.append(time.time() - t0)
+    return statistics.median(runs)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from apt_search_engine_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from apt_search_engine_spark.corpus import gen_corpus_spark
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    work = tempfile.mkdtemp(prefix="aptse_bench_")
+    queries: dict[str, float] = {}
+    try:
+        # -- corpus (generation not timed: it stands in for the input table)
+        n_convs = max(200, int(20000 * sf))
+        tdir = os.path.join(work, "transcripts")
+        gen_corpus_spark(spark, n_convs, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+        transcripts = spark.read.parquet(tdir)
+        n_turns = transcripts.count()
+
+        # -- index build throughput -----------------------------------------
+        idx = os.path.join(work, "index")
+        t0 = time.time()
+        IndexBuilder(spark, idx, n_batches=4).build(transcripts)
+        build_sec = time.time() - t0
+        queries["index_build"] = round(build_sec, 3)
+
+        # -- reference query set, exact path + WAND path --------------------
+        engine = SearchEngine(spark, index_dir=idx)
+        qset = {
+            "q_normal": "travel guide",
+            "q_phrase": '"travel guide"',
+            "q_boolean": '"travel guide" AND "europe tips"',
+        }
+        for name, q in qset.items():
+            queries[name] = round(
+                _time(lambda q=q: engine.search_df(q, k=10).collect(), repeat=3), 3
+            )
+        if hasattr(engine, "search_df_wand"):
+            queries["q_normal_wand"] = round(
+                _time(
+                    lambda: engine.search_df_wand("travel guide", k=10).collect(),
+                    repeat=3,
+                ),
+                3,
+            )
+
+        # -- docops / dedup operator sample on the sf documents table -------
+        from apt_search_engine_spark.extras.docops import SPARK_QUERIES
+
+        for name in ("dedup_exact", "minhash_pairs", "bag_topk_score"):
+            if name in SPARK_QUERIES:
+                fn = SPARK_QUERIES[name]
+                queries[name] = round(
+                    _time(lambda fn=fn: fn(spark, sf_dir).collect()), 3
+                )
+
+        total = round(sum(queries.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_query_suite_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "n_turns": int(n_turns),
+                    "index_build_turns_per_sec": round(n_turns / build_sec, 1),
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
