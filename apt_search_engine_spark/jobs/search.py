@@ -1,0 +1,56 @@
+"""spark-submit entrypoint: top-k search against a built index.
+
+    spark-submit --py-files aptse.zip apt_search_engine_spark/jobs/search.py \
+        --index-dir /data/index --query '"travel guide" AND "europe tips"' \
+        [-k 10] [--exact] [--no-snippets]
+
+Default scorer is block-max WAND for bag-of-words queries (falls back to
+the exact plan for phrase/boolean automatically); --exact forces the
+uncompressed plan. Prints one JSON object per result row plus a timing
+line, mirroring the reference's SearchResult payload
+(server/src/main/java/com/example/demo/SearchController.java:19-41).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--exact", action="store_true")
+    p.add_argument("--no-snippets", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from apt_search_engine_spark.query.engine import SearchEngine
+    from apt_search_engine_spark.session import get_spark
+
+    spark = get_spark("aptse-search")
+    engine = SearchEngine(spark, index_dir=args.index_dir)
+    t0 = time.time()
+    if args.no_snippets or args.exact:
+        df = (
+            engine.search_df(args.query, k=args.k)
+            if args.exact
+            else engine.search_df_wand(args.query, k=args.k)
+        )
+        results = [{"doc_id": r.doc_id, "score": r.score} for r in df.collect()]
+    else:
+        results = engine.search(args.query, k=args.k, with_snippets=True)
+    ms = int((time.time() - t0) * 1000)
+    print(json.dumps({"results": results, "totalCount": len(results),
+                      "totalTime": ms}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -272,6 +272,41 @@ class SearchEngine:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # ---------------------------------------------------------------- WAND
+    def search_df_wand(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
+        """Bag-of-words top-k via block-max WAND over the compressed blocks
+        (the hot-path scorer, query/wand.py). Phrase/boolean queries need
+        positions and fall back to the exact plan; results are identical
+        either way (parity asserted in tests/test_wand.py)."""
+        parsed = parser.parse(query)
+        if (
+            parsed.qtype not in ("normal", "normal+boolean")
+            or self.index_dir is None
+            or not os.path.isdir(os.path.join(self.index_dir, "blocks"))
+        ):
+            # no compressed companion (built with --no-blocks): exact plan
+            return self.search_df(query, k)
+        from apt_search_engine_spark.query.wand import wand_topk
+
+        words = [
+            w for w in parsed.query_words if w.upper() not in parser.OPERATORS
+        ]
+        if not words:
+            return self._empty_results()
+        # the exact path scores each distinct word once (engine normal path
+        # dedups words), so multiplicity is 1
+        term_mult = {w: 1 for w in words}
+        buckets = sorted({self._bucket(t) for t in term_mult})
+        blocks = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(list(term_mult)))
+        )
+        doc_map = self.spark.read.parquet(
+            os.path.join(self.index_dir, "doc_map")
+        )
+        return wand_topk(self.spark, blocks, doc_map, term_mult, self.n_docs, k)
+
     # ------------------------------------------------------------- public
     def search_df(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         """The ranked top-k (doc_id, score) plan for `query`."""

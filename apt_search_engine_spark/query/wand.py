@@ -1,0 +1,195 @@
+"""Block-max WAND top-k over the compressed posting blocks (north rule;
+SURVEY.md section 4.2 item 3, FIXTURES.md section P).
+
+Replaces full scoring on the bag-of-words hot path. The score of doc d is
+
+    score(d) = prior * sum_{t in query} wtf_t(d) * floor(6000 / df_t) * mult_t
+
+(reference kernel, Ranker.java:55-66 + 196; wtf = tf * sum(tag weights) is
+precomputed per posting at build time — indexing/blocks.py). Because every
+term's contribution to d lives in exactly one block, and blocks are keyed by
+the corpus-wide doc ordinal, the doc-ordinal axis can be sliced and scored
+independently:
+
+  1. bucket-pruned scan of the query terms' blocks (a few directories);
+  2. each block is assigned to every SLICE_ORDS-wide ordinal slice it
+     overlaps (explode(sequence(lo/S, hi/S)) — blocks are <=128 docs, so
+     almost always one slice);
+  3. repartition by slice, sort by slice within partitions, then one
+     mapInPandas pass per partition holds a bounded min-heap of size k:
+     for each slice it first compares the slice's score upper bound
+     sum_t max(block_max_wtf) * weight_t against the heap threshold and
+     SKIPS the slice entirely when it cannot beat the current kth score —
+     the block-max WAND prune; surviving slices are decoded (varbyte) and
+     scored exactly with vectorized numpy in ascending-term order (the
+     determinism contract, SURVEY.md 7.4);
+  4. the per-partition top-k survivors reduce to the global top-k via
+     orderBy(score desc).limit(k) — Spark's TakeOrderedAndProject — and a
+     join back to doc_map recovers doc_ids.
+
+Pruning never changes results: a skipped slice's upper bound is below the
+partition's current kth score, so none of its docs can reach the partition
+top-k, and the global top-k is contained in the union of partition top-ks.
+Parity with the exact path is asserted in tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from apt_search_engine_spark.config import IDF_NUMERATOR
+from apt_search_engine_spark.indexing import codec
+
+# Ordinal width of one scoring slice. 8192 ords = up to 64 full blocks per
+# term; large enough that boundary-spanning blocks are rare, small enough
+# that a decoded slice (|terms| x 8192 doubles worst case) stays tiny.
+SLICE_ORDS = 8192
+
+_OUT_SCHEMA = "doc_ord long, score double"
+
+
+def _score_partition_factory(
+    weights: dict[str, float], k: int, prior: float, slice_ords: int
+):
+    """Returns a mapInPandas function closing over the per-term weights
+    (floor(6000/df) * multiplicity), k and the uniform prior."""
+
+    terms_sorted = sorted(weights)
+
+    def score_partition(batches):
+        heap: list[tuple[float, int]] = []  # (score, -ord) min-heap of top-k
+        # buffered rows of the slice currently being assembled
+        cur_slice = None
+        buf: list[pd.DataFrame] = []
+
+        def flush():
+            nonlocal cur_slice
+            if cur_slice is None or not buf:
+                cur_slice = None
+                return
+            rows = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf.clear()
+            s = cur_slice
+            cur_slice = None
+            lo, hi = s * slice_ords, (s + 1) * slice_ords
+            theta = heap[0][0] if len(heap) == k else -np.inf
+            # ---- block-max prune: slice upper bound vs heap threshold ----
+            ub = 0.0
+            by_term = {t: g for t, g in rows.groupby("term", sort=True)}
+            for t in terms_sorted:
+                g = by_term.get(t)
+                if g is not None:
+                    ub += float(g["block_max_wtf"].max()) * weights[t]
+            if ub * prior <= theta:
+                return  # pruned: no doc here can beat the kth score
+            # ---- exact scoring (ascending term order) --------------------
+            ord_parts: list[np.ndarray] = []
+            sc_parts: list[np.ndarray] = []
+            for t in terms_sorted:
+                g = by_term.get(t)
+                if g is None:
+                    continue
+                w = weights[t]
+                for dvb, wvb in zip(g["doc_ids_vb"], g["wtfs"]):
+                    ords = codec.decode_doc_ids(bytes(dvb))
+                    wtf = codec.decode_tfs(bytes(wvb))
+                    m = (ords >= lo) & (ords < hi)  # mask: block may span
+                    if not m.all():
+                        ords, wtf = ords[m], wtf[m]
+                    if ords.size:
+                        ord_parts.append(ords)
+                        sc_parts.append(wtf * w)
+            if not ord_parts:
+                return
+            all_ords = np.concatenate(ord_parts)
+            all_sc = np.concatenate(sc_parts)
+            uniq, inv = np.unique(all_ords, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sums, inv, all_sc)  # ascending-term accumulation
+            sums = sums * prior
+            cand = np.flatnonzero(sums > theta) if len(heap) == k else np.arange(uniq.size)
+            for i in cand:
+                sc = float(sums[i])
+                if sc == 0.0:
+                    continue  # parity: exact path filters score == 0
+                item = (sc, -int(uniq[i]))  # doc_id ASC tiebreak == ord DESC in min-heap
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for s, grp in pdf.groupby("slice", sort=True):
+                if cur_slice is not None and s != cur_slice:
+                    flush()
+                cur_slice = int(s)
+                buf.append(grp)
+        flush()
+        if heap:
+            yield pd.DataFrame(
+                {
+                    "doc_ord": np.array([-o for _, o in heap], dtype=np.int64),
+                    "score": np.array([s for s, _ in heap], dtype=np.float64),
+                }
+            )
+
+    return score_partition
+
+
+def wand_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    doc_map: DataFrame,
+    term_mult: dict[str, int],
+    n_docs: int,
+    k: int,
+    slice_ords: int = SLICE_ORDS,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a bag-of-words query whose (already
+    stemmed) terms and multiplicities are `term_mult`, over a pre-filtered
+    `blocks` DataFrame (bucket + term pruned by the caller)."""
+    terms = sorted(term_mult)
+    prior = 1.0 / n_docs
+
+    # per-term weights need df — one tiny aggregate over block metadata
+    dfs = {
+        r.term: r.df
+        for r in blocks.select("term", "df").distinct().collect()
+    }
+    weights = {
+        t: float((IDF_NUMERATOR // dfs[t]) * term_mult[t])
+        for t in terms
+        if t in dfs
+    }
+    if not weights:
+        return spark.createDataFrame([], "doc_id string, score double")
+
+    sliced = blocks.filter(F.col("term").isin(list(weights))).select(
+        "term",
+        "block_max_wtf",
+        "doc_ids_vb",
+        "wtfs",
+        F.explode(
+            F.sequence(
+                (F.col("lo_ord") / slice_ords).cast("long"),
+                (F.col("hi_ord") / slice_ords).cast("long"),
+            )
+        ).alias("slice"),
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    partitioned = sliced.repartition(n_parts, "slice").sortWithinPartitions("slice")
+    survivors = partitioned.mapInPandas(
+        _score_partition_factory(weights, k, prior, slice_ords), _OUT_SCHEMA
+    )
+    topk = survivors.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+    return (
+        topk.join(doc_map, "doc_ord")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -72,10 +72,16 @@ POSTING_BLOCKS = T.StructType(
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("doc_ids_vb", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        # per-doc weighted tf: tf * sum(tag_weights) — the score kernel
+        # minus the idf factor; WAND scores directly from this
+        T.StructField("wtfs", T.BinaryType(), False),
         T.StructField("positions_vb", T.BinaryType(), False),
-        # max over docs in block of tf * sum(tag_weights) — multiply by
-        # floor(6000/df) at query time for the score upper bound
+        # max over docs in block of wtf — multiply by floor(6000/df) at
+        # query time for the block's score upper bound
         T.StructField("block_max_wtf", T.DoubleType(), False),
+        # ordinal range covered by the block (for slice assignment / skips)
+        T.StructField("lo_ord", T.LongType(), False),
+        T.StructField("hi_ord", T.LongType(), False),
         T.StructField("term_bucket", T.IntegerType(), False),
     ]
 )
