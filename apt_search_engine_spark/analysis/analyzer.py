@@ -162,33 +162,62 @@ def analyze_doc(
 # Batch path (Arrow/pandas) — used inside the Spark index build UDF.
 # ---------------------------------------------------------------------------
 
-def analyze_batch(
+def _proc_headings(series: pd.Series | None, stemmer):
+    """Factorize a heading channel and stem-process each DISTINCT value
+    once (per build there are only a handful: the literal 'title' and the
+    role vocabulary). Returns (per-row codes, processed distinct strings)."""
+    if series is None:
+        return None, None
+    codes, uniq = pd.factorize(series.fillna("").astype(str))
+    proc = np.array(
+        [process_heading_text(u, stemmer) if u else "" for u in uniq],
+        dtype=object,
+    )
+    return codes, proc
+
+
+def analyze_batch_flat(
     bodies: pd.Series,
     title: pd.Series | None = None,
     h1: pd.Series | None = None,
-) -> list[list[dict]]:
-    """Analyze a batch of documents with cross-document vectorization.
+    tags_as_counts: bool = False,
+) -> pd.DataFrame:
+    """Analyze a batch of documents, fully vectorized, returning the FLAT
+    posting frame (doc, term, tf, positions, tags) with `doc` = row index
+    into the batch.
 
-    Tokenization, admission filtering and unique-term stemming are
-    vectorized across the whole batch (pandas C string ops + one stem call
-    per DISTINCT raw token in the batch — the reference's memo-cache trick,
-    Tokenizer.java:40,98-104, amortized further). Per-document tag
-    assignment (T6) runs on the small per-doc term maps.
+    Tokenization, admission filtering, unique-term stemming, the
+    (doc, term) grouping (lexsort + boundary split — no per-group Python
+    aggregation) and the Q1/Q2 tf arithmetic are all numpy. Tag assignment
+    (T6) reduces to a substring-count table of (distinct term x distinct
+    processed heading) because heading channels have tiny vocabularies;
+    tags are written as a ['title']*a + ['h1']*b + ['body']*rest prefix
+    pattern, which is exactly the reference's earliest-body-tags-first
+    overwrite order (Tokenizer.java:182-190).
 
-    Returns, per input row, a list of posting dicts
-    {term, tf, positions, tags} (empty list for blank bodies).
+    With tags_as_counts=True the frame carries (n_title, n_h1) int columns
+    instead of materialized tag lists — the index build stores these two
+    ints per posting and reconstructs the tags array natively at merge
+    time (array_repeat concat), which keeps the analyze checkpoint small.
     """
     n = len(bodies)
+    empty = pd.DataFrame(
+        {"doc": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.float64),
+         "positions": [], "tags": []}
+    )
     stemmer = MemoStemmer()
     b = bodies.fillna("").astype(str)
     nonblank = b.str.strip().str.len() > 0  # T7
     norm = b.str.lower().str.replace(r"[^a-z0-9]", " ", regex=True)
     split = norm.str.split(r"\s+")
 
-    lens = np.fromiter((len(x) if ok else 0 for x, ok in zip(split, nonblank)), dtype=np.int64, count=n)
+    lens = np.fromiter(
+        (len(x) if ok else 0 for x, ok in zip(split, nonblank)),
+        dtype=np.int64, count=n,
+    )
     total = int(lens.sum())
     if total == 0:
-        return [[] for _ in range(n)]
+        return empty
 
     flat = np.empty(total, dtype=object)
     doc_idx = np.repeat(np.arange(n), lens)
@@ -197,9 +226,9 @@ def analyze_batch(
         if lens[i]:
             flat[off : off + lens[i]] = split.iat[i]
             off += lens[i]
-    starts = np.zeros(n, dtype=np.int64)
-    starts[1:] = np.cumsum(lens)[:-1]
-    pos = np.arange(total) - starts[doc_idx]
+    starts0 = np.zeros(n, dtype=np.int64)
+    starts0[1:] = np.cumsum(lens)[:-1]
+    pos = np.arange(total) - starts0[doc_idx]
 
     toks = pd.Series(flat)
     # T3 vectorized: length > 1, not all digits, not stopword
@@ -209,63 +238,98 @@ def analyze_batch(
         & ~toks.isin(STOPWORDS)
     ).to_numpy()
 
-    toks_k = toks[keep]
     doc_k = doc_idx[keep]
     pos_k = pos[keep]
 
     # T4: stem once per distinct raw token in the batch
-    codes, uniques = pd.factorize(toks_k)
+    codes, uniques = pd.factorize(toks[keep])
     stemmed_u = np.array([stemmer(u) for u in uniques], dtype=object)
-    stems = stemmed_u[codes] if len(codes) else np.empty(0, dtype=object)
-    nonempty = np.array([s != "" for s in stems], dtype=bool)
-    doc_k, pos_k, stems = doc_k[nonempty], pos_k[nonempty], stems[nonempty]
+    # factorize the stems of the distinct raw tokens -> distinct terms
+    s_codes_u, term_uniq = pd.factorize(pd.Series(stemmed_u, dtype=object))
+    t_codes = s_codes_u[codes] if len(codes) else np.empty(0, np.int64)
+    nonempty = np.asarray(term_uniq != "", dtype=bool)
+    keep2 = nonempty[t_codes] if len(t_codes) else np.empty(0, bool)
+    doc_k, pos_k, t_codes = doc_k[keep2], pos_k[keep2], t_codes[keep2]
+    if doc_k.size == 0:
+        return empty
+    term_uniq = np.asarray(term_uniq, dtype=object)
 
-    # group by (doc, term); pos_k is already in encounter order per doc
-    df = pd.DataFrame({"doc": doc_k, "term": stems, "pos": pos_k})
-    grouped = df.groupby(["doc", "term"], sort=False)["pos"].agg(list)
+    # group by (doc, term): lexsort then boundary split
+    order = np.lexsort((pos_k, t_codes, doc_k))
+    d, t, p = doc_k[order], t_codes[order], pos_k[order]
+    change = np.empty(d.size, dtype=bool)
+    change[0] = True
+    change[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+    gstarts = np.flatnonzero(change)
+    g_doc = d[gstarts]
+    g_term = t[gstarts]
+    sizes = np.diff(np.append(gstarts, d.size))
+    counts = sizes + 1  # quirk Q1: occurrences + 1
+    totals = np.zeros(n, dtype=np.int64)
+    np.add.at(totals, g_doc, counts)  # quirk Q2 denominator
+    tf = counts.astype(np.float64) / totals[g_doc]
+    positions = np.split(p.astype(np.int32), gstarts[1:])
 
-    # per-doc totals (quirks Q1/Q2): kept positions + distinct terms
-    per_doc: list[dict[str, dict]] = [dict() for _ in range(n)]
-    for (d, term), positions in grouped.items():
-        per_doc[d][term] = {"count": float(len(positions) + 1), "positions": positions}
+    # T6 tags: substring-count tables over the tiny heading vocabularies
+    tcodes_r, tproc = _proc_headings(title, stemmer)
+    hcodes_r, hproc = _proc_headings(h1, stemmer)
+    n_title = np.zeros(g_doc.size, dtype=np.int64)
+    n_h1 = np.zeros(g_doc.size, dtype=np.int64)
+    if tproc is not None and len(tproc):
+        ct = np.array(
+            [[h.count(u) for h in tproc] for u in term_uniq], dtype=np.int64
+        )
+        n_title = ct[g_term, tcodes_r[g_doc]]
+    if hproc is not None and len(hproc):
+        ch = np.array(
+            [[h.count(u) for h in hproc] for u in term_uniq], dtype=np.int64
+        )
+        n_h1 = ch[g_term, hcodes_r[g_doc]]
+    a = np.minimum(n_title, sizes)
+    bb = np.minimum(n_h1, sizes - a)
+    if tags_as_counts:
+        return pd.DataFrame(
+            {
+                "doc": g_doc,
+                "term": term_uniq[g_term],
+                "tf": tf,
+                "positions": positions,
+                "n_title": a.astype(np.int32),
+                "n_h1": bb.astype(np.int32),
+            }
+        )
+    _T, _H, _B = "title", "h1", "body"
+    tags = [
+        [_T] * ai + [_H] * bi + [_B] * (si - ai - bi)
+        for ai, bi, si in zip(a.tolist(), bb.tolist(), sizes.tolist())
+    ]
 
-    results: list[list[dict]] = []
-    for i in range(n):
-        tm = per_doc[i]
-        if not tm:
-            results.append([])
-            continue
-        total_terms = sum(int(t["count"]) for t in tm.values())
-        headings: list[tuple[str, list[str]]] = []
-        if title is not None and isinstance(title.iat[i], str) and title.iat[i]:
-            headings.append(("title", [title.iat[i]]))
-        if h1 is not None and isinstance(h1.iat[i], str) and h1.iat[i]:
-            headings.append(("h1", [h1.iat[i]]))
-        for t in tm.values():
-            t["tags"] = ["body"] * len(t["positions"])
-        for tag_name, texts in headings:
-            for text in texts:
-                processed = process_heading_text(text, stemmer)
-                for term, t in tm.items():
-                    c = _count_substring(processed, term)
-                    if c > 0:
-                        replaced = 0
-                        tags = t["tags"]
-                        for j in range(len(tags)):
-                            if replaced >= c:
-                                break
-                            if tags[j] == "body":
-                                tags[j] = tag_name
-                                replaced += 1
-        results.append(
-            [
-                {
-                    "term": term,
-                    "tf": t["count"] / total_terms,
-                    "positions": t["positions"],
-                    "tags": t["tags"],
-                }
-                for term, t in tm.items()
-            ]
+    return pd.DataFrame(
+        {
+            "doc": g_doc,
+            "term": term_uniq[g_term],
+            "tf": tf,
+            "positions": positions,
+            "tags": tags,
+        }
+    )
+
+
+def analyze_batch(
+    bodies: pd.Series,
+    title: pd.Series | None = None,
+    h1: pd.Series | None = None,
+) -> list[list[dict]]:
+    """Per-row view of analyze_batch_flat: a list of posting dicts
+    {term, tf, positions, tags} per input row (empty for blank bodies).
+    Kept as the parity surface tests compare against analyze_doc."""
+    n = len(bodies)
+    flat = analyze_batch_flat(bodies, title=title, h1=h1)
+    results: list[list[dict]] = [[] for _ in range(n)]
+    for doc, term, tf, positions, tags in zip(
+        flat["doc"], flat["term"], flat["tf"], flat["positions"], flat["tags"]
+    ):
+        results[doc].append(
+            {"term": term, "tf": tf, "positions": list(positions), "tags": tags}
         )
     return results

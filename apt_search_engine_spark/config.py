@@ -28,10 +28,12 @@ SNIPPET_MAX_LEN = 1000
 # sized so one bucket ~= a few GB; 32 suits the local test scales.
 N_TERM_BUCKETS = int(os.environ.get("APTSE_TERM_BUCKETS", "32"))
 
-# Salt factor for the two-level (term, salt) -> term aggregation that
-# de-skews Zipfian head terms during posting-list construction
-# (SURVEY.md section 4.2 item 1).
-DEFAULT_SALT = int(os.environ.get("APTSE_SALT", "8"))
+# Cap on postings per stored row. The merge shuffle range-partitions by
+# (term, doc_id) — the doc_id shard is the "salt" that splits Zipfian head
+# terms across tasks (SURVEY.md 4.2 item 1) — and the assembler emits one
+# row per <=MAX_POSTINGS_PER_ROW run, so no term ever materializes as one
+# unbounded row (a head term at 10^12 turns is ~10^11 postings).
+MAX_POSTINGS_PER_ROW = int(os.environ.get("APTSE_MAX_POSTINGS_PER_ROW", "32768"))
 
 # Docs per compressed posting block (block-max WAND granularity).
 POSTING_BLOCK_SIZE = 128

@@ -36,6 +36,10 @@ BLOCKS_SCHEMA = (
 
 DOC_MAP_SCHEMA = "doc_id string, doc_ord long"
 
+# ordinal width of one regrouping segment (bounds any (term, seg) row to
+# at most this many entries)
+BLOCK_SEGMENT_ORDS = POSTING_BLOCK_SIZE * 256
+
 
 def write_doc_map(spark: SparkSession, doc_ids: DataFrame, out_dir: str) -> None:
     """Dense ordinal per doc_id in global doc_id order, distributed:
@@ -91,7 +95,7 @@ def _blocks_from_groups(batches):
         for term, df_, bucket, entries in zip(
             pdf["term"], pdf["df"], pdf["term_bucket"], pdf["entries"]
         ):
-            # entries: list of dicts sorted by doc_ord
+            # entries: list of dicts sorted by doc_ord (one segment's worth)
             n = len(entries)
             for b0 in range(0, n, POSTING_BLOCK_SIZE):
                 chunk = entries[b0 : b0 + POSTING_BLOCK_SIZE]
@@ -114,7 +118,7 @@ def _blocks_from_groups(batches):
                     (
                         term,
                         int(df_),
-                        b0 // POSTING_BLOCK_SIZE,
+                        int(ords[0]) // POSTING_BLOCK_SIZE,
                         len(chunk),
                         codec.encode_doc_ids(ords),
                         codec.encode_tfs(tfs),
@@ -160,9 +164,17 @@ def write_blocks(spark: SparkSession, postings_dir: str, blocks_dir: str) -> Non
         F.col("p.positions").alias("positions"),
         F.col("p.tags").alias("tags"),
     )
+    # group by (term, ordinal segment) — NOT bare term — so a head term's
+    # entries never collect into one unbounded row; blocks never span a
+    # segment, and block_id = lo_ord // POSTING_BLOCK_SIZE stays strictly
+    # increasing in doc order across segments (ordinals are strictly
+    # increasing, so consecutive 128-doc chunks differ by >= 128 ordinals)
     regrouped = (
         exploded.join(doc_map, "doc_id")
-        .groupBy("term", "df", "term_bucket")
+        .withColumn(
+            "seg", (F.col("doc_ord") / F.lit(BLOCK_SEGMENT_ORDS)).cast("long")
+        )
+        .groupBy("term", "df", "term_bucket", "seg")
         .agg(
             F.array_sort(
                 F.collect_list(

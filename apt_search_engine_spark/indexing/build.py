@@ -14,13 +14,21 @@ per doc, per-term Mongo upserts, mark isIndexed) with a 3-stage Spark job:
            standing in for Iceberg snapshots (no Iceberg runtime jar in
            this environment; layout is Iceberg-compatible).
 
-  stage 2  MERGE (one shuffle): salted two-level aggregation by term.
-           Zipfian head terms make a naive groupBy(term) hot-spot, so
-           stage A groups by (term, salt=pmod(xxhash64(doc_id), S)) with
-           map-side partial aggregation, stage B merges the <=S partials
-           per term — SURVEY.md section 4.2 item 1. Postings are sorted by
-           doc_id; df = posting count (true document frequency, what the
-           reference reads as postings-map size, Ranker.java:194).
+  stage 2  MERGE (one range shuffle): sort-based segment assembly.
+           Zipfian head terms make a naive groupBy(term).collect_list both
+           a shuffle hot-spot AND an unbounded-row OOM (a head term at
+           10^12 turns is ~10^11 postings — it cannot be one row, or even
+           one partition). Instead the flat postings are
+           repartitionByRange(term, doc_id) + sortWithinPartitions — the
+           doc_id range shard plays the salt's role in the salted
+           repartition-by-term pattern (SURVEY.md 4.2 item 1) while
+           keeping global (term, doc_id) order — and an Arrow-batched
+           pass emits one postings row per (term, run of <=
+           MAX_POSTINGS_PER_ROW docs): bounded memory everywhere, sorted
+           segments, no giant rows. df (true document frequency, what the
+           reference reads as postings-map size, Ranker.java:194) is
+           stamped by a window sum over the assembled segment rows (a few
+           rows per term, never skewed).
 
   stage 3  WRITE: postings directory-partitioned by
            term_bucket = pmod(xxhash64(term), N) so query-time term lookup
@@ -38,20 +46,26 @@ import os
 import time
 import uuid
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from apt_search_engine_spark.analysis.analyzer import analyze_batch
+from apt_search_engine_spark.analysis.analyzer import analyze_batch_flat
 from apt_search_engine_spark.config import (
-    DEFAULT_SALT,
+    MAX_POSTINGS_PER_ROW,
     N_TERM_BUCKETS,
     doc_id_expr,
 )
 
+# Tags are stored as the (n_title, n_h1) prefix counts — the analyzer's
+# overwrite order always yields ['title']*a + ['h1']*b + ['body']*rest, so
+# two ints replace an array<string> per posting; merge_postings
+# reconstructs the full array natively (array_repeat concat).
 ANALYZED_SCHEMA = (
     "doc_id string, term string, tf double, "
-    "positions array<int>, tags array<string>"
+    "positions array<int>, n_title int, n_h1 int"
 )
+
 
 # Q11: the reference's title channel processes the literal string "title"
 # (Tokenizer.java:143), never the document's real title.
@@ -60,19 +74,24 @@ _REF_TITLE_TEXT = "title"
 
 def _analyze_partition(batches):
     for pdf in batches:
-        per_doc = analyze_batch(
+        flat = analyze_batch_flat(
             pdf["text"],
             title=pd.Series([_REF_TITLE_TEXT] * len(pdf)),
             h1=pdf["role"].reset_index(drop=True),
+            tags_as_counts=True,
         )
-        rows = []
-        for doc_id, postings in zip(pdf["doc_id"], per_doc):
-            for p in postings:
-                rows.append(
-                    (doc_id, p["term"], p["tf"], p["positions"], p["tags"])
-                )
+        doc_ids = pdf["doc_id"].to_numpy()
         yield pd.DataFrame(
-            rows, columns=["doc_id", "term", "tf", "positions", "tags"]
+            {
+                "doc_id": doc_ids[flat["doc"].to_numpy()]
+                if len(flat)
+                else np.empty(0, dtype=object),
+                "term": flat["term"],
+                "tf": flat["tf"],
+                "positions": flat["positions"],
+                "n_title": flat["n_title"],
+                "n_h1": flat["n_h1"],
+            }
         )
 
 
@@ -85,28 +104,114 @@ def analyze_transcripts(transcripts: DataFrame) -> DataFrame:
     return docs.mapInPandas(_analyze_partition, schema=ANALYZED_SCHEMA)
 
 
-def merge_postings(flat: DataFrame, salt: int = DEFAULT_SALT) -> DataFrame:
-    """Stage 2: salted two-level agg -> one row per term with sorted
-    postings and df."""
-    entry = F.struct(
-        F.col("doc_id"), F.col("tf"), F.col("positions"), F.col("tags")
-    ).alias("entry")
-    partial = (
-        flat.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
-        .select("term", "salt", entry)
-        .groupBy("term", "salt")
-        .agg(F.collect_list("entry").alias("partial"), F.count("*").alias("cnt"))
+_ASSEMBLED_SCHEMA = (
+    "term string, doc_ids array<string>, tfs array<double>, "
+    "positions array<array<int>>, n_titles array<int>, n_h1s array<int>"
+)
+
+# native reconstruction of per-posting tags arrays from the prefix counts
+_ROW_TAGS_EXPR = (
+    "transform(arrays_zip(positions, n_titles, n_h1s), x -> "
+    "concat(array_repeat('title', x.n_titles), array_repeat('h1', x.n_h1s), "
+    "array_repeat('body', size(x.positions) - x.n_titles - x.n_h1s)))"
+)
+
+_COLS = ("doc_id", "tf", "positions", "n_title", "n_h1")
+
+
+def _assemble_factory(cap: int):
+    """mapInPandas pass over (term, doc_id)-sorted partitions: emit one
+    output row per run of <= cap postings of one term. Bounded memory: at
+    most cap postings are ever buffered."""
+
+    def assemble(batches):
+        cur_term = None
+        pend: dict[str, list] = {c: [] for c in _COLS}
+        rows: list[tuple] = []
+
+        def emit(final: bool):
+            nonlocal pend
+            n = len(pend["doc_id"])
+            i = 0
+            while n - i >= cap or (final and i < n):
+                j = min(i + cap, n)
+                rows.append(
+                    (
+                        cur_term,
+                        pend["doc_id"][i:j],
+                        pend["tf"][i:j],
+                        pend["positions"][i:j],
+                        pend["n_title"][i:j],
+                        pend["n_h1"][i:j],
+                    )
+                )
+                i = j
+            if i:
+                pend = {c: v[i:] for c, v in pend.items()}
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            col_arrs = {c: pdf[c].to_numpy() for c in _COLS}
+            bnd = np.flatnonzero(
+                np.concatenate(([True], terms[1:] != terms[:-1]))
+            )
+            ends = np.append(bnd[1:], len(terms))
+            for s, e in zip(bnd.tolist(), ends.tolist()):
+                t = terms[s]
+                if cur_term is not None and t != cur_term:
+                    emit(final=True)
+                cur_term = t
+                for c in _COLS:
+                    pend[c].extend(col_arrs[c][s:e])
+                emit(final=False)
+            if rows:
+                yield pd.DataFrame(rows, columns=["term", *_ASSEMBLED_LIST])
+                rows = []
+        if cur_term is not None:
+            emit(final=True)
+        if rows:
+            yield pd.DataFrame(rows, columns=["term", *_ASSEMBLED_LIST])
+
+    return assemble
+
+
+_ASSEMBLED_LIST = ["doc_ids", "tfs", "positions", "n_titles", "n_h1s"]
+
+
+def merge_postings(
+    flat: DataFrame, max_per_row: int = MAX_POSTINGS_PER_ROW
+) -> DataFrame:
+    """Stage 2: sort-based segment assembly -> one row per (term, segment
+    of <= max_per_row docs), postings sorted by doc_id within and across a
+    term's segments, df = the term's total posting count, scalar doc-range
+    columns (so lineage stats never re-read the nested postings column)."""
+    ranged = flat.repartitionByRange(
+        F.col("term"), F.col("doc_id")
+    ).sortWithinPartitions("term", "doc_id")
+    assembled = ranged.mapInPandas(
+        _assemble_factory(max_per_row), _ASSEMBLED_SCHEMA
     )
+    w = Window.partitionBy("term")
     merged = (
-        partial.groupBy("term")
-        .agg(
-            F.array_sort(F.flatten(F.collect_list("partial"))).alias("postings"),
-            F.sum("cnt").cast("int").alias("df"),
-        )
+        assembled.withColumn("tags", F.expr(_ROW_TAGS_EXPR))
         .withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+            "postings",
+            F.expr(
+                "transform(arrays_zip(doc_ids, tfs, positions, tags), x -> "
+                "struct(x.doc_ids as doc_id, x.tfs as tf, "
+                "x.positions as positions, x.tags as tags))"
+            ),
         )
-        .select("term", "df", "postings", "term_bucket")
+        .withColumn("df", F.sum(F.size("doc_ids")).over(w).cast("int"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
+        )
+        .withColumn("doc_lo", F.expr("doc_ids[0]"))
+        .withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
+        .select("term", "df", "postings", "doc_lo", "doc_hi", "term_bucket")
     )
     return merged
 
@@ -116,11 +221,11 @@ class IndexBuilder:
     DataFrame source."""
 
     def __init__(self, spark: SparkSession, index_dir: str, n_batches: int = 4,
-                 salt: int = DEFAULT_SALT):
+                 max_per_row: int = MAX_POSTINGS_PER_ROW):
         self.spark = spark
         self.index_dir = index_dir
         self.n_batches = n_batches
-        self.salt = salt
+        self.max_per_row = max_per_row
 
     # -- paths ------------------------------------------------------------
     @property
@@ -209,12 +314,15 @@ class IndexBuilder:
     def merge_and_write(self, build_id: str) -> None:
         t0 = time.time()
         flat = self.spark.read.parquet(self.analyzed_dir)
-        postings = merge_postings(flat, self.salt)
+        postings = merge_postings(flat, self.max_per_row)
         postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
             self.postings_dir
         )
-        # per-bucket lineage metrics from the written table
-        written = self.spark.read.parquet(self.postings_dir)
+        # per-bucket lineage metrics from the written table (scalar columns
+        # only — the nested postings column is never re-read)
+        written = self.spark.read.parquet(self.postings_dir).select(
+            "term_bucket", "term", "df", "doc_lo", "doc_hi"
+        )
         stats = (
             written.groupBy("term_bucket")
             .agg(
@@ -222,8 +330,8 @@ class IndexBuilder:
                 F.max("term").alias("thi"),
                 F.count("*").alias("n_terms"),
                 F.sum("df").alias("n_postings"),
-                F.min(F.expr("postings[0].doc_id")).alias("dlo"),
-                F.max(F.expr("element_at(postings, -1).doc_id")).alias("dhi"),
+                F.min("doc_lo").alias("dlo"),
+                F.max("doc_hi").alias("dhi"),
             )
             .collect()
         )

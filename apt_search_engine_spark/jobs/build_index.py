@@ -2,11 +2,13 @@
 
     spark-submit --py-files aptse.zip apt_search_engine_spark/jobs/build_index.py \
         --input /data/transcripts --index-dir /data/index \
-        [--batches 64] [--salt 8] [--no-blocks] [--table <iceberg table>]
+        [--batches 64] [--max-postings-per-row 32768] [--no-blocks] \
+        [--table <iceberg table>]
 
 Reads the transcripts table (parquet path or a catalog table name per
-BASELINE.json input_hint), runs the 3-stage build (analyze -> salted merge
--> compressed blocks) and writes postings + blocks + doc_map + lineage
+BASELINE.json input_hint), runs the 3-stage build (analyze -> range-sharded
+sorted merge -> compressed blocks) and writes postings + blocks + doc_map +
+lineage
 metrics under --index-dir. Re-running after a crash skips analyze batches
 already recorded in lineage (resume contract, SURVEY.md S6/S8).
 """
@@ -27,8 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--index-dir", required=True)
     p.add_argument("--batches", type=int, default=64,
                    help="resumable analyze batches (doc-partition granularity)")
-    p.add_argument("--salt", type=int, default=None,
-                   help="term-salt factor for the skewed merge shuffle")
+    p.add_argument("--max-postings-per-row", type=int, default=None,
+                   help="segment cap: postings per stored row (bounds task "
+                        "memory on Zipfian head terms)")
     p.add_argument("--no-blocks", action="store_true",
                    help="skip the compressed block-max companion")
     return p.parse_args(argv)
@@ -36,7 +39,7 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
-    from apt_search_engine_spark.config import DEFAULT_SALT
+    from apt_search_engine_spark.config import MAX_POSTINGS_PER_ROW
     from apt_search_engine_spark.indexing.build import IndexBuilder
     from apt_search_engine_spark.session import get_spark
 
@@ -47,7 +50,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     builder = IndexBuilder(
         spark, args.index_dir, n_batches=args.batches,
-        salt=args.salt or DEFAULT_SALT,
+        max_per_row=args.max_postings_per_row or MAX_POSTINGS_PER_ROW,
     )
     build_id = builder.build(transcripts, with_blocks=not args.no_blocks)
     wall = time.time() - t0

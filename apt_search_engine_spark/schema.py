@@ -59,6 +59,10 @@ POSTINGS = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.IntegerType(), False),
         T.StructField("postings", T.ArrayType(POSTING_ENTRY), False),
+        # scalar doc-range of the sorted postings array, so lineage stats
+        # and range pruning never touch the nested column
+        T.StructField("doc_lo", T.StringType(), False),
+        T.StructField("doc_hi", T.StringType(), False),
         T.StructField("term_bucket", T.IntegerType(), False),
     ]
 )

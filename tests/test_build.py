@@ -83,34 +83,37 @@ def test_blocks_roundtrip(spark, index_dir):
         r.doc_ord: r.doc_id
         for r in spark.read.parquet(f"{index_dir}/doc_map").collect()
     }
-    canonical = {
-        r.term: r for r in spark.read.parquet(f"{index_dir}/postings").collect()
-    }
+    # postings may be segmented: several rows per term, ordered by doc_lo
+    canonical: dict[str, list] = {}
+    for r in spark.read.parquet(f"{index_dir}/postings").collect():
+        canonical.setdefault(r.term, []).append(r)
+    for segs in canonical.values():
+        segs.sort(key=lambda r: r.doc_lo)
     assert {b.term for b in blocks} == set(canonical)
     by_term: dict[str, list] = {}
     for b in blocks:
         by_term.setdefault(b.term, []).append(b)
     for term, bs in by_term.items():
         bs.sort(key=lambda b: b.block_id)
-        want = canonical[term]
-        assert all(b.df == want.df for b in bs)
+        segs = canonical[term]
+        want_postings = [p for r in segs for p in r.postings]
+        assert all(b.df == segs[0].df for b in bs)
+        assert segs[0].df == len(want_postings)
         got_ids, got_tfs, got_pos = [], [], []
         for b in bs:
             ords = codec.decode_doc_ids(b.doc_ids_vb)
             got_ids.extend(doc_map[o] for o in ords)
             got_tfs.extend(codec.decode_tfs(b.tfs).tolist())
             got_pos.extend(p.tolist() for p in codec.decode_positions(b.positions_vb, b.n_docs))
-        assert got_ids == [p.doc_id for p in want.postings], term
-        assert got_tfs == pytest.approx([p.tf for p in want.postings]), term
-        assert got_pos == [list(p.positions) for p in want.postings], term
+        assert got_ids == [p.doc_id for p in want_postings], term
+        assert got_tfs == pytest.approx([p.tf for p in want_postings]), term
+        assert got_pos == [list(p.positions) for p in want_postings], term
         # block-max invariant: ub >= any doc's weighted tf in the block
         from apt_search_engine_spark.analysis.analyzer import tag_weight
 
-        for b in bs:
-            pass
         wtfs = [
             p.tf * (sum(tag_weight(t) for t in p.tags) if p.tags else 0.5)
-            for p in want.postings
+            for p in want_postings
         ]
         assert max(b.block_max_wtf for b in bs) == pytest.approx(max(wtfs)), term
 
