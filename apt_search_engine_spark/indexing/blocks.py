@@ -1,6 +1,6 @@
 """Compressed posting blocks for block-max WAND (FIXTURES.md section P).
 
-Derives, from the canonical grouped postings table, a blocked companion:
+Derives, from the canonical segmented postings table, a blocked companion:
 one row per (term, block of <=POSTING_BLOCK_SIZE docs) with delta+varbyte
 doc ordinals, raw-float tfs, per-doc weighted tfs (tf * sum(tag_weights) —
 the reference's Ranker.java:55-66 score kernel minus the idf factor),
@@ -9,36 +9,41 @@ upper bound `block_max_wtf = max(wtf)` — multiplied by floor(6000/df) at
 query time it bounds any document's score contribution from this term,
 which is what lets WAND skip blocks (SURVEY.md 4.2 item 3).
 
+The derivation is NARROW: postings segments already carry parallel
+doc_ords / tfs / wtfs arrays (stamped during the merge shuffle,
+indexing/build.py), so block cutting is a per-row chunking pass — no
+shuffle, no join, no re-grouping of the index. Postings within a segment
+are doc-ordered and segments of a term are disjoint ordinal ranges, so
+blocks of a term cover disjoint strictly-increasing ordinal ranges, so
+lo_ord is the block identity and sort key.
+
 Doc ordinals come from a corpus-wide doc_map (doc_id -> dense ordinal in
-doc_id order), written alongside — the docID space assignment every real
-inverted index does at ingest. Assignment is two-pass and Arrow-batched
-(range-partition by doc_id, count per partition, then offset + arange per
-batch): no per-row Python, no driver-side collect of doc ids.
+doc_id order), written before the merge — the docID space assignment every
+real inverted index does at ingest. Assignment is two-pass and
+Arrow-batched (range-partition by doc_id, count per partition, then
+offset + arange per batch): no per-row Python, no driver-side collect of
+doc ids.
 """
 
 from __future__ import annotations
-
-import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from apt_search_engine_spark.analysis.analyzer import tag_weight
 from apt_search_engine_spark.config import POSTING_BLOCK_SIZE
 from apt_search_engine_spark.indexing import codec
 
+# block identity/order = lo_ord: blocks of a term cover disjoint,
+# strictly-increasing ordinal ranges, so sorting by lo_ord reconstructs
+# global doc order (no separate block_id needed).
 BLOCKS_SCHEMA = (
-    "term string, df int, block_id int, n_docs int, doc_ids_vb binary, "
+    "term string, df int, n_docs int, doc_ids_vb binary, "
     "tfs binary, wtfs binary, positions_vb binary, block_max_wtf double, "
     "lo_ord long, hi_ord long, term_bucket int"
 )
 
 DOC_MAP_SCHEMA = "doc_id string, doc_ord long"
-
-# ordinal width of one regrouping segment (bounds any (term, seg) row to
-# at most this many entries)
-BLOCK_SEGMENT_ORDS = POSTING_BLOCK_SIZE * 256
 
 
 def write_doc_map(spark: SparkSession, doc_ids: DataFrame, out_dir: str) -> None:
@@ -89,41 +94,31 @@ def write_doc_map(spark: SparkSession, doc_ids: DataFrame, out_dir: str) -> None
         ranged.unpersist()
 
 
-def _blocks_from_groups(batches):
+def _blocks_from_segments(batches):
     for pdf in batches:
         rows = []
-        for term, df_, bucket, entries in zip(
-            pdf["term"], pdf["df"], pdf["term_bucket"], pdf["entries"]
+        for term, df_, bucket, entries, ords_l, tfs_l, wtfs_l in zip(
+            pdf["term"], pdf["df"], pdf["term_bucket"], pdf["postings"],
+            pdf["doc_ords"], pdf["tfs"], pdf["wtfs"],
         ):
-            # entries: list of dicts sorted by doc_ord (one segment's worth)
-            n = len(entries)
+            ords_a = np.asarray(ords_l, dtype=np.int64)
+            tfs_a = np.asarray(tfs_l, dtype=np.float64)
+            wtf_a = np.asarray(wtfs_l, dtype=np.float64)
+            poss = [e["positions"] for e in entries]
+            n = len(ords_a)
             for b0 in range(0, n, POSTING_BLOCK_SIZE):
-                chunk = entries[b0 : b0 + POSTING_BLOCK_SIZE]
-                ords = np.array([e["doc_ord"] for e in chunk], dtype=np.int64)
-                tfs = np.array([e["tf"] for e in chunk], dtype=np.float64)
-                # per-doc weighted tf: tf * sum(tag weights), empty tags
-                # scoring one default 0.5 weight (Ranker.java:55-66 + the
-                # engine's _WSUM expression — kept as a Python left fold so
-                # float association matches the SQL aggregate fold)
-                wtf = np.array(
-                    [
-                        e["tf"] * sum(tag_weight(t) for t in e["tags"])
-                        if len(e["tags"])
-                        else e["tf"] * 0.5
-                        for e in chunk
-                    ],
-                    dtype=np.float64,
-                )
+                b1 = min(b0 + POSTING_BLOCK_SIZE, n)
+                ords = ords_a[b0:b1]
+                wtf = wtf_a[b0:b1]
                 rows.append(
                     (
                         term,
                         int(df_),
-                        int(ords[0]) // POSTING_BLOCK_SIZE,
-                        len(chunk),
+                        b1 - b0,
                         codec.encode_doc_ids(ords),
-                        codec.encode_tfs(tfs),
+                        codec.encode_tfs(tfs_a[b0:b1]),
                         codec.encode_tfs(wtf),
-                        codec.encode_positions([list(e["positions"]) for e in chunk]),
+                        codec.encode_positions([list(p) for p in poss[b0:b1]]),
                         float(wtf.max()),
                         int(ords[0]),
                         int(ords[-1]),
@@ -133,7 +128,7 @@ def _blocks_from_groups(batches):
         yield pd.DataFrame(
             rows,
             columns=[
-                "term", "df", "block_id", "n_docs", "doc_ids_vb", "tfs",
+                "term", "df", "n_docs", "doc_ids_vb", "tfs",
                 "wtfs", "positions_vb", "block_max_wtf", "lo_ord", "hi_ord",
                 "term_bucket",
             ],
@@ -141,47 +136,10 @@ def _blocks_from_groups(batches):
 
 
 def write_blocks(spark: SparkSession, postings_dir: str, blocks_dir: str) -> None:
-    postings = spark.read.parquet(postings_dir)
-    doc_map_dir = os.path.join(os.path.dirname(blocks_dir), "doc_map")
-
-    # corpus-wide docID assignment: dense ordinal in doc_id order
-    doc_ids = (
-        postings.select(F.explode("postings").alias("p"))
-        .select(F.col("p.doc_id").alias("doc_id"))
-        .distinct()
+    """Narrow derivation: chunk each postings segment row into compressed
+    blocks. No shuffle — the merge already ordered and ord-stamped it."""
+    postings = spark.read.parquet(postings_dir).select(
+        "term", "df", "term_bucket", "postings", "doc_ords", "tfs", "wtfs"
     )
-    write_doc_map(spark, doc_ids, doc_map_dir)
-    doc_map = spark.read.parquet(doc_map_dir)
-
-    exploded = postings.select(
-        "term", "df", "term_bucket", F.explode("postings").alias("p")
-    ).select(
-        "term",
-        "df",
-        "term_bucket",
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
-        F.col("p.tags").alias("tags"),
-    )
-    # group by (term, ordinal segment) — NOT bare term — so a head term's
-    # entries never collect into one unbounded row; blocks never span a
-    # segment, and block_id = lo_ord // POSTING_BLOCK_SIZE stays strictly
-    # increasing in doc order across segments (ordinals are strictly
-    # increasing, so consecutive 128-doc chunks differ by >= 128 ordinals)
-    regrouped = (
-        exploded.join(doc_map, "doc_id")
-        .withColumn(
-            "seg", (F.col("doc_ord") / F.lit(BLOCK_SEGMENT_ORDS)).cast("long")
-        )
-        .groupBy("term", "df", "term_bucket", "seg")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("doc_ord", "tf", "positions", "tags")
-                )
-            ).alias("entries")
-        )
-    )
-    blocks = regrouped.mapInPandas(_blocks_from_groups, schema=BLOCKS_SCHEMA)
+    blocks = postings.mapInPandas(_blocks_from_segments, schema=BLOCKS_SCHEMA)
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(blocks_dir)

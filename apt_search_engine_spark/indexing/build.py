@@ -104,9 +104,14 @@ def analyze_transcripts(transcripts: DataFrame) -> DataFrame:
     return docs.mapInPandas(_analyze_partition, schema=ANALYZED_SCHEMA)
 
 
+# with doc_ord attached (disk builds): +doc_ords/wtfs so the block-max
+# companion derives from postings with NO further shuffle
 _ASSEMBLED_SCHEMA = (
     "term string, doc_ids array<string>, tfs array<double>, "
     "positions array<array<int>>, n_titles array<int>, n_h1s array<int>"
+)
+_ASSEMBLED_SCHEMA_ORD = (
+    _ASSEMBLED_SCHEMA + ", doc_ords array<long>, wtfs array<double>"
 )
 
 # native reconstruction of per-posting tags arrays from the prefix counts
@@ -116,44 +121,63 @@ _ROW_TAGS_EXPR = (
     "array_repeat('body', size(x.positions) - x.n_titles - x.n_h1s)))"
 )
 
+# per-posting weighted tf, natively: tf * sum of tag weights. The Python
+# left fold adds title weights, then h1, then body; 4.0/2.5/0.5 and their
+# integer multiples are exact binary fractions, so the closed form is
+# bit-identical to the fold (analyzer.tag_weight, Ranker.java:43-66).
+_WTF_EXPR = (
+    "((4.0D * n_title + 2.5D * n_h1) + "
+    "0.5D * (size(positions) - n_title - n_h1)) * tf"
+)
+
 _COLS = ("doc_id", "tf", "positions", "n_title", "n_h1")
+_COLS_ORD = _COLS + ("doc_ord", "wtf")
 
 
-def _assemble_factory(cap: int):
+def _assemble_factory(cap: int, cols: tuple[str, ...]):
     """mapInPandas pass over (term, doc_id)-sorted partitions: emit one
     output row per run of <= cap postings of one term. Bounded memory: at
-    most cap postings are ever buffered."""
+    most cap postings are ever buffered. Buffers hold numpy SLICES and are
+    only concatenated at emit time — no per-element Python."""
+    _plural = {
+        "doc_id": "doc_ids", "tf": "tfs", "positions": "positions",
+        "n_title": "n_titles", "n_h1": "n_h1s", "doc_ord": "doc_ords",
+        "wtf": "wtfs",
+    }
+    out_cols = ["term"] + [_plural[c] for c in cols]
 
     def assemble(batches):
         cur_term = None
-        pend: dict[str, list] = {c: [] for c in _COLS}
+        parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+        buffered = 0
         rows: list[tuple] = []
 
         def emit(final: bool):
-            nonlocal pend
-            n = len(pend["doc_id"])
+            nonlocal parts, buffered
+            if buffered == 0 or (not final and buffered < cap):
+                return
+            merged = {
+                c: (np.concatenate(v) if len(v) > 1 else v[0])
+                for c, v in parts.items()
+            }
+            n = buffered
             i = 0
             while n - i >= cap or (final and i < n):
                 j = min(i + cap, n)
-                rows.append(
-                    (
-                        cur_term,
-                        pend["doc_id"][i:j],
-                        pend["tf"][i:j],
-                        pend["positions"][i:j],
-                        pend["n_title"][i:j],
-                        pend["n_h1"][i:j],
-                    )
-                )
+                rows.append((cur_term, *(merged[c][i:j] for c in cols)))
                 i = j
-            if i:
-                pend = {c: v[i:] for c, v in pend.items()}
+            if i < n:
+                parts = {c: [merged[c][i:]] for c in cols}
+                buffered = n - i
+            else:
+                parts = {c: [] for c in cols}
+                buffered = 0
 
         for pdf in batches:
             if not len(pdf):
                 continue
             terms = pdf["term"].to_numpy()
-            col_arrs = {c: pdf[c].to_numpy() for c in _COLS}
+            col_arrs = {c: pdf[c].to_numpy() for c in cols}
             bnd = np.flatnonzero(
                 np.concatenate(([True], terms[1:] != terms[:-1]))
             )
@@ -163,36 +187,53 @@ def _assemble_factory(cap: int):
                 if cur_term is not None and t != cur_term:
                     emit(final=True)
                 cur_term = t
-                for c in _COLS:
-                    pend[c].extend(col_arrs[c][s:e])
+                for c in cols:
+                    parts[c].append(col_arrs[c][s:e])
+                buffered += e - s
                 emit(final=False)
             if rows:
-                yield pd.DataFrame(rows, columns=["term", *_ASSEMBLED_LIST])
+                yield pd.DataFrame(rows, columns=out_cols)
                 rows = []
         if cur_term is not None:
             emit(final=True)
         if rows:
-            yield pd.DataFrame(rows, columns=["term", *_ASSEMBLED_LIST])
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return assemble
 
 
-_ASSEMBLED_LIST = ["doc_ids", "tfs", "positions", "n_titles", "n_h1s"]
-
-
 def merge_postings(
-    flat: DataFrame, max_per_row: int = MAX_POSTINGS_PER_ROW
+    flat: DataFrame,
+    max_per_row: int = MAX_POSTINGS_PER_ROW,
+    doc_map: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 2: sort-based segment assembly -> one row per (term, segment
     of <= max_per_row docs), postings sorted by doc_id within and across a
     term's segments, df = the term's total posting count, scalar doc-range
-    columns (so lineage stats never re-read the nested postings column)."""
-    ranged = flat.repartitionByRange(
-        F.col("term"), F.col("doc_id")
-    ).sortWithinPartitions("term", "doc_id")
-    assembled = ranged.mapInPandas(
-        _assemble_factory(max_per_row), _ASSEMBLED_SCHEMA
+    columns (so lineage stats never re-read the nested postings column).
+
+    With `doc_map` (doc_id -> doc_ord) the rows also carry parallel
+    doc_ords / wtfs arrays, from which the block-max WAND companion is
+    derived narrowly (indexing/blocks.py) — no further shuffle of the
+    index. Without it (ad-hoc in-memory corpora) those columns are
+    omitted."""
+    with_ord = doc_map is not None
+    flat = flat.withColumn("wtf", F.expr(_WTF_EXPR))
+    if with_ord:
+        flat = flat.join(doc_map, "doc_id")
+    cols = _COLS_ORD if with_ord else _COLS + ("wtf",)
+    schema = _ASSEMBLED_SCHEMA_ORD if with_ord else _ASSEMBLED_SCHEMA + ", wtfs array<double>"
+    # explicit partition count: the stage downstream of this exchange is
+    # Arrow->pandas assembly, so size it by cores (2 waves), not by the
+    # 64MB-per-partition heuristic AQE would coalesce to
+    n_parts = max(
+        flat.sparkSession.sparkContext.defaultParallelism * 2,
+        int(flat.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
     )
+    ranged = flat.repartitionByRange(
+        n_parts, F.col("term"), F.col("doc_id")
+    ).sortWithinPartitions("term", "doc_id")
+    assembled = ranged.mapInPandas(_assemble_factory(max_per_row, cols), schema)
     w = Window.partitionBy("term")
     merged = (
         assembled.withColumn("tags", F.expr(_ROW_TAGS_EXPR))
@@ -211,9 +252,12 @@ def merge_postings(
         )
         .withColumn("doc_lo", F.expr("doc_ids[0]"))
         .withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
-        .select("term", "df", "postings", "doc_lo", "doc_hi", "term_bucket")
     )
-    return merged
+    keep = ["term", "df", "postings", "doc_lo", "doc_hi", "term_bucket",
+            "tfs", "wtfs"]
+    if with_ord:
+        keep.append("doc_ords")
+    return merged.select(*keep)
 
 
 class IndexBuilder:
@@ -273,7 +317,10 @@ class IndexBuilder:
                 only_batches: list[int] | None = None) -> None:
         """Resumable analyze: doc-batches not yet in lineage are analyzed
         and appended under analyzed/batch=<id>/. `only_batches` restricts
-        the run (operational partial runs / crash simulation in tests)."""
+        the run (operational partial runs / crash simulation in tests).
+        Lineage stats ride the write via Observation — no re-scan."""
+        from pyspark.sql import Observation
+
         done = self._completed_batches()
         with_batch = transcripts.withColumn(
             "batch", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_batches)).cast("int")
@@ -283,38 +330,50 @@ class IndexBuilder:
                 continue
             t0 = time.time()
             part = with_batch.filter(F.col("batch") == b).drop("batch")
-            flat = analyze_transcripts(part)
-            out = os.path.join(self.analyzed_dir, f"batch={b}")
-            flat.write.mode("overwrite").parquet(out)
-            stats = self.spark.read.parquet(out).agg(
-                F.count("*").alias("n"),
+            obs = Observation(f"analyze-{b}")
+            flat = analyze_transcripts(part).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
                 F.min("doc_id").alias("dlo"),
                 F.max("doc_id").alias("dhi"),
                 F.min("term").alias("tlo"),
                 F.max("term").alias("thi"),
-            ).collect()[0]
+            )
+            out = os.path.join(self.analyzed_dir, f"batch={b}")
+            flat.write.mode("overwrite").parquet(out)
+            stats = obs.get
             self._append_lineage(
                 [
                     {
                         "build_id": build_id,
                         "partition_id": b,
-                        "term_lo": stats.tlo,
-                        "term_hi": stats.thi,
-                        "doc_lo": stats.dlo,
-                        "doc_hi": stats.dhi,
-                        "n_rows": stats.n or 0,
-                        "n_postings": stats.n or 0,
+                        "term_lo": stats["tlo"],
+                        "term_hi": stats["thi"],
+                        "doc_lo": stats["dlo"],
+                        "doc_hi": stats["dhi"],
+                        "n_rows": stats["n"] or 0,
+                        "n_postings": stats["n"] or 0,
                         "build_ms": int((time.time() - t0) * 1000),
                         "snapshot_id": f"analyzed-{b}",
                     }
                 ]
             )
 
+    @property
+    def doc_map_dir(self):
+        return os.path.join(self.index_dir, "doc_map")
+
     # -- stages 2+3 -------------------------------------------------------
     def merge_and_write(self, build_id: str) -> None:
+        from apt_search_engine_spark.indexing.blocks import write_doc_map
+
         t0 = time.time()
         flat = self.spark.read.parquet(self.analyzed_dir)
-        postings = merge_postings(flat, self.max_per_row)
+        write_doc_map(
+            self.spark, flat.select("doc_id").distinct(), self.doc_map_dir
+        )
+        doc_map = self.spark.read.parquet(self.doc_map_dir)
+        postings = merge_postings(flat, self.max_per_row, doc_map=doc_map)
         postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
             self.postings_dir
         )

@@ -1,16 +1,22 @@
 """Scaling-efficiency evidence: the same index build at two parallelism
 levels (BASELINE.json: throughput scaling efficiency >=0.8 from N to 4N
-executors; sandbox stand-in is local[N] vs local[4N] cores — BASELINE.md).
+executors; sandbox stand-in is local[N] vs local[4N] — BASELINE.md).
 
     python -m apt_search_engine_spark.jobs.bench_scaling \
-        [--convs 8000] [--low 8] [--high 32] [--batches 2]
+        [--convs 40000] [--low 8] [--high 32] [--batches 1]
 
-Generates one corpus, then runs the full build in two FRESH JVMs (one per
-master, via subprocess) so the measurements don't share a scheduler or JVM
-warmup. Prints one JSON line:
+Methodology (each level runs in a FRESH JVM subprocess):
+  - the process tree of the low level is PINNED to `low` physical cores
+    with taskset. In local[N] the Arrow/pandas workers are separate OS
+    processes NOT bounded by the N task slots, so an unpinned local[8] on
+    a 32-core box silently borrows idle cores and understates scaling;
+    pinning makes local[N] an honest N-core node.
+  - each level first runs a small UNTIMED warmup build (JIT/codegen +
+    Python worker spawn are one-time costs a long-lived cluster amortizes),
+    then the timed build of the shared corpus.
 
+Prints one JSON line:
     {"low": {...}, "high": {...}, "scaling_efficiency": E}
-
 where E = (tput_high / tput_low) / (high / low). Query p50 at both levels
 is reported alongside (informational; the target binds the build).
 """
@@ -35,6 +41,11 @@ from apt_search_engine_spark.query.engine import SearchEngine
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus,
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
+
+# untimed warmup: JIT/codegen + python worker pools
+warm = spark.read.parquet(work + "/warmup")
+IndexBuilder(spark, work + "/warm_idx_%d" % cpus, n_batches=1).build(warm)
+
 tr = spark.read.parquet(work + "/transcripts")
 n = tr.count()
 idx = work + "/index_%d" % cpus
@@ -56,26 +67,26 @@ print(json.dumps({"cpus": cpus, "n_turns": n, "build_sec": round(build, 2),
 def _run_child(work: str, cpus: int, batches: int) -> dict:
     env = dict(os.environ)
     env.pop("APTSE_MASTER", None)
-    out = subprocess.run(
-        [sys.executable, "-c", _CHILD, work, str(cpus), str(batches)],
-        capture_output=True, text=True, env=env, check=True,
-    )
+    cmd = [sys.executable, "-c", _CHILD, work, str(cpus), str(batches)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--convs", type=int, default=8000)
+    p.add_argument("--convs", type=int, default=40000)
     p.add_argument("--low", type=int, default=8)
     p.add_argument("--high", type=int, default=32)
-    p.add_argument("--batches", type=int, default=2)
+    p.add_argument("--batches", type=int, default=1)
     p.add_argument("--keep", action="store_true")
     args = p.parse_args(argv)
 
     work = tempfile.mkdtemp(prefix="aptse_scaling_")
     try:
-        gen = subprocess.run(
+        subprocess.run(
             [sys.executable, "-c",
              "import sys\n"
              "from apt_search_engine_spark.session import get_spark\n"
@@ -83,11 +94,12 @@ def main(argv=None) -> int:
              "s = get_spark('gen', master='local[%d]')\n"
              "gen_corpus_spark(s, %d, partitions=%d).write.mode('overwrite')"
              ".parquet(sys.argv[1] + '/transcripts')\n"
-             % (args.high, args.convs, args.high * 4),
+             "gen_corpus_spark(s, 600, seed=99, partitions=32).write"
+             ".mode('overwrite').parquet(sys.argv[1] + '/warmup')\n"
+             % (args.high, args.convs, args.high * 8),
              work],
             capture_output=True, text=True, check=True,
         )
-        del gen
         low = _run_child(work, args.low, args.batches)
         high = _run_child(work, args.high, args.batches)
         eff = (high["turns_per_sec"] / low["turns_per_sec"]) / (

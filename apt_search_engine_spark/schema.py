@@ -52,8 +52,10 @@ POSTING_ENTRY = T.StructType(
     ]
 )
 
-# Canonical index: one row per term (FIXTURES.md section P), postings sorted
-# by doc_id, directory-partitioned by term_bucket for lookup pruning.
+# Canonical index (FIXTURES.md section P): one row per (term, segment of
+# <= MAX_POSTINGS_PER_ROW docs) — segmenting bounds row size on Zipfian
+# head terms — postings sorted by doc_id within and across a term's
+# segments, directory-partitioned by term_bucket for lookup pruning.
 POSTINGS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -64,15 +66,21 @@ POSTINGS = T.StructType(
         T.StructField("doc_lo", T.StringType(), False),
         T.StructField("doc_hi", T.StringType(), False),
         T.StructField("term_bucket", T.IntegerType(), False),
+        # parallel arrays stamped during the merge shuffle so the block-max
+        # companion derives narrowly (no re-shuffle): raw tfs, weighted tfs
+        # (tf * sum tag weights), and dense doc ordinals
+        T.StructField("tfs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("wtfs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("doc_ords", T.ArrayType(T.LongType()), True),
     ]
 )
 
 # Compressed companion for block-max WAND (FIXTURES.md section P).
+# Block identity/order = lo_ord (disjoint strictly-increasing ranges).
 POSTING_BLOCKS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.IntegerType(), False),
-        T.StructField("block_id", T.IntegerType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("doc_ids_vb", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),

@@ -32,7 +32,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("APTSE_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Finer file splits than the 128MB JVM-scan default: the hot stages
+        # are Arrow->pandas compute, so a split should be minutes of Python
+        # work, not 128MB of parquet. The open-cost floor stops many small
+        # files from being packed into a handful of giant splits (which
+        # caps stage parallelism below the core count).
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
+        .config("spark.sql.files.openCostInBytes", "8388608")
+        # shuffle/spill on tmpfs: local mode shares ONE virtual disk across
+        # all task threads, which serializes shuffle I/O and masks real CPU
+        # scaling; a cluster has per-node disks. Falls back to default /tmp
+        # if /dev/shm is absent.
+        .config(
+            "spark.local.dir",
+            "/dev/shm/aptse-spark" if os.path.isdir("/dev/shm") else "/tmp",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -15,17 +15,27 @@ from apt_search_engine_spark.indexing import codec
 
 
 def _postings_signature(spark, index_dir):
-    rows = spark.read.parquet(f"{index_dir}/postings").collect()
-    return {
-        r.term: (
-            r.df,
+    """Per-term signature, segment-boundary-agnostic: a term's postings may
+    be split across rows (range shards), and where the splits fall depends
+    on range sampling — only the concatenated doc-ordered postings are part
+    of the contract."""
+    by_term: dict[str, list] = {}
+    dfs: dict[str, int] = {}
+    for r in spark.read.parquet(f"{index_dir}/postings").collect():
+        by_term.setdefault(r.term, []).append(r)
+        dfs[r.term] = r.df
+    out = {}
+    for term, segs in by_term.items():
+        segs.sort(key=lambda r: r.doc_lo)
+        out[term] = (
+            dfs[term],
             tuple(
                 (p.doc_id, round(p.tf, 15), tuple(p.positions), tuple(p.tags))
+                for r in segs
                 for p in r.postings
             ),
         )
-        for r in rows
-    }
+    return out
 
 
 def test_resume_equivalence(spark, corpus_df, index_dir, tmp_path):
@@ -94,7 +104,7 @@ def test_blocks_roundtrip(spark, index_dir):
     for b in blocks:
         by_term.setdefault(b.term, []).append(b)
     for term, bs in by_term.items():
-        bs.sort(key=lambda b: b.block_id)
+        bs.sort(key=lambda b: b.lo_ord)
         segs = canonical[term]
         want_postings = [p for r in segs for p in r.postings]
         assert all(b.df == segs[0].df for b in bs)

@@ -70,19 +70,23 @@ def test_snippets_match(engine, oracle):
 def test_index_postings_match_oracle(spark, index_dir, oracle):
     """Every (term, doc) posting matches the oracle's inverted index:
     tf exact, positions exact, tags exact, df exact."""
-    rows = spark.read.parquet(f"{index_dir}/postings").collect()
+    by_term: dict[str, list] = {}
+    for r in spark.read.parquet(f"{index_dir}/postings").collect():
+        by_term.setdefault(r.term, []).append(r)
     inv = oracle.inverted
-    assert {r.term for r in rows} == set(inv)
-    for r in rows:
-        odocs = inv[r.term]
-        assert r.df == len(odocs), r.term
-        got_ids = [p.doc_id for p in r.postings]
-        assert got_ids == sorted(odocs), r.term  # sorted by doc_id
-        for p in r.postings:
+    assert set(by_term) == set(inv)
+    for term, segs in by_term.items():
+        segs.sort(key=lambda r: r.doc_lo)
+        odocs = inv[term]
+        assert all(r.df == len(odocs) for r in segs), term
+        postings = [p for r in segs for p in r.postings]
+        got_ids = [p.doc_id for p in postings]
+        assert got_ids == sorted(odocs), term  # sorted by doc_id
+        for p in postings:
             o = odocs[p.doc_id]
-            assert p.tf == pytest.approx(o["tf"], rel=1e-12), (r.term, p.doc_id)
-            assert list(p.positions) == o["positions"], (r.term, p.doc_id)
-            assert list(p.tags) == o["tags"], (r.term, p.doc_id)
+            assert p.tf == pytest.approx(o["tf"], rel=1e-12), (term, p.doc_id)
+            assert list(p.positions) == o["positions"], (term, p.doc_id)
+            assert list(p.tags) == o["tags"], (term, p.doc_id)
 
 
 def test_invariant_text_equality(spark, corpus_df, corpus_pdf):

@@ -104,7 +104,7 @@ def test_wtfs_decode_matches_reference_kernel(spark, index_dir):
         r.term: r for r in spark.read.parquet(f"{index_dir}/postings").collect()
     }
     for term in list(canonical)[:50]:
-        bs = sorted([b for b in blocks if b.term == term], key=lambda b: b.block_id)
+        bs = sorted([b for b in blocks if b.term == term], key=lambda b: b.lo_ord)
         got = np.concatenate([codec.decode_tfs(b.wtfs) for b in bs])
         want = [
             p.tf * (sum(tag_weight(t) for t in p.tags) if p.tags else 0.5)
