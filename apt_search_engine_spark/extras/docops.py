@@ -558,8 +558,85 @@ FROM events
 """
 
 
+# -------------------------------------------------------------- language ID
+# Marker-word n-gram heuristic (training-pipeline op): score each language
+# by occurrences of its top function words in the raw token stream (NO
+# stopword filter — the markers ARE stopwords), pick (hits DESC, lang ASC),
+# 'und' when nothing matched. On the synthetic corpus text is language-
+# independent, so this validates Spark==DuckDB agreement on the
+# deterministic classifier, not ground-truth recovery.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that"),
+    "de": ("der", "die", "und", "ist", "nicht", "das", "ein"),
+    "es": ("el", "los", "que", "una", "por", "con", "para"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+}
+
+
+def q_lang_id(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    markers = spark.createDataFrame(
+        [(l, w) for l, ws in _LANG_MARKERS.items() for w in ws],
+        "mlang string, term string",
+    )
+    raw = docs.select(
+        "doc_id", F.explode(_raw_arr()).alias("term")
+    ).filter(F.length("term") > 0)
+    hits = raw.join(F.broadcast(markers), "term").groupBy(
+        "doc_id", "mlang"
+    ).agg(F.count("*").alias("hits"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("mlang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "mlang", "hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("mlang", F.lit("und")).alias("lang_pred"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("marker_hits"),
+        )
+    )
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{l}', '{w}')" for l, ws in _LANG_MARKERS.items() for w in ws
+)
+
+SQL_LANG_ID = f"""
+WITH markers(mlang, term) AS (VALUES {_MARKER_VALUES})
+, base AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM documents
+), raw AS (
+  SELECT doc_id, unnest(arr) AS term FROM base
+), hits AS (
+  SELECT r.doc_id, m.mlang, count(*) AS hits
+  FROM raw r JOIN markers m USING (term)
+  WHERE length(r.term) > 0
+  GROUP BY r.doc_id, m.mlang
+), best AS (
+  SELECT doc_id, mlang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.mlang, 'und') AS lang_pred,
+       coalesce(b.hits, 0)::BIGINT AS marker_hits
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 SPARK_QUERIES = {
     "tokenize_tf": q_tokenize_tf,
+    "lang_id": q_lang_id,
     "term_df": q_term_df,
     "candidate_and": q_candidate_and,
     "phrase_adjacency": q_phrase_adjacency,
@@ -579,6 +656,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "tokenize_tf": SQL_TOKENIZE_TF,
+    "lang_id": SQL_LANG_ID,
     "term_df": SQL_TERM_DF,
     "candidate_and": SQL_CANDIDATE_AND,
     "phrase_adjacency": SQL_PHRASE_ADJACENCY,

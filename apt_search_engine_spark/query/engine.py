@@ -128,16 +128,12 @@ class SearchEngine:
         return df
 
     def _bucket(self, term: str) -> int:
-        # must match F.pmod(F.xxhash64(term), N) used at build time; compute
-        # via a tiny local DataFrame to reuse Spark's xxhash64 exactly
-        if not hasattr(self, "_bucket_cache"):
-            self._bucket_cache: dict[str, int] = {}
-        if term not in self._bucket_cache:
-            row = self.spark.createDataFrame([(term,)], "term string").select(
-                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int").alias("b")
-            ).collect()[0]
-            self._bucket_cache[term] = row.b
-        return self._bucket_cache[term]
+        # must match F.pmod(F.xxhash64(term), N) used at build time; the
+        # vendored pure-Python XXH64 (functions/xxhash.py) is bit-identical
+        # to Spark's, so bucket pruning costs zero Spark jobs at query time
+        from apt_search_engine_spark.functions.xxhash import term_bucket
+
+        return term_bucket(term, N_TERM_BUCKETS)
 
     def _empty_postings(self) -> DataFrame:
         return self.spark.createDataFrame(
