@@ -1,19 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship: adapt sf0.001 `documents` into the transcript
-                shape, build an in-memory inverted index with the full
-                engine pipeline (analyzer UDF -> salted term agg) and run a
-                ranked top-k search.
+                shape, build a disk index with the full engine pipeline
+                (analyzer UDF -> salted term agg -> compressed block-max
+                companion) and run a ranked top-k search.
 queries()     — operator inventory: SQL-expressible ops are paired with
                 DuckDB oracles in apt_search_engine_spark/extras/docops.py;
-                the Porter-stemmed full-engine paths (not SQL-expressible)
-                are exposed as rows-only checks and verified rank-identical
-                against the pure-Python oracle in tests/ instead.
+                the Porter-stemmed full-engine paths and the approximate /
+                iterative ops (WAND, IVF-ANN, LSH pairs, PageRank,
+                multimodal plumbing) are exposed as rows-only checks and
+                verified against pure-Python oracles in tests/ instead.
 oracle_sql()  — the DuckDB SQL side of each paired operator.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -41,12 +45,20 @@ _ENGINE_CACHE: dict[str, object] = {}
 
 
 def _engine_over(spark: SparkSession, sf_dir: str):
+    """Disk-backed engine per sf_dir: full build (postings + block-max
+    companion + doc_meta) into a content-keyed temp dir, reused across
+    queries in the same driver run."""
+    from apt_search_engine_spark.indexing.build import IndexBuilder
     from apt_search_engine_spark.query.engine import SearchEngine
 
     if sf_dir not in _ENGINE_CACHE:
-        _ENGINE_CACHE[sf_dir] = SearchEngine.over_transcripts(
-            spark, _adapt_documents(spark, sf_dir)
-        )
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"aptse_entry_{key}")
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            IndexBuilder(spark, idx, n_batches=2).build(
+                _adapt_documents(spark, sf_dir), with_blocks=True
+            )
+        _ENGINE_CACHE[sf_dir] = SearchEngine(spark, index_dir=idx)
     return _ENGINE_CACHE[sf_dir]
 
 
@@ -63,10 +75,100 @@ def _search_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND hot path over the compressed blocks companion;
+    rank+score identical to the exact plan (tests/test_wand.py)."""
+    return _engine_over(spark, sf_dir).search_df_wand("table scan query", k=10)
+
+
+def _snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full response assembly (R9/P8): top-k + doc_meta join + snippet
+    HTML, returned as a DataFrame for the rows-only check."""
+    rows = _engine_over(spark, sf_dir).search(
+        "table scan query", k=10, with_snippets=True
+    )
+    schema = "doc_id string, url string, score double, title string, snippet string"
+    return spark.createDataFrame(
+        [
+            (r["doc_id"], r["url"], float(r["score"]), r["title"], r["snippet"])
+            for r in rows
+        ],
+        schema,
+    )
+
+
 def _simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apt_search_engine_spark.extras.dedup import simhash64
 
     return simhash64(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apt_search_engine_spark.extras.dedup import simhash64, simhash_candidates
+
+    sigs = simhash64(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return simhash_candidates(sigs, n_bands=4)
+
+
+def _emb_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apt_search_engine_spark.extras.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.8, n_planes=8)
+
+
+def _ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apt_search_engine_spark.extras.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, nlist=16, nprobe=4
+    )
+
+
+def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 power iteration as a DataFrame job over a deterministic toy graph
+    synthesized from the documents table (each doc links to the next two
+    doc_ids in its source — ring within conversation)."""
+    from pyspark.sql import Window
+
+    from apt_search_engine_spark.ranking.pagerank import pagerank
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("url"), "source")
+        .orderBy("doc_id")
+        .limit(512)
+    )
+    w = Window.partitionBy("source").orderBy("url")
+    adj = d.select(
+        "url",
+        F.array_compact(
+            F.array(F.lead("url", 1).over(w), F.lead("url", 2).over(w))
+        ).alias("out_links"),
+    )
+    return pagerank(spark, adj).select(
+        "url", F.round("rank", 9).alias("rank")
+    )
+
+
+def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (schema + mapInPandas batch shape) over the
+    deterministic synthetic media table; decode is a documented fake."""
+    from apt_search_engine_spark.extras.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    feats = extract_features(synth_media(spark, 64), deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6).alias(
+            "feature_sum"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -79,7 +181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_normal_topk"] = _search_q("table scan query")
     q["search_phrase_topk"] = _search_q('"table hash"')
     q["search_boolean_topk"] = _search_q('"table hash" AND merge')
+    q["search_wand_topk"] = _wand_q
+    q["search_snippets_topk"] = _snippets_q
+    # approximate / iterative / non-SQL ops (rows-only; python-oracle tests)
     q["simhash64"] = _simhash_q
+    q["simhash_candidate_pairs"] = _simhash_pairs_q
+    q["embedding_neardup_pairs"] = _emb_neardup_q
+    q["ann_ivf_topk"] = _ann_ivf_q
+    q["pagerank"] = _pagerank_q
+    q["multimodal_features"] = _multimodal_q
     return q
 
 

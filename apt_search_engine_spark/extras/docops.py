@@ -634,6 +634,211 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+# ------------------------------------------------------- P7 boolean algebra
+# Reference: left-fold set algebra over segment doc-sets — AND=retainAll,
+# OR=addAll, NOT=removeAll (S/processor/QueryProcessor.java:245-255).
+# candidate_and covers AND; these cover OR (union-distinct) and NOT
+# (anti-join), each on single-term segments like the reference's bare words.
+def q_boolean_or(spark, sf_dir):
+    toks = _toks(_docs(spark, sf_dir))
+    a = toks.filter(F.col("term") == PHRASE[0]).select("doc_id")
+    b = toks.filter(F.col("term") == QUERY_TERMS[1]).select("doc_id")
+    return a.union(b).distinct()
+
+
+SQL_BOOLEAN_OR = _SQL_TOKS + f"""
+SELECT doc_id FROM toks WHERE term = '{PHRASE[0]}'
+UNION
+SELECT doc_id FROM toks WHERE term = '{QUERY_TERMS[1]}'
+"""
+
+
+def q_boolean_not(spark, sf_dir):
+    toks = _toks(_docs(spark, sf_dir))
+    a = toks.filter(F.col("term") == PHRASE[0]).select("doc_id").distinct()
+    b = toks.filter(F.col("term") == PHRASE[1]).select("doc_id")
+    return a.join(b, "doc_id", "left_anti")
+
+
+SQL_BOOLEAN_NOT = _SQL_TOKS + f"""
+SELECT DISTINCT doc_id FROM toks WHERE term = '{PHRASE[0]}'
+EXCEPT
+SELECT doc_id FROM toks WHERE term = '{PHRASE[1]}'
+"""
+
+
+# ----------------------------------------------------- ANN brute-force top-k
+# Similarity-search baseline (instructions: brute-force cosine top-k over
+# the embedding column); tie-broken on (rounded cos DESC, vec_id ASC) so the
+# k-row set is deterministic across engines.
+def q_ann_topk(spark, sf_dir):
+    from apt_search_engine_spark.extras.ann import cosine_expr
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos
+FROM e CROSS JOIN q WHERE e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ S3 URL normalize
+# Reference URL normalizer (S/Crawler/URLNormalizer.java:11-151): lowercase
+# scheme+host, strip www., drop default port, drop fragment, drop empty
+# query params, sort query params, strip trailing slash. Exercised on
+# deterministic URL-shaped strings synthesized from (source, doc_id) —
+# the testdata has no URL column (transcripts use natural keys; SURVEY S3).
+def q_url_normalize(spark, sf_dir):
+    raw = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example.COM:443/docs/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?z=26&empty=&a=1#frag"),
+        ).alias("url"),
+    )
+    scheme = "lower(split_part(url, '://', 1))"
+    rest = "split_part(url, '://', 2)"
+    hostport = f"split_part({rest}, '/', 1)"
+    host = (
+        f"regexp_replace(regexp_replace(lower({hostport}), ':443$', ''),"
+        " '^www\\\\.', '')"
+    )
+    pathq = f"substring({rest}, length({hostport}) + 1)"
+    path0 = f"split_part(split_part({pathq}, '?', 1), '#', 1)"
+    path = f"regexp_replace({path0}, '/$', '')"
+    qstr = f"split_part(split_part({pathq}, '?', 2), '#', 1)"
+    params = (
+        f"array_join(array_sort(filter(split({qstr}, '&'),"
+        " p -> p != '' AND NOT p LIKE '%=')), '&')"
+    )
+    return raw.select(
+        "doc_id",
+        F.expr(
+            f"concat({scheme}, '://', {host}, {path},"
+            f" CASE WHEN {params} = '' THEN '' ELSE concat('?', {params}) END)"
+        ).alias("norm_url"),
+    )
+
+
+SQL_URL_NORMALIZE = """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example.COM:443/docs/' || source || '/' || doc_id
+           || '/?z=26&empty=&a=1#frag' AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(split_part(url, '://', 1)) AS scheme,
+         split_part(split_part(url, '://', 2), '/', 1) AS hostport,
+         split_part(url, '://', 2) AS rest
+  FROM raw
+), comps AS (
+  SELECT doc_id, scheme,
+         regexp_replace(regexp_replace(lower(hostport), ':443$', ''), '^www\\.', '') AS host,
+         substring(rest, length(hostport) + 1) AS pathq
+  FROM parts
+), pq AS (
+  SELECT doc_id, scheme, host,
+         regexp_replace(split_part(split_part(pathq, '?', 1), '#', 1), '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(split_part(split_part(pathq, '?', 2), '#', 1), '&'),
+           p -> p <> '' AND NOT p LIKE '%=')), '&') AS params
+  FROM comps
+)
+SELECT doc_id,
+       scheme || '://' || host || path ||
+       CASE WHEN params = '' THEN '' ELSE '?' || params END AS norm_url
+FROM pq
+"""
+
+
+# ----------------------------------------------------------------- R9 snippet
+# Reference snippet choice (S/ranker/Snippeterr.java:14-59): among
+# paragraphs of length <= 1000, pick max by (#distinct query segments
+# present, then total case-insensitive substring frequency); first-seen
+# wins ties. Paragraph analog for flat text = '. '-split sentences; only
+# docs where some sentence matches are returned (reference only snippets
+# result docs, which by construction contain query terms).
+def q_snippet_pick(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    segs = list(QUERY_TERMS)
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\\. ")).alias("pidx", "p")
+    ).filter((F.length("p") <= 1000) & (F.length("p") > 0))
+    lp = "lower(p)"
+    nseg = " + ".join(
+        f"CASE WHEN {lp} LIKE '%{s}%' THEN 1 ELSE 0 END" for s in segs
+    )
+    freq = " + ".join(
+        f"((length({lp}) - length(replace({lp}, '{s}', ''))) / {len(s)})"
+        for s in segs
+    )
+    scored = paras.select(
+        "doc_id",
+        "pidx",
+        "p",
+        F.expr(nseg).alias("nseg"),
+        F.expr(freq).cast("int").alias("freq"),
+    ).filter(F.col("nseg") > 0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("nseg"), F.desc("freq"), F.asc("pidx")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pidx", F.col("p").alias("snippet"), "nseg", "freq")
+    )
+
+
+_SNIP_NSEG = " + ".join(
+    f"CASE WHEN lower(p) LIKE '%{s}%' THEN 1 ELSE 0 END" for s in QUERY_TERMS
+)
+_SNIP_FREQ = " + ".join(
+    f"((length(lower(p)) - length(replace(lower(p), '{s}', ''))) / {len(s)})"
+    for s in QUERY_TERMS
+)
+
+SQL_SNIPPET_PICK = f"""
+WITH paras AS (
+  SELECT doc_id, ord - 1 AS pidx, p
+  FROM (SELECT doc_id, unnest(arr) AS p, generate_subscripts(arr, 1) AS ord
+        FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS arr FROM documents))
+  WHERE length(p) <= 1000 AND length(p) > 0
+), scored AS (
+  SELECT doc_id, pidx, p,
+         {_SNIP_NSEG} AS nseg,
+         ({_SNIP_FREQ})::INT AS freq
+  FROM paras
+), ranked AS (
+  SELECT doc_id, pidx, p AS snippet, nseg, freq,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY nseg DESC, freq DESC, pidx ASC) AS rn
+  FROM scored WHERE nseg > 0
+)
+SELECT doc_id, pidx, snippet, nseg, freq FROM ranked WHERE rn = 1
+"""
+
+
 SPARK_QUERIES = {
     "tokenize_tf": q_tokenize_tf,
     "lang_id": q_lang_id,
@@ -652,6 +857,11 @@ SPARK_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
+    "boolean_or": q_boolean_or,
+    "boolean_not": q_boolean_not,
+    "ann_topk": q_ann_topk,
+    "url_normalize": q_url_normalize,
+    "snippet_pick": q_snippet_pick,
 }
 
 ORACLE_SQL = {
@@ -672,4 +882,9 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
+    "boolean_or": SQL_BOOLEAN_OR,
+    "boolean_not": SQL_BOOLEAN_NOT,
+    "ann_topk": SQL_ANN_TOPK,
+    "url_normalize": SQL_URL_NORMALIZE,
+    "snippet_pick": SQL_SNIPPET_PICK,
 }

@@ -104,13 +104,12 @@ def pagerank(spark: SparkSession, adjacency: DataFrame) -> DataFrame:
     )
 
     ranks = nodes.select("url", F.lit(1.0 / n).alias("rank")).persist()
+    # uniform init makes the first dangling mass a count, not a sum; every
+    # later iteration's dangling sum rides the convergence aggregate below
+    # (one driver action per iteration, not two)
+    dangling = out_counts.filter("out_count = 0").count() / n
     prev_diff = 100.0
     for i in range(MAX_ITERS):
-        dangling = (
-            ranks.join(out_counts.filter("out_count = 0"), "url", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         contribs = (
             edges_w.join(ranks, edges_w.src == ranks.url)
             .groupBy("dst")
@@ -130,17 +129,26 @@ def pagerank(spark: SparkSession, adjacency: DataFrame) -> DataFrame:
         )
         if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
             new_ranks = new_ranks.localCheckpoint()
-        curr_diff = (
+        stats = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "url")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
+            .join(out_counts, "url")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("diff"),
+                F.coalesce(
+                    F.sum(F.when(F.col("out_count") == 0, F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("next_dangling"),
+            )
+            .collect()[0]
         )
+        curr_diff = stats["diff"]
         if abs(curr_diff - prev_diff) < CONV_THRESHOLD:
             new_ranks.unpersist()
             break  # quirk-faithful: keep the STALE ranks
         ranks.unpersist()
         ranks = new_ranks
         prev_diff = curr_diff
+        dangling = stats["next_dangling"]
     adjacency.unpersist()
     out_counts.unpersist()
     edges_w.unpersist()
