@@ -839,6 +839,51 @@ SELECT doc_id, pidx, snippet, nseg, freq FROM ranked WHERE rn = 1
 """
 
 
+# -------------------------------------------------------- S11 graph invert
+# Reference: out-link adjacency lists reread and inverted into the reverse
+# graph for PageRank (S/Crawler/Main.java:116-142). Inversion = explode the
+# out_links array, group by destination, collect sources. Adjacency is
+# synthesized deterministically (each doc links to the next two doc_ids in
+# its source) — testdata has no link column.
+def q_link_graph_invert(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "source"
+    )
+    w = Window.partitionBy("source").orderBy("url")
+    adj = d.select(
+        "url",
+        F.array_compact(
+            F.array(F.lead("url", 1).over(w), F.lead("url", 2).over(w))
+        ).alias("out_links"),
+    )
+    return (
+        adj.select(F.col("url").alias("src"), F.explode("out_links").alias("dst"))
+        .groupBy("dst")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("src")), ",").alias("in_links"),
+            F.count("*").alias("n_in"),
+        )
+    )
+
+
+SQL_LINK_GRAPH_INVERT = """
+WITH d AS (SELECT doc_id::VARCHAR AS url, source FROM documents),
+adj AS (
+  SELECT url,
+         lead(url, 1) OVER (PARTITION BY source ORDER BY url) AS l1,
+         lead(url, 2) OVER (PARTITION BY source ORDER BY url) AS l2
+  FROM d
+), edges AS (
+  SELECT url AS src, l1 AS dst FROM adj WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT url AS src, l2 AS dst FROM adj WHERE l2 IS NOT NULL
+)
+SELECT dst, array_to_string(list_sort(list(src)), ',') AS in_links,
+       count(*) AS n_in
+FROM edges GROUP BY dst
+"""
+
+
 SPARK_QUERIES = {
     "tokenize_tf": q_tokenize_tf,
     "lang_id": q_lang_id,
@@ -862,6 +907,7 @@ SPARK_QUERIES = {
     "ann_topk": q_ann_topk,
     "url_normalize": q_url_normalize,
     "snippet_pick": q_snippet_pick,
+    "link_graph_invert": q_link_graph_invert,
 }
 
 ORACLE_SQL = {
@@ -887,4 +933,5 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "url_normalize": SQL_URL_NORMALIZE,
     "snippet_pick": SQL_SNIPPET_PICK,
+    "link_graph_invert": SQL_LINK_GRAPH_INVERT,
 }

@@ -1,0 +1,170 @@
+"""Event-time windowed aggregation + custom stateful operators over the
+transcript stream (SURVEY.md 2.5 extension — the reference has no
+streaming; these are the Structured Streaming capabilities a transcript
+pipeline at scale needs: late-data handling via watermarks, and per-
+conversation running state via applyInPandasWithState).
+
+Design notes for 100 TB operation:
+  - the windowed aggregate is a streaming hash aggregate keyed by
+    (window, conv_id); state is bounded by the watermark (Spark drops
+    window state once `window.end < watermark`), so memory is
+    O(active windows), not O(stream length).
+  - applyInPandasWithState shuffles by conv_id once; state per key is a
+    handful of scalars. Arrow-batched — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from apt_search_engine_spark.schema import TRANSCRIPTS
+
+
+def windowed_turn_counts(
+    stream: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window over turn timestamps: turns and chars
+    per (window, conv_id). Append-mode compatible: a window is emitted
+    exactly once, after the watermark passes its end; rows later than
+    the watermark are dropped (late-data contract, asserted in tests)."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "conv_id",
+            "n_turns",
+            "n_chars",
+        )
+    )
+
+
+def _drain_to_parquet(
+    df: DataFrame, checkpoint_dir: str, out_dir: str, mode: str
+) -> None:
+    """availableNow drain via foreachBatch into out_dir/epoch=<id>/ —
+    overwrite-per-epoch makes crashed-epoch replays idempotent, and
+    (unlike the memory sink) foreachBatch supports checkpoint recovery,
+    so repeated drains on the same checkpoint resume instead of replay."""
+    import os
+
+    def write_epoch(batch_df, epoch_id: int):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_epoch)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _collect_epochs(spark: SparkSession, out_dir: str) -> list:
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "epoch=*")))
+    rows = []
+    for p in parts:
+        try:
+            rows.extend(spark.read.parquet(p).collect())
+        except Exception:
+            pass  # empty epoch directory (no emissions that batch)
+    return rows
+
+
+def run_windowed_drain(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> list:
+    """Drain the input directory (availableNow) through the windowed
+    aggregate; returns all rows emitted so far under `out_dir`
+    (cumulative across drains on the same checkpoint)."""
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
+    _drain_to_parquet(
+        windowed_turn_counts(stream, window_duration, watermark_delay),
+        checkpoint_dir,
+        out_dir,
+        "append",
+    )
+    return _collect_epochs(spark, out_dir)
+
+
+_CONV_STATS_OUT = (
+    "conv_id string, n_turns long, n_chars long, last_turn_idx int"
+)
+_CONV_STATS_STATE = "n_turns long, n_chars long, last_turn_idx int"
+
+
+def _conv_stats_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.exists:
+        n_turns, n_chars, last_idx = state.get
+    else:
+        n_turns, n_chars, last_idx = 0, 0, -1
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_chars += int(pdf["text"].str.len().sum())
+        if len(pdf):
+            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+    state.update((n_turns, n_chars, last_idx))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "n_turns": [n_turns],
+            "n_chars": [n_chars],
+            "last_turn_idx": [last_idx],
+        }
+    )
+
+
+def stateful_conv_stats(stream: DataFrame) -> DataFrame:
+    """Per-conversation running stats as a custom stateful operator
+    (applyInPandasWithState): state = (n_turns, n_chars, last_turn_idx)
+    per conv_id, updated per micro-batch, emitted in update mode. The
+    streaming analogue of `groupBy(conv_id).agg(...)` with incremental
+    arrival — counts are monotone, so the latest emission per key is the
+    final value."""
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        _conv_stats_update,
+        _CONV_STATS_OUT,
+        _CONV_STATS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_conv_stats_drain(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> list:
+    """Drain input through stateful_conv_stats; the final value per conv
+    is its max-n_turns row (counts are monotone)."""
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
+    _drain_to_parquet(
+        stateful_conv_stats(stream), checkpoint_dir, out_dir, "update"
+    )
+    return _collect_epochs(spark, out_dir)

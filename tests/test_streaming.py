@@ -78,3 +78,130 @@ def test_drained_stream_is_idempotent(spark, tmp_path, stream_corpus):
     stream_analyze(spark, inp, sdir)  # nothing new
     n2 = spark.read.parquet(os.path.join(sdir, "analyzed")).count()
     assert n1 == n2
+
+
+# --------------------------------------------------- windows + stateful ops
+def _turn(conv, idx, ts_minute, text="hello world table"):
+    import datetime
+
+    return (
+        conv,
+        idx,
+        "user",
+        text,
+        "",
+        datetime.datetime(2025, 3, 1, 12, 0, 0)
+        + datetime.timedelta(minutes=ts_minute),
+    )
+
+
+def test_windowed_agg_matches_batch_below_watermark(spark, tmp_path):
+    """Append-mode emissions == batch agg restricted to finalized windows
+    (window end <= watermark = max event time - delay)."""
+    from apt_search_engine_spark.schema import TRANSCRIPTS
+    from apt_search_engine_spark.streaming.windows import run_windowed_drain
+
+    rows = [_turn("c1", i, i * 2) for i in range(30)] + [
+        _turn("c2", i, 5 + i * 3) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPTS)
+    inp = str(tmp_path / "win_in")
+    df.coalesce(1).write.parquet(inp)
+
+    got = run_windowed_drain(
+        spark, inp, str(tmp_path / "win_ck"), str(tmp_path / "win_out")
+    )
+
+    import datetime
+
+    max_ts = max(r[5] for r in rows)
+    watermark = max_ts - datetime.timedelta(minutes=10)
+    want = (
+        df.groupBy(F.window("ts", "5 minutes").alias("win"), "conv_id")
+        .agg(F.count("*").alias("n_turns"), F.sum(F.length("text")).alias("n_chars"))
+        .filter(F.col("win.end") <= F.lit(watermark))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "conv_id",
+            "n_turns",
+            "n_chars",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_windowed_agg_drops_late_rows(spark, tmp_path):
+    """A row older than the watermark arriving in a later drain must not
+    re-emit or alter its (already finalized) window."""
+    from apt_search_engine_spark.schema import TRANSCRIPTS
+    from apt_search_engine_spark.streaming.windows import run_windowed_drain
+
+    inp = str(tmp_path / "late_in")
+    ck = str(tmp_path / "late_ck")
+    out = str(tmp_path / "late_out")
+
+    first = spark.createDataFrame(
+        [_turn("c1", i, i) for i in range(6)]  # minutes 0..5
+        + [_turn("c1", 6, 120)],  # advances watermark to minute 110
+        TRANSCRIPTS,
+    )
+    first.coalesce(1).write.mode("append").parquet(inp)
+    got1 = run_windowed_drain(spark, inp, ck, out)
+    early = [r for r in got1 if r.win_start.minute == 0 and r.win_start.hour == 12]
+    assert len(early) == 1 and early[0].n_turns == 5  # minutes 0-4
+
+    # late arrival into the finalized minute-0 window
+    late = spark.createDataFrame([_turn("c1", 7, 1)], TRANSCRIPTS)
+    late.coalesce(1).write.mode("append").parquet(inp)
+    got2 = run_windowed_drain(spark, inp, ck, out)
+    early2 = [r for r in got2 if r.win_start.minute == 0 and r.win_start.hour == 12]
+    assert len(early2) == 1 and early2[0].n_turns == 5  # unchanged, no dup
+
+
+def test_stateful_conv_stats_incremental_equals_batch(spark, tmp_path):
+    """applyInPandasWithState across two drains == one-shot batch agg
+    (latest emission per conv; counts are monotone)."""
+    from apt_search_engine_spark.schema import TRANSCRIPTS
+    from apt_search_engine_spark.streaming.windows import run_conv_stats_drain
+
+    inp = str(tmp_path / "state_in")
+    ck = str(tmp_path / "state_ck")
+    out = str(tmp_path / "state_out")
+
+    a = [_turn("c1", i, i, f"alpha beta {i}") for i in range(4)] + [
+        _turn("c2", i, i, "gamma") for i in range(2)
+    ]
+    b = [_turn("c1", 4 + i, 10 + i, "delta epsilon") for i in range(3)] + [
+        _turn("c3", 0, 20, "zeta")
+    ]
+    spark.createDataFrame(a, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(inp)
+    run_conv_stats_drain(spark, inp, ck, out)
+    spark.createDataFrame(b, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(inp)
+    got = run_conv_stats_drain(spark, inp, ck, out)
+
+    latest = {}
+    for r in got:
+        if r.conv_id not in latest or r.n_turns > latest[r.conv_id].n_turns:
+            latest[r.conv_id] = r
+    want = {
+        r.conv_id: r
+        for r in spark.createDataFrame(a + b, TRANSCRIPTS)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for cid, r in latest.items():
+        w = want[cid]
+        assert (r.n_turns, r.n_chars, r.last_turn_idx) == (
+            w.n_turns,
+            w.n_chars,
+            w.last_turn_idx,
+        ), cid
