@@ -52,7 +52,9 @@ def _engine_over(spark: SparkSession, sf_dir: str):
     from apt_search_engine_spark.query.engine import SearchEngine
 
     if sf_dir not in _ENGINE_CACHE:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        # key includes a layout version so an index built by an older code
+        # revision is never reused across layout changes
+        key = hashlib.md5(f"{sf_dir}|layout=3".encode()).hexdigest()[:10]
         idx = os.path.join(tempfile.gettempdir(), f"aptse_entry_{key}")
         if not os.path.exists(os.path.join(idx, "meta.json")):
             IndexBuilder(spark, idx, n_batches=2).build(

@@ -38,7 +38,7 @@ from apt_search_engine_spark.indexing import codec
 # strictly-increasing ordinal ranges, so sorting by lo_ord reconstructs
 # global doc order (no separate block_id needed).
 BLOCKS_SCHEMA = (
-    "term string, df int, n_docs int, doc_ids_vb binary, "
+    "term string, n_docs int, doc_ids_vb binary, "
     "tfs binary, wtfs binary, positions_vb binary, block_max_wtf double, "
     "lo_ord long, hi_ord long, term_bucket int"
 )
@@ -97,14 +97,13 @@ def write_doc_map(spark: SparkSession, doc_ids: DataFrame, out_dir: str) -> None
 def _blocks_from_segments(batches):
     for pdf in batches:
         rows = []
-        for term, df_, bucket, entries, ords_l, tfs_l, wtfs_l in zip(
-            pdf["term"], pdf["df"], pdf["term_bucket"], pdf["postings"],
+        for term, bucket, poss, ords_l, tfs_l, wtfs_l in zip(
+            pdf["term"], pdf["term_bucket"], pdf["positions"],
             pdf["doc_ords"], pdf["tfs"], pdf["wtfs"],
         ):
             ords_a = np.asarray(ords_l, dtype=np.int64)
             tfs_a = np.asarray(tfs_l, dtype=np.float64)
             wtf_a = np.asarray(wtfs_l, dtype=np.float64)
-            poss = [e["positions"] for e in entries]
             n = len(ords_a)
             for b0 in range(0, n, POSTING_BLOCK_SIZE):
                 b1 = min(b0 + POSTING_BLOCK_SIZE, n)
@@ -113,12 +112,11 @@ def _blocks_from_segments(batches):
                 rows.append(
                     (
                         term,
-                        int(df_),
                         b1 - b0,
                         codec.encode_doc_ids(ords),
                         codec.encode_tfs(tfs_a[b0:b1]),
                         codec.encode_tfs(wtf),
-                        codec.encode_positions([list(p) for p in poss[b0:b1]]),
+                        codec.encode_positions(poss[b0:b1]),
                         float(wtf.max()),
                         int(ords[0]),
                         int(ords[-1]),
@@ -128,7 +126,7 @@ def _blocks_from_segments(batches):
         yield pd.DataFrame(
             rows,
             columns=[
-                "term", "df", "n_docs", "doc_ids_vb", "tfs",
+                "term", "n_docs", "doc_ids_vb", "tfs",
                 "wtfs", "positions_vb", "block_max_wtf", "lo_ord", "hi_ord",
                 "term_bucket",
             ],
@@ -137,9 +135,10 @@ def _blocks_from_segments(batches):
 
 def write_blocks(spark: SparkSession, postings_dir: str, blocks_dir: str) -> None:
     """Narrow derivation: chunk each postings segment row into compressed
-    blocks. No shuffle — the merge already ordered and ord-stamped it."""
+    blocks. No shuffle — the merge already ordered and ord-stamped it.
+    df is not duplicated here; WAND takes it from the lexicon."""
     postings = spark.read.parquet(postings_dir).select(
-        "term", "df", "term_bucket", "postings", "doc_ords", "tfs", "wtfs"
+        "term", "term_bucket", "positions", "doc_ords", "tfs", "wtfs"
     )
     blocks = postings.mapInPandas(_blocks_from_segments, schema=BLOCKS_SCHEMA)
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(blocks_dir)

@@ -26,9 +26,9 @@ per doc, per-term Mongo upserts, mark isIndexed) with a 3-stage Spark job:
            pass emits one postings row per (term, run of <=
            MAX_POSTINGS_PER_ROW docs): bounded memory everywhere, sorted
            segments, no giant rows. df (true document frequency, what the
-           reference reads as postings-map size, Ranker.java:194) is
-           stamped by a window sum over the assembled segment rows (a few
-           rows per term, never skewed).
+           reference reads as postings-map size, Ranker.java:194) goes to
+           a separate LEXICON table via a skew-free partial aggregate —
+           see build_lexicon / schema.py LEXICON.
 
   stage 3  WRITE: postings directory-partitioned by
            term_bucket = pmod(xxhash64(term), N) so query-time term lookup
@@ -48,7 +48,7 @@ import uuid
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from apt_search_engine_spark.analysis.analyzer import analyze_batch_flat
 from apt_search_engine_spark.config import (
@@ -112,13 +112,6 @@ _ASSEMBLED_SCHEMA = (
 )
 _ASSEMBLED_SCHEMA_ORD = (
     _ASSEMBLED_SCHEMA + ", doc_ords array<long>, wtfs array<double>"
-)
-
-# native reconstruction of per-posting tags arrays from the prefix counts
-_ROW_TAGS_EXPR = (
-    "transform(arrays_zip(positions, n_titles, n_h1s), x -> "
-    "concat(array_repeat('title', x.n_titles), array_repeat('h1', x.n_h1s), "
-    "array_repeat('body', size(x.positions) - x.n_titles - x.n_h1s)))"
 )
 
 # per-posting weighted tf, natively: tf * sum of tag weights. The Python
@@ -209,8 +202,10 @@ def merge_postings(
 ) -> DataFrame:
     """Stage 2: sort-based segment assembly -> one row per (term, segment
     of <= max_per_row docs), postings sorted by doc_id within and across a
-    term's segments, df = the term's total posting count, scalar doc-range
-    columns (so lineage stats never re-read the nested postings column).
+    term's segments, scalar doc-range columns (so lineage stats never
+    re-read the nested postings column). df deliberately does NOT live
+    here — see build_lexicon / schema.py LEXICON for why (head-term
+    colocation is a straggler at 10^12 turns).
 
     With `doc_map` (doc_id -> doc_ord) the rows also carry parallel
     doc_ords / wtfs arrays, from which the block-max WAND companion is
@@ -234,30 +229,62 @@ def merge_postings(
         n_parts, F.col("term"), F.col("doc_id")
     ).sortWithinPartitions("term", "doc_id")
     assembled = ranged.mapInPandas(_assemble_factory(max_per_row, cols), schema)
-    w = Window.partitionBy("term")
+    # storage stays columnar-in-row (parallel arrays, tag prefix counts):
+    # materializing array<struct> + per-position tag strings here costs an
+    # unvectorized codegen loop per 32k-element row and multiplies index
+    # bytes — consumers reconstruct lazily via with_postings_struct on
+    # term-pruned reads (schema.py POSTINGS rationale)
     merged = (
-        assembled.withColumn("tags", F.expr(_ROW_TAGS_EXPR))
-        .withColumn(
-            "postings",
-            F.expr(
-                "transform(arrays_zip(doc_ids, tfs, positions, tags), x -> "
-                "struct(x.doc_ids as doc_id, x.tfs as tf, "
-                "x.positions as positions, x.tags as tags))"
-            ),
-        )
-        .withColumn("df", F.sum(F.size("doc_ids")).over(w).cast("int"))
-        .withColumn(
+        assembled.withColumn(
             "term_bucket",
             F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
         )
         .withColumn("doc_lo", F.expr("doc_ids[0]"))
         .withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
     )
-    keep = ["term", "df", "postings", "doc_lo", "doc_hi", "term_bucket",
-            "tfs", "wtfs"]
+    keep = ["term", "doc_ids", "tfs", "wtfs", "positions",
+            "n_titles", "n_h1s", "doc_lo", "doc_hi", "term_bucket"]
     if with_ord:
         keep.append("doc_ords")
     return merged.select(*keep)
+
+
+def build_lexicon(postings: DataFrame) -> DataFrame:
+    """Lexicon (term -> df) from segment rows. A partial-aggregated
+    groupBy over (term, size(doc_ids)) scalars: map-side combine collapses
+    each partition to its distinct terms, so a head term contributes at
+    most one row per partition to the shuffle — no colocation of its
+    posting data, no skew (schema.py LEXICON rationale). df = sum of
+    segment sizes = the term's true document frequency (what the reference
+    reads as postings-map size, Ranker.java:194)."""
+    return postings.groupBy("term_bucket", "term").agg(
+        F.sum(F.size("doc_ids")).cast("int").alias("df")
+    ).select("term", "df", "term_bucket")
+
+
+# exploded-entry expressions shared by the reconstructed view and the query
+# engine: tags rebuilt from prefix counts (analyzer emits title..h1..body
+# order), struct view zipped from the parallel arrays
+_TAGS_FROM_COUNTS = (
+    "concat(array_repeat('title', {t}), array_repeat('h1', {h}), "
+    "array_repeat('body', size({p}) - {t} - {h}))"
+)
+
+
+def with_postings_struct(df: DataFrame) -> DataFrame:
+    """Compatibility/API view: adds the `postings
+    array<struct<doc_id,tf,positions,tags>>` column reconstructed from the
+    compact parallel arrays. Use on term-pruned reads (tests, exports) —
+    NOT on the build hot path."""
+    tags = _TAGS_FROM_COUNTS.format(t="x.n_titles", h="x.n_h1s", p="x.positions")
+    return df.withColumn(
+        "postings",
+        F.expr(
+            "transform(arrays_zip(doc_ids, tfs, positions, n_titles, n_h1s), "
+            f"x -> struct(x.doc_ids as doc_id, x.tfs as tf, "
+            f"x.positions as positions, {tags} as tags))"
+        ),
+    )
 
 
 class IndexBuilder:
@@ -364,6 +391,10 @@ class IndexBuilder:
         return os.path.join(self.index_dir, "doc_map")
 
     # -- stages 2+3 -------------------------------------------------------
+    @property
+    def lexicon_dir(self):
+        return os.path.join(self.index_dir, "lexicon")
+
     def merge_and_write(self, build_id: str) -> None:
         from apt_search_engine_spark.indexing.blocks import write_doc_map
 
@@ -377,21 +408,30 @@ class IndexBuilder:
         postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
             self.postings_dir
         )
-        # per-bucket lineage metrics from the written table (scalar columns
-        # only — the nested postings column is never re-read)
-        written = self.spark.read.parquet(self.postings_dir).select(
-            "term_bucket", "term", "df", "doc_lo", "doc_hi"
+        # lexicon from the written segments (scalar projection only)
+        build_lexicon(
+            self.spark.read.parquet(self.postings_dir)
+            .select("term", "term_bucket", "doc_ids")
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+            self.lexicon_dir
+        )
+        # per-bucket lineage metrics: term ranges + exact posting counts
+        # from the lexicon, doc ranges from the postings scalar columns
+        lex = self.spark.read.parquet(self.lexicon_dir)
+        ranges = (
+            self.spark.read.parquet(self.postings_dir)
+            .groupBy("term_bucket")
+            .agg(F.min("doc_lo").alias("dlo"), F.max("doc_hi").alias("dhi"))
         )
         stats = (
-            written.groupBy("term_bucket")
+            lex.groupBy("term_bucket")
             .agg(
                 F.min("term").alias("tlo"),
                 F.max("term").alias("thi"),
                 F.count("*").alias("n_terms"),
                 F.sum("df").alias("n_postings"),
-                F.min("doc_lo").alias("dlo"),
-                F.max("doc_hi").alias("dhi"),
             )
+            .join(ranges, "term_bucket")
             .collect()
         )
         ms = int((time.time() - t0) * 1000)

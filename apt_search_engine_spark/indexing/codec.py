@@ -77,18 +77,34 @@ def decode_doc_ids(data: bytes) -> np.ndarray:
     return delta_decode(varbyte_decode(data))
 
 
-def encode_positions(position_lists: list[list[int]]) -> bytes:
-    """Pack per-doc position lists as [n, p0, p1-p0, p2-p1, ...] runs."""
-    parts: list[np.ndarray] = []
-    for pl in position_lists:
-        a = np.asarray(pl, dtype=np.int64)
-        run = np.empty(a.size + 1, dtype=np.int64)
-        run[0] = a.size
-        if a.size:
-            run[1] = a[0]
-            run[2:] = np.diff(a)
-        parts.append(run)
-    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+def encode_positions(position_lists) -> bytes:
+    """Pack per-doc position lists as [n, p0, p1-p0, p2-p1, ...] runs.
+    Accepts any sequence of int array-likes; fully vectorized — the
+    per-run delta and the length/value interleave are single numpy
+    scatter passes, no per-doc Python."""
+    n_docs = len(position_lists)
+    if n_docs == 0:
+        return b""
+    lens = np.fromiter(
+        (len(p) for p in position_lists), dtype=np.int64, count=n_docs
+    )
+    total = int(lens.sum())
+    flat = np.empty(n_docs + total, dtype=np.int64)
+    # where each run's length header lands: after all previous runs
+    head_idx = np.cumsum(lens + 1) - (lens + 1)
+    flat[head_idx] = lens
+    if total:
+        vals = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in position_lists]
+        )
+        deltas = np.empty_like(vals)
+        deltas[0] = vals[0]
+        deltas[1:] = np.diff(vals)
+        run_starts = np.cumsum(lens)[:-1]
+        run_starts = run_starts[run_starts < total]
+        deltas[run_starts] = vals[run_starts]  # first of each run stays raw
+        run_of = np.repeat(np.arange(n_docs), lens)
+        flat[np.arange(total) + run_of + 1] = deltas
     return varbyte_encode(flat)
 
 

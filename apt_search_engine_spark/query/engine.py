@@ -45,15 +45,12 @@ from apt_search_engine_spark.config import (
 from apt_search_engine_spark.query import parser
 from apt_search_engine_spark.query.snippets import generate_snippet
 
-# SQL fragment: sum of tag weights for a tags array (R1/R2,
-# Ranker.java:43-66). Empty tags arrays score one default weight.
-_WSUM = (
-    "CASE WHEN size(tags) = 0 THEN 0.5D ELSE "
-    "aggregate(tags, 0D, (acc, t) -> acc + CASE lower(t) "
-    "WHEN 'title' THEN 4.0D WHEN 'h1' THEN 2.5D WHEN 'h2' THEN 2.0D "
-    "WHEN 'h3' THEN 1.5D WHEN 'h4' THEN 1.0D WHEN 'h5' THEN 1.0D "
-    "WHEN 'h6' THEN 1.0D ELSE 0.5D END) END"
-)
+# R1/R2 tag-weight fold (Ranker.java:43-66) is precomputed at build time
+# into the stored per-posting `wtf` column: wtf = tf * sum(tag weights),
+# the closed form (4.0*n_title + 2.5*n_h1) + 0.5*n_body being bit-identical
+# to the reference's left fold (exact binary fractions; build.py _WTF_EXPR).
+# The reference's empty-tags -> one 0.5 weight branch is unreachable (every
+# kept posting has >= 1 position, quirk Q6) and therefore not stored.
 
 
 def _esc(term: str) -> str:
@@ -69,8 +66,10 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self._postings_df = postings_df
+        self._lexicon_df = None
         if index_dir is not None:
             self.postings_path = os.path.join(index_dir, "postings")
+            self.lexicon_path = os.path.join(index_dir, "lexicon")
             self.doc_meta_path = os.path.join(index_dir, "doc_meta")
             with open(os.path.join(index_dir, "meta.json")) as f:
                 meta = json.load(f)
@@ -80,6 +79,9 @@ class SearchEngine:
                 raise ValueError("need index_dir or (postings_df, n_docs)")
             self.doc_meta_path = None
             self.n_docs = n_docs
+            from apt_search_engine_spark.indexing.build import build_lexicon
+
+            self._lexicon_df = build_lexicon(postings_df).cache()
         # uniform doc prior: transcripts have no link graph; the reference's
         # absent-URL default is 1/|pageRanks| (Ranker.java:196) — kept as a
         # multiplied constant so scores match the oracle bit-for-bit.
@@ -101,9 +103,13 @@ class SearchEngine:
         return cls(spark, postings_df=postings, n_docs=n_docs)
 
     # ------------------------------------------------------------------ P2
-    def _exploded(self, terms: list[str]) -> DataFrame:
+    def _exploded(self, terms: list[str], with_df: bool = False) -> DataFrame:
         """Bucket-pruned scan of the distinct `terms`, exploded to
-        (term, doc_id, tf, positions, tags) rows."""
+        (term, doc_id, tf, positions, tags[, df]) rows. `with_df` carries
+        the build-time document frequency stamped on every segment row —
+        for the normal path this replaces a query-time
+        Exchange+Sort+Window recount (same value: the filtered-df quirk
+        Q12 only diverges on phrase/boolean paths, which recount)."""
         distinct = sorted(set(terms))
         if not distinct:
             return self._empty_postings()
@@ -116,16 +122,51 @@ class SearchEngine:
             )
         df = (
             src.filter(F.col("term").isin(distinct))
-            .select("term", F.explode("postings").alias("p"))
             .select(
                 "term",
-                F.col("p.doc_id").alias("doc_id"),
-                F.col("p.tf").alias("tf"),
+                F.explode(
+                    F.arrays_zip("doc_ids", "tfs", "wtfs", "positions")
+                ).alias("p"),
+            )
+            .select(
+                "term",
+                F.col("p.doc_ids").alias("doc_id"),
+                F.col("p.tfs").alias("tf"),
+                F.col("p.wtfs").alias("wtf"),
                 F.col("p.positions").alias("positions"),
-                F.col("p.tags").alias("tags"),
             )
         )
+        if with_df:
+            # lexicon lookup is a driver-side read of a few pruned rows;
+            # stamping df as a literal CASE map keeps the distributed plan
+            # join-free (every indexed term is in the lexicon by
+            # construction, so the map is total over matched rows)
+            dfs = self.term_dfs(distinct)
+            if not dfs:
+                return self._empty_postings()
+            mapping = F.create_map(
+                *[F.lit(x) for t, d in sorted(dfs.items()) for x in (t, d)]
+            )
+            df = df.withColumn("df", mapping[F.col("term")])
         return df
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Document frequency per term from the lexicon (bucket-pruned
+        disk read or the in-memory lexicon frame)."""
+        distinct = sorted(set(terms))
+        if not distinct:
+            return {}
+        if self._lexicon_df is not None:
+            src = self._lexicon_df
+        else:
+            buckets = sorted({self._bucket(t) for t in distinct})
+            src = self.spark.read.parquet(self.lexicon_path).filter(
+                F.col("term_bucket").isin(buckets)
+            )
+        rows = src.filter(F.col("term").isin(distinct)).select(
+            "term", "df"
+        ).collect()
+        return {r.term: int(r.df) for r in rows}
 
     def _bucket(self, term: str) -> int:
         # must match F.pmod(F.xxhash64(term), N) used at build time; the
@@ -138,8 +179,8 @@ class SearchEngine:
     def _empty_postings(self) -> DataFrame:
         return self.spark.createDataFrame(
             [],
-            "term string, doc_id string, tf double, "
-            "positions array<int>, tags array<string>",
+            "term string, doc_id string, tf double, wtf double, "
+            "positions array<int>",
         )
 
     # -------------------------------------------------------------- P4+P5
@@ -215,7 +256,7 @@ class SearchEngine:
             mine = [t for t, o in owner.items() if o == i and t in seg_terms[i]]
             if mine:
                 parts.append(sp.filter(F.col("term").isin(mine)))
-        cols = ["term", "doc_id", "tf", "positions", "tags"]
+        cols = ["term", "doc_id", "tf", "wtf", "positions"]
         filtered = parts[0].select(cols)
         for p in parts[1:]:
             filtered = filtered.unionByName(p.select(cols))
@@ -231,10 +272,15 @@ class SearchEngine:
     ) -> DataFrame:
         """Score the final filtered postings. df per term = filtered map
         size (quirk Q12); duplicate scoring words multiply; optional
-        first-word gate (quirk Q7)."""
+        first-word gate (quirk Q7). If `filtered` already carries a `df`
+        column (normal path: stored build-time df == filtered recount),
+        it is used as-is — no query-time Window."""
         present = sorted(set(scoring_words))
         sp = filtered.filter(F.col("term").isin(present))
-        sp = sp.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        if "df" not in sp.columns:
+            sp = sp.withColumn(
+                "df", F.count("*").over(Window.partitionBy("term"))
+            )
 
         mult = {}
         for w in scoring_words:
@@ -243,11 +289,12 @@ class SearchEngine:
             f"WHEN '{_esc(t)}' THEN {c}D" for t, c in mult.items()
         ) + " ELSE 0D END"
 
-        contrib = (
-            F.col("tf")
-            * F.floor(F.lit(IDF_NUMERATOR) / F.col("df")).cast("double")
-            * F.expr(_WSUM)
-        )
+        # contrib = tf * idf * sum(tag weights) == wtf * idf (see _WSUM
+        # note above); same product order as the reference's fold-then-
+        # multiply, so scores stay bit-comparable to the oracle
+        contrib = F.col("wtf") * F.floor(
+            F.lit(IDF_NUMERATOR) / F.col("df")
+        ).cast("double")
         sp = sp.withColumn("contrib", contrib * F.expr(mult_expr))
 
         if gate_word is not None:
@@ -301,7 +348,15 @@ class SearchEngine:
         doc_map = self.spark.read.parquet(
             os.path.join(self.index_dir, "doc_map")
         )
-        return wand_topk(self.spark, blocks, doc_map, term_mult, self.n_docs, k)
+        return wand_topk(
+            self.spark,
+            blocks,
+            doc_map,
+            term_mult,
+            self.term_dfs(words),
+            self.n_docs,
+            k,
+        )
 
     # ------------------------------------------------------------- public
     def search_df(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
@@ -319,7 +374,7 @@ class SearchEngine:
             words = sorted(
                 {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
             )
-            filtered = self._exploded(words)
+            filtered = self._exploded(words, with_df=True)
             gate = None
         if not words:
             return self._empty_results()

@@ -147,25 +147,23 @@ def wand_topk(
     blocks: DataFrame,
     doc_map: DataFrame,
     term_mult: dict[str, int],
+    term_dfs: dict[str, int],
     n_docs: int,
     k: int,
     slice_ords: int = SLICE_ORDS,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag-of-words query whose (already
     stemmed) terms and multiplicities are `term_mult`, over a pre-filtered
-    `blocks` DataFrame (bucket + term pruned by the caller)."""
+    `blocks` DataFrame (bucket + term pruned by the caller). `term_dfs`
+    comes from the lexicon (engine reads the pruned lexicon buckets —
+    a driver-side lookup of a few rows, no extra Spark job here)."""
     terms = sorted(term_mult)
     prior = 1.0 / n_docs
 
-    # per-term weights need df — one tiny aggregate over block metadata
-    dfs = {
-        r.term: r.df
-        for r in blocks.select("term", "df").distinct().collect()
-    }
     weights = {
-        t: float((IDF_NUMERATOR // dfs[t]) * term_mult[t])
+        t: float((IDF_NUMERATOR // term_dfs[t]) * term_mult[t])
         for t in terms
-        if t in dfs
+        if t in term_dfs
     }
     if not weights:
         return spark.createDataFrame([], "doc_id string, score double")

@@ -42,7 +42,8 @@ ANALYZED = T.StructType(
     ]
 )
 
-# Per-(term, doc) posting entry struct reused by the grouped table.
+# Per-(term, doc) posting entry struct of the RECONSTRUCTED view
+# (indexing.build.with_postings_struct) — the API/test-facing shape.
 POSTING_ENTRY = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -56,22 +57,49 @@ POSTING_ENTRY = T.StructType(
 # <= MAX_POSTINGS_PER_ROW docs) — segmenting bounds row size on Zipfian
 # head terms — postings sorted by doc_id within and across a term's
 # segments, directory-partitioned by term_bucket for lookup pruning.
+#
+# Storage is COLUMNAR-IN-ROW: parallel arrays instead of array<struct>.
+# Tags are stored as prefix COUNTS (n_titles/n_h1s per posting; analyzer
+# emits tags ordered title..h1..body), not per-position strings — at
+# 10^12 turns, materialized tag strings would dominate index bytes, and
+# building array<struct> rows costs an unvectorized per-element codegen
+# loop at merge time. Consumers reconstruct the struct/tags view lazily
+# on (term-pruned) reads: indexing.build.with_postings_struct.
 POSTINGS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
-        T.StructField("df", T.IntegerType(), False),
-        T.StructField("postings", T.ArrayType(POSTING_ENTRY), False),
-        # scalar doc-range of the sorted postings array, so lineage stats
-        # and range pruning never touch the nested column
+        T.StructField("doc_ids", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.DoubleType()), False),
+        # weighted tf = tf * sum(tag weights): the score kernel minus the
+        # idf factor — both exact and WAND paths score from this
+        T.StructField("wtfs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType())), False),
+        T.StructField("n_titles", T.ArrayType(T.IntegerType()), False),
+        T.StructField("n_h1s", T.ArrayType(T.IntegerType()), False),
+        # scalar doc-range of the sorted postings arrays, so lineage stats
+        # and range pruning never touch the nested columns
         T.StructField("doc_lo", T.StringType(), False),
         T.StructField("doc_hi", T.StringType(), False),
         T.StructField("term_bucket", T.IntegerType(), False),
-        # parallel arrays stamped during the merge shuffle so the block-max
-        # companion derives narrowly (no re-shuffle): raw tfs, weighted tfs
-        # (tf * sum tag weights), and dense doc ordinals
-        T.StructField("tfs", T.ArrayType(T.DoubleType()), False),
-        T.StructField("wtfs", T.ArrayType(T.DoubleType()), False),
+        # dense doc ordinals (disk builds) so the block-max companion
+        # derives narrowly (no re-shuffle)
         T.StructField("doc_ords", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+# Lexicon (dictionary): term -> document frequency, bucket-partitioned like
+# postings for the same pruning. df lives HERE, not on postings rows:
+# stamping df onto segments would need all of a head term's segments
+# colocated in one task (a Window/join shuffle keyed by term) — at 10^12
+# turns a head term is ~10^11 postings, i.e. a guaranteed straggler/OOM.
+# The lexicon instead comes from a partial (map-side combined) aggregate of
+# segment sizes — vocab-sized output, no skew — and query paths join it
+# broadcast-style on the handful of query terms.
+LEXICON = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.IntegerType(), False),
+        T.StructField("term_bucket", T.IntegerType(), False),
     ]
 )
 
@@ -80,7 +108,6 @@ POSTINGS = T.StructType(
 POSTING_BLOCKS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
-        T.StructField("df", T.IntegerType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("doc_ids_vb", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),

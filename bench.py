@@ -69,10 +69,24 @@ def main() -> None:
         transcripts = spark.read.parquet(tdir)
         n_turns = transcripts.count()
 
+        # untimed warmup build on a tiny corpus: JIT/codegen + Python worker
+        # spawn are one-time costs a long-lived cluster amortizes (same
+        # methodology as jobs/bench_scaling.py / BASELINE.md)
+        wdir = os.path.join(work, "warm")
+        gen_corpus_spark(spark, 50, partitions=cpus).write.mode(
+            "overwrite"
+        ).parquet(wdir)
+        IndexBuilder(spark, os.path.join(work, "warm_idx"), n_batches=1).build(
+            spark.read.parquet(wdir)
+        )
+
         # -- index build throughput -----------------------------------------
+        # n_batches=1: batching exists for resumability (covered by
+        # tests/test_build.py); throughput is measured on the single-pass
+        # build a scheduler would run per increment
         idx = os.path.join(work, "index")
         t0 = time.time()
-        IndexBuilder(spark, idx, n_batches=4).build(transcripts)
+        IndexBuilder(spark, idx, n_batches=1).build(transcripts)
         build_sec = time.time() - t0
         queries["index_build"] = round(build_sec, 3)
 

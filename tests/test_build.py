@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from apt_search_engine_spark.indexing import codec
 
+from apt_search_engine_spark.indexing.build import with_postings_struct
+
 
 def _postings_signature(spark, index_dir):
     """Per-term signature, segment-boundary-agnostic: a term's postings may
@@ -20,10 +22,12 @@ def _postings_signature(spark, index_dir):
     on range sampling — only the concatenated doc-ordered postings are part
     of the contract."""
     by_term: dict[str, list] = {}
-    dfs: dict[str, int] = {}
-    for r in spark.read.parquet(f"{index_dir}/postings").collect():
+    dfs: dict[str, int] = {
+        r.term: r.df
+        for r in spark.read.parquet(f"{index_dir}/lexicon").collect()
+    }
+    for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect():
         by_term.setdefault(r.term, []).append(r)
-        dfs[r.term] = r.df
     out = {}
     for term, segs in by_term.items():
         segs.sort(key=lambda r: r.doc_lo)
@@ -95,11 +99,15 @@ def test_blocks_roundtrip(spark, index_dir):
     }
     # postings may be segmented: several rows per term, ordered by doc_lo
     canonical: dict[str, list] = {}
-    for r in spark.read.parquet(f"{index_dir}/postings").collect():
+    for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect():
         canonical.setdefault(r.term, []).append(r)
     for segs in canonical.values():
         segs.sort(key=lambda r: r.doc_lo)
     assert {b.term for b in blocks} == set(canonical)
+    lexicon_dfs = {
+        r.term: r.df
+        for r in spark.read.parquet(f"{index_dir}/lexicon").collect()
+    }
     by_term: dict[str, list] = {}
     for b in blocks:
         by_term.setdefault(b.term, []).append(b)
@@ -107,8 +115,7 @@ def test_blocks_roundtrip(spark, index_dir):
         bs.sort(key=lambda b: b.lo_ord)
         segs = canonical[term]
         want_postings = [p for r in segs for p in r.postings]
-        assert all(b.df == segs[0].df for b in bs)
-        assert segs[0].df == len(want_postings)
+        assert lexicon_dfs[term] == len(want_postings)
         got_ids, got_tfs, got_pos = [], [], []
         for b in bs:
             ords = codec.decode_doc_ids(b.doc_ids_vb)

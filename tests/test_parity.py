@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from apt_search_engine_spark.indexing.build import with_postings_struct
+
 # Reference query set (processor/tony.java:17-20) + coverage additions
 # (FIXTURES.md section Q).
 QUERIES = [
@@ -71,14 +73,19 @@ def test_index_postings_match_oracle(spark, index_dir, oracle):
     """Every (term, doc) posting matches the oracle's inverted index:
     tf exact, positions exact, tags exact, df exact."""
     by_term: dict[str, list] = {}
-    for r in spark.read.parquet(f"{index_dir}/postings").collect():
+    for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect():
         by_term.setdefault(r.term, []).append(r)
+    lexicon_dfs = {
+        r.term: r.df
+        for r in spark.read.parquet(f"{index_dir}/lexicon").collect()
+    }
     inv = oracle.inverted
     assert set(by_term) == set(inv)
+    assert set(lexicon_dfs) == set(inv)
     for term, segs in by_term.items():
         segs.sort(key=lambda r: r.doc_lo)
         odocs = inv[term]
-        assert all(r.df == len(odocs) for r in segs), term
+        assert lexicon_dfs[term] == len(odocs), term
         postings = [p for r in segs for p in r.postings]
         got_ids = [p.doc_id for p in postings]
         assert got_ids == sorted(odocs), term  # sorted by doc_id

@@ -26,7 +26,11 @@ def stream_corpus(spark):
 
 
 def _postings_map(spark, index_dir):
-    rows = spark.read.parquet(os.path.join(index_dir, "postings")).collect()
+    from apt_search_engine_spark.indexing.build import with_postings_struct
+
+    rows = with_postings_struct(
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+    ).collect()
     out = {}
     for r in rows:
         out.setdefault(r.term, []).extend(

@@ -10,6 +10,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from apt_search_engine_spark.indexing.build import with_postings_struct
+
 QUERIES = [
     "travel guide",
     "travel guide europe tips",
@@ -51,7 +53,14 @@ def test_wand_small_slices_and_spanning_blocks(spark, engine, index_dir):
     wand = [
         (r.doc_id, r.score)
         for r in wand_topk(
-            spark, blocks, doc_map, term_mult, engine.n_docs, 10, slice_ords=64
+            spark,
+            blocks,
+            doc_map,
+            term_mult,
+            engine.term_dfs(list(term_mult)),
+            engine.n_docs,
+            10,
+            slice_ords=64,
         ).collect()
     ]
     exact = _rows(engine.search_df("travel guide", k=10))
@@ -101,7 +110,7 @@ def test_wtfs_decode_matches_reference_kernel(spark, index_dir):
 
     blocks = spark.read.parquet(f"{index_dir}/blocks").collect()
     canonical = {
-        r.term: r for r in spark.read.parquet(f"{index_dir}/postings").collect()
+        r.term: r for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect()
     }
     for term in list(canonical)[:50]:
         bs = sorted([b for b in blocks if b.term == term], key=lambda b: b.lo_ord)
