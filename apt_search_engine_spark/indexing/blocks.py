@@ -133,11 +133,21 @@ def _blocks_from_segments(batches):
         )
 
 
-def write_blocks(spark: SparkSession, postings_dir: str, blocks_dir: str) -> None:
+def write_blocks(
+    spark: SparkSession,
+    postings_src,
+    blocks_dir: str,
+) -> None:
     """Narrow derivation: chunk each postings segment row into compressed
     blocks. No shuffle — the merge already ordered and ord-stamped it.
-    df is not duplicated here; WAND takes it from the lexicon."""
-    postings = spark.read.parquet(postings_dir).select(
+    df is not duplicated here; WAND takes it from the lexicon.
+
+    `postings_src` is a directory path OR a (persisted) postings
+    DataFrame — passing the in-flight frame from the merge avoids
+    re-reading and re-decoding the whole index's nested arrays."""
+    if isinstance(postings_src, str):
+        postings_src = spark.read.parquet(postings_src)
+    postings = postings_src.select(
         "term", "term_bucket", "positions", "doc_ords", "tfs", "wtfs"
     )
     blocks = postings.mapInPandas(_blocks_from_segments, schema=BLOCKS_SCHEMA)

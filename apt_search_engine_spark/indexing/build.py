@@ -262,6 +262,23 @@ def build_lexicon(postings: DataFrame) -> DataFrame:
     ).select("term", "df", "term_bucket")
 
 
+def build_lexicon_from_flat(flat: DataFrame) -> DataFrame:
+    """Lexicon straight from the analyzed flat rows (one row per
+    (doc, term)): df = count per term. Reads ONLY the term column
+    (columnar pruning) — building from written postings would re-scan the
+    nested doc_ids arrays of the whole index. Same skew-free partial
+    aggregate as build_lexicon."""
+    return (
+        flat.groupBy("term")
+        .agg(F.count("*").cast("int").alias("df"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
+        )
+        .select("term", "df", "term_bucket")
+    )
+
+
 # exploded-entry expressions shared by the reconstructed view and the query
 # engine: tags rebuilt from prefix counts (analyzer emits title..h1..body
 # order), struct view zipped from the parallel arrays
@@ -395,8 +412,11 @@ class IndexBuilder:
     def lexicon_dir(self):
         return os.path.join(self.index_dir, "lexicon")
 
-    def merge_and_write(self, build_id: str) -> None:
-        from apt_search_engine_spark.indexing.blocks import write_doc_map
+    def merge_and_write(self, build_id: str, with_blocks: bool = False) -> None:
+        from apt_search_engine_spark.indexing.blocks import (
+            write_blocks,
+            write_doc_map,
+        )
 
         t0 = time.time()
         flat = self.spark.read.parquet(self.analyzed_dir)
@@ -408,13 +428,17 @@ class IndexBuilder:
         postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
             self.postings_dir
         )
-        # lexicon from the written segments (scalar projection only)
-        build_lexicon(
-            self.spark.read.parquet(self.postings_dir)
-            .select("term", "term_bucket", "doc_ids")
-        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
-            self.lexicon_dir
-        )
+        if with_blocks:
+            # derive from the freshly written parquet: a columnar re-read
+            # of the needed columns beats caching the wide nested frame
+            # (measured — the in-memory columnar cache of array-heavy rows
+            # costs more to build than the read it saves)
+            write_blocks(self.spark, self.postings_dir, self.blocks_dir)
+        # lexicon from flat (term column only — never re-scans the written
+        # nested arrays)
+        build_lexicon_from_flat(flat).write.mode("overwrite").partitionBy(
+            "term_bucket"
+        ).parquet(self.lexicon_dir)
         # per-bucket lineage metrics: term ranges + exact posting counts
         # from the lexicon, doc ranges from the postings scalar columns
         lex = self.spark.read.parquet(self.lexicon_dir)
@@ -477,12 +501,8 @@ class IndexBuilder:
         build_id = uuid.uuid4().hex[:12]
         n_docs = transcripts.count()
         self.analyze(transcripts, build_id)
-        self.merge_and_write(build_id)
+        self.merge_and_write(build_id, with_blocks=with_blocks)
         self.write_doc_meta(transcripts)
-        if with_blocks:
-            from apt_search_engine_spark.indexing.blocks import write_blocks
-
-            write_blocks(self.spark, self.postings_dir, self.blocks_dir)
         with open(self.meta_path, "w") as f:
             json.dump({"build_id": build_id, "n_docs": n_docs}, f)
         return build_id

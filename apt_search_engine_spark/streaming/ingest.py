@@ -102,11 +102,7 @@ def compact(spark: SparkSession, index_dir: str, with_blocks: bool = True) -> No
     import json
 
     builder = IndexBuilder(spark, index_dir)
-    builder.merge_and_write("stream-compact")
-    if with_blocks:
-        from apt_search_engine_spark.indexing.blocks import write_blocks
-
-        write_blocks(spark, builder.postings_dir, builder.blocks_dir)
+    builder.merge_and_write("stream-compact", with_blocks=with_blocks)
     n_docs = (
         spark.read.parquet(builder.analyzed_dir)
         .select("doc_id")
