@@ -48,6 +48,15 @@ def get_spark(
             "/dev/shm/aptse-spark" if os.path.isdir("/dev/shm") else "/tmp",
         )
         .config("spark.ui.enabled", "false")
+        # FileOutputCommitter v1 renames every output file SEQUENTIALLY on
+        # the driver at job commit — with partitionBy(term_bucket) writes
+        # producing hundreds of files, that is a serial tail that poisons
+        # scaling. v2 moves renames into the (parallel) tasks; real
+        # clusters use v2 or object-store committers for the same reason.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
