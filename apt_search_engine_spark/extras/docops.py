@@ -699,6 +699,54 @@ ORDER BY cos DESC, e.vec_id ASC LIMIT 10
 """
 
 
+# ------------------------------------------------------ ANN batched queries
+# The at-scale shape of similarity search: a (small) query SET broadcast
+# against the corpus, per-query top-k via window rank — one shuffle by
+# query id, no per-query job. Queries = vec_ids 0..4.
+def q_ann_batch_topk(spark, sf_dir):
+    from apt_search_engine_spark.extras.ann import cosine_expr
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", "cos", "rnk")
+    )
+
+
+SQL_ANN_BATCH_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+, qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id <= 4)
+, scored AS (
+  SELECT qs.q_id, e.vec_id,
+         round(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos
+  FROM e CROSS JOIN qs WHERE e.vec_id <> qs.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 # ------------------------------------------------------------ S3 URL normalize
 # Reference URL normalizer (S/Crawler/URLNormalizer.java:11-151): lowercase
 # scheme+host, strip www., drop default port, drop fragment, drop empty
@@ -908,6 +956,7 @@ SPARK_QUERIES = {
     "url_normalize": q_url_normalize,
     "snippet_pick": q_snippet_pick,
     "link_graph_invert": q_link_graph_invert,
+    "ann_batch_topk": q_ann_batch_topk,
 }
 
 ORACLE_SQL = {
@@ -934,4 +983,5 @@ ORACLE_SQL = {
     "url_normalize": SQL_URL_NORMALIZE,
     "snippet_pick": SQL_SNIPPET_PICK,
     "link_graph_invert": SQL_LINK_GRAPH_INVERT,
+    "ann_batch_topk": SQL_ANN_BATCH_TOPK,
 }
