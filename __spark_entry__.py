@@ -155,6 +155,38 @@ def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: watermarked event-time tumbling windows over
+    the adapted corpus, drained availableNow (rows-only; batch
+    equivalence + late-data drop proven in tests/test_streaming.py)."""
+    from apt_search_engine_spark.streaming.windows import run_windowed_drain
+
+    key = hashlib.md5(f"{sf_dir}|stream1".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"aptse_stream_{key}")
+    inp, ck, out = (os.path.join(base, d) for d in ("in", "ck", "out"))
+    if not os.path.exists(inp):
+        tr = _adapt_documents(spark, sf_dir).withColumn(
+            "ts",
+            F.expr(
+                "timestamp'2025-03-01 12:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, turn_idx, 0)"
+            ),
+        )
+        tr.write.mode("overwrite").parquet(inp)
+    rows = run_windowed_drain(spark, inp, ck, out)
+    schema = (
+        "win_start timestamp, win_end timestamp, conv_id string, "
+        "n_turns long, n_chars long"
+    )
+    return spark.createDataFrame(
+        [
+            (r.win_start, r.win_end, r.conv_id, r.n_turns, r.n_chars)
+            for r in rows
+        ],
+        schema,
+    )
+
+
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (schema + mapInPandas batch shape) over the
     deterministic synthetic media table; decode is a documented fake."""
@@ -192,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = _ann_ivf_q
     q["pagerank"] = _pagerank_q
     q["multimodal_features"] = _multimodal_q
+    q["stream_windowed_counts"] = _stream_windowed_q
     return q
 
 
