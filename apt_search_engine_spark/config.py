@@ -12,6 +12,20 @@ import os
 # the oracle both use this value.
 IDF_NUMERATOR = 6000
 
+
+def idf_numerator(n_docs: int) -> int:
+    """Scale generalization of the reference's hardcoded numerator.
+
+    The Java can never see df > 6000 (MAX_PAGES caps its corpus at 6000),
+    so `6000 / df` is always >= 1 there. Beyond that regime the literal
+    constant DEGENERATES: floor(6000/df) = 0 for every term with
+    df > 6000, zeroing all scores — at 10^12 turns every query would
+    return nothing. max(6000, n_docs) is bit-identical to the Java inside
+    its reachable regime (n_docs <= 6000, the only corpora it can build)
+    and keeps the same floor-division semantics outside it, with the
+    numerator meaning what MAX_PAGES meant: the corpus size."""
+    return max(IDF_NUMERATOR, n_docs)
+
 # Default top-k returned by a search (the reference returns everything and
 # lets the client slice 10 per page — client/src/pages/ResultsPage.jsx:26-30;
 # at 10^12 turns return-everything is not a contract we keep, SURVEY.md P9).

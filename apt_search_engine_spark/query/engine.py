@@ -39,8 +39,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from apt_search_engine_spark.config import (
     DEFAULT_TOP_K,
-    IDF_NUMERATOR,
     N_TERM_BUCKETS,
+    idf_numerator,
 )
 from apt_search_engine_spark.query import parser
 from apt_search_engine_spark.query.snippets import generate_snippet
@@ -86,6 +86,10 @@ class SearchEngine:
         # absent-URL default is 1/|pageRanks| (Ranker.java:196) — kept as a
         # multiplied constant so scores match the oracle bit-for-bit.
         self.prior = 1.0 / self.n_docs
+        # == 6000 on any corpus the reference can build; = n_docs beyond
+        # that regime, where the literal constant zeroes every score
+        # (config.idf_numerator rationale)
+        self.idf_numerator = idf_numerator(self.n_docs)
 
     @classmethod
     def over_transcripts(cls, spark: SparkSession, transcripts: DataFrame,
@@ -293,7 +297,7 @@ class SearchEngine:
         # note above); same product order as the reference's fold-then-
         # multiply, so scores stay bit-comparable to the oracle
         contrib = F.col("wtf") * F.floor(
-            F.lit(IDF_NUMERATOR) / F.col("df")
+            F.lit(self.idf_numerator) / F.col("df")
         ).cast("double")
         sp = sp.withColumn("contrib", contrib * F.expr(mult_expr))
 
@@ -356,6 +360,7 @@ class SearchEngine:
             self.term_dfs(words),
             self.n_docs,
             k,
+            idf_num=self.idf_numerator,
         )
 
     # ------------------------------------------------------------- public

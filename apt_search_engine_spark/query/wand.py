@@ -41,7 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from apt_search_engine_spark.config import IDF_NUMERATOR
+from apt_search_engine_spark.config import idf_numerator
 from apt_search_engine_spark.indexing import codec
 
 # Ordinal width of one scoring slice. 8192 ords = up to 64 full blocks per
@@ -151,6 +151,7 @@ def wand_topk(
     n_docs: int,
     k: int,
     slice_ords: int = SLICE_ORDS,
+    idf_num: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag-of-words query whose (already
     stemmed) terms and multiplicities are `term_mult`, over a pre-filtered
@@ -159,9 +160,11 @@ def wand_topk(
     a driver-side lookup of a few rows, no extra Spark job here)."""
     terms = sorted(term_mult)
     prior = 1.0 / n_docs
+    if idf_num is None:
+        idf_num = idf_numerator(n_docs)
 
     weights = {
-        t: float((IDF_NUMERATOR // term_dfs[t]) * term_mult[t])
+        t: float((idf_num // term_dfs[t]) * term_mult[t])
         for t in terms
         if t in term_dfs
     }

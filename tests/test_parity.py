@@ -108,3 +108,37 @@ def test_invariant_text_equality(spark, corpus_df, corpus_pdf):
     assert len(got) == len(want)
     for i, r in enumerate(got):
         assert r.text == want.at[i, "text"], (r.conv_id, r.turn_idx)
+
+
+def test_scores_not_degenerate_beyond_reference_corpus_cap(spark):
+    """Regression: the reference's literal 6000 IDF numerator zeroes every
+    score once df > 6000 (floor(6000/df) = 0) — a regime the Java can
+    never reach (MAX_PAGES caps its corpus) but a 10^12-turn corpus lives
+    in. The engine must return ranked results there, with the same
+    floor-division semantics on the generalized numerator max(6000, N)."""
+    from apt_search_engine_spark.config import idf_numerator
+    from apt_search_engine_spark.corpus import gen_corpus_pandas
+    from apt_search_engine_spark.query.engine import SearchEngine
+    from apt_search_engine_spark.schema import TRANSCRIPTS
+
+    pdf = gen_corpus_pandas(300)  # ~8k turns > 6000 docs
+    tr = spark.createDataFrame(pdf, TRANSCRIPTS)
+    eng = SearchEngine.over_transcripts(spark, tr)
+    assert eng.n_docs > 6000
+    assert eng.idf_numerator == eng.n_docs == idf_numerator(eng.n_docs)
+
+    rows = eng.search_df("travel guide", k=10).collect()
+    assert len(rows) == 10
+    assert all(r.score > 0 for r in rows)
+    # spot-check the kernel on the top doc: score = prior * sum over terms
+    # of wtf * floor(N / df)
+    dfs = eng.term_dfs(["travel", "guid"])
+    ex = {
+        (r.term, r.doc_id): r.wtf
+        for r in eng._exploded(["travel", "guid"]).collect()
+        if r.doc_id == rows[0].doc_id
+    }
+    want = sum(
+        wtf * (eng.idf_numerator // dfs[t]) for (t, _), wtf in ex.items()
+    ) * eng.prior
+    assert rows[0].score == pytest.approx(want, rel=1e-9)
