@@ -71,8 +71,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _search_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Ranked top-k via the full engine; score rounded (6 dp) for the
+    driver's hash compare — top-k membership is decided on the unrounded
+    scores inside the engine, identically to the DuckDB oracle
+    (extras/search_oracle.py float-parity contract)."""
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _engine_over(spark, sf_dir).search_df(query, k=10)
+        return (
+            _engine_over(spark, sf_dir)
+            .search_df(query, k=10)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
 
     return run
 
@@ -80,22 +89,31 @@ def _search_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
 def _wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND hot path over the compressed blocks companion;
     rank+score identical to the exact plan (tests/test_wand.py)."""
-    return _engine_over(spark, sf_dir).search_df_wand("table scan query", k=10)
+    return (
+        _engine_over(spark, sf_dir)
+        .search_df_wand("table scan query", k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
 
 
 def _snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full response assembly (R9/P8): top-k + doc_meta join + snippet
-    HTML, returned as a DataFrame for the rows-only check."""
+    HTML, hash-verified against the DuckDB oracle."""
     rows = _engine_over(spark, sf_dir).search(
         "table scan query", k=10, with_snippets=True
     )
     schema = "doc_id string, url string, score double, title string, snippet string"
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [
             (r["doc_id"], r["url"], float(r["score"]), r["title"], r["snippet"])
             for r in rows
         ],
         schema,
+    )
+    # Spark-side round (HALF_UP) so the rounding rule matches the other
+    # search_* entries and the oracle's round()
+    return out.select(
+        "doc_id", "url", F.round("score", 6).alias("score"), "title", "snippet"
     )
 
 
@@ -231,4 +249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from apt_search_engine_spark.extras.docops import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # Flagship Porter-stemmed search paths: generated SQL with the corpus
+    # stem map embedded as a VALUES table (extras/search_oracle.py). The
+    # driver's correctness compare runs at sf0.01; if that corpus is
+    # unreadable here the entries stay rows-only rather than erroring.
+    try:
+        from apt_search_engine_spark.extras.search_oracle import (
+            build_search_oracles,
+        )
+
+        out.update(build_search_oracles())
+    except Exception:
+        pass
+    return out

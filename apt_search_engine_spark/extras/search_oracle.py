@@ -1,0 +1,358 @@
+"""DuckDB oracles for the flagship Porter-stemmed search paths.
+
+Round-1 gap (VERDICT): the 5 `search_*` driver entries were rows-only
+because Porter stemming "is not SQL-expressible". But stemming is a pure
+per-token function, so its restriction to the corpus vocabulary IS
+relational data: this module computes the stem map for every admitted
+token of the canonical correctness corpus with the SAME golden-vector-
+tested stemmer the engine uses (analysis/porter.py) and embeds it as a
+VALUES table inside the generated SQL. Everything else in the flagship
+pipeline — the Q1/Q2 tf arithmetic, Q3 substring tag counts, df +
+floor-division IDF, P4 candidate intersection, P5 positional adjacency,
+P7 boolean set algebra, Q7 first-word gate, Q12 filtered-df recount,
+R2-R5 scoring/top-k, and R9 snippet selection + highlighting — is plain
+SQL over the registered `documents` view, mirroring
+server/src/main/java/processor/QueryProcessor.java:32-281 and
+server/src/main/java/ranker/Ranker.java:168-342 semantics exactly as the
+engine reproduces them.
+
+Float parity is exact-then-rounded: both engines compute tf, wtf and the
+per-doc score with the same IEEE-754 operation order (DuckDB `list_sum`
+folds left-to-right like Spark's `aggregate`, verified sequential), the
+per-doc term fold runs in ascending term order on both sides
+(determinism contract, SURVEY.md 7.4), and only the final score column
+is rounded (6 dp) for the hash compare — so the top-k row SET is decided
+on bit-identical scores, not rounded ones.
+
+The generated SQL is bound to the corpus it was generated from (the stem
+map is corpus-specific); the driver's correctness gate always runs at
+sf0.01, so `oracle_sql()` generates against CANONICAL_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+from apt_search_engine_spark.analysis.analyzer import process_heading_text
+from apt_search_engine_spark.analysis.porter import MemoStemmer
+from apt_search_engine_spark.config import IDF_NUMERATOR, TURN_PAD
+from apt_search_engine_spark.extras.docops import _STOPS_SQL
+from apt_search_engine_spark.query import parser
+
+# the driver's DuckDB correctness compare always runs at this scale
+CANONICAL_SF_DIR = "/root/testdata/sf0.01"
+
+# the driver-contract reference queries (__spark_entry__.py)
+NORMAL_QUERY = "table scan query"
+PHRASE_QUERY = '"table hash"'
+BOOLEAN_QUERY = '"table hash" AND merge'
+
+# Fixed adapter channels (_adapt_documents): title channel is the literal
+# "title" (quirk Q11, Tokenizer.java:143), h1 channel is role == "user".
+_ADAPTER_TITLE_TEXT = "title"
+_ADAPTER_H1_TEXT = "user"
+
+
+def _admitted_vocab_sql() -> str:
+    """CTE text yielding admitted raw tokens with pre-filter positions —
+    the EXACT text reused by both the vocab extraction and the oracle
+    queries, so the stem map covers every token the SQL admits."""
+    return f"""
+docs AS (
+  SELECT source || '#' ||
+         lpad((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::VARCHAR,
+              {TURN_PAD}, '0') AS doc_id,
+         text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM docs
+),
+rawtoks AS (
+  SELECT doc_id, tok, ord - 1 AS pos
+  FROM (SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord FROM base)
+),
+admitted AS (
+  SELECT doc_id, tok, pos FROM rawtoks
+  WHERE length(tok) > 1 AND NOT regexp_full_match(tok, '\\d+')
+        AND tok NOT IN ({_STOPS_SQL})
+)"""
+
+
+def _corpus_stem_values(sf_dir: str) -> str:
+    """(raw, stem) VALUES rows for every distinct admitted token in
+    sf_dir's documents table, stemmed with the engine's stemmer. Tokens
+    are [a-z0-9]+ by construction — no quoting hazards."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        path = os.path.join(sf_dir, "documents.parquet").replace("'", "''")
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+        )
+        toks = [
+            r[0]
+            for r in con.execute(
+                "WITH " + _admitted_vocab_sql() + " SELECT DISTINCT tok FROM admitted"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    stemmer = MemoStemmer()
+    rows = sorted((t, stemmer(t)) for t in toks)
+    return ", ".join(f"('{raw}', '{stem}')" for raw, stem in rows)
+
+
+def _postings_ctes(stem_values: str) -> str:
+    """Shared CTE chain: documents -> per-(doc, stemmed term) postings
+    with occ, ordered positions, tf (quirks Q1/Q2) and wtf (the stored
+    tag-weight closed form, build.py _WTF_EXPR) under the fixed adapter
+    heading channels (Q3 substring counts against the processed heading
+    constants)."""
+    stemmer = MemoStemmer()
+    proc_title = process_heading_text(_ADAPTER_TITLE_TEXT, stemmer)
+    proc_h1 = process_heading_text(_ADAPTER_H1_TEXT, stemmer)
+
+    def _subcount(hay: str) -> str:
+        # non-overlapping left-to-right substring count == Python str.count
+        return (
+            f"(length('{hay}') - length(replace('{hay}', term, ''))) // length(term)"
+        )
+
+    return f"""
+stems(raw, stem) AS (VALUES {stem_values}),
+{_admitted_vocab_sql()},
+toks AS (
+  SELECT a.doc_id, s.stem AS term, a.pos
+  FROM admitted a JOIN stems s ON s.raw = a.tok
+  WHERE s.stem <> ''
+),
+agg AS (
+  SELECT doc_id, term, count(*) AS occ, list(pos ORDER BY pos) AS ps
+  FROM toks GROUP BY doc_id, term
+),
+tot AS (SELECT doc_id, sum(occ + 1) AS total FROM agg GROUP BY doc_id),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+tagged AS (
+  SELECT a.doc_id, a.term, a.occ, a.ps,
+         (a.occ + 1)::DOUBLE / t.total AS tf,
+         least({_subcount(proc_title)}, a.occ) AS n_title
+  FROM agg a JOIN tot t USING (doc_id)
+),
+tagged2 AS (
+  SELECT doc_id, term, occ, ps, tf, n_title,
+         least({_subcount(proc_h1)}, occ - n_title) AS n_h1
+  FROM tagged
+),
+w AS (
+  SELECT doc_id, term, occ, ps,
+         ((4.0::DOUBLE * n_title + 2.5::DOUBLE * n_h1)
+          + 0.5::DOUBLE * (occ - n_title - n_h1)) * tf AS wtf
+  FROM tagged2
+)"""
+
+
+def _score_sql(
+    filtered_cte: str, scoring_terms: list[str], gate: str | None, k: int = 10
+) -> str:
+    """Score `fp` (the filtered postings CTE) exactly like
+    SearchEngine._score: contrib = wtf * floor(idf_num/df) * multiplicity,
+    df recounted from fp (quirk Q12 — callers override with a true-df fp
+    for the normal path), optional first-word semi-join gate (quirk Q7),
+    per-doc fold in ascending term order, * uniform prior, top-k."""
+    mult: dict[str, int] = {}
+    for t in scoring_terms:
+        mult[t] = mult.get(t, 0) + 1
+    mult_case = (
+        "CASE term "
+        + " ".join(f"WHEN '{t}' THEN {c}::DOUBLE" for t, c in sorted(mult.items()))
+        + " ELSE 0::DOUBLE END"
+    )
+    present = ", ".join(f"'{t}'" for t in sorted(mult))
+    gate_sql = (
+        f" AND c.doc_id IN (SELECT doc_id FROM contribs WHERE term = '{gate}')"
+        if gate is not None
+        else ""
+    )
+    return f"""{filtered_cte},
+dfs AS (SELECT term, count(*) AS df FROM fp GROUP BY term),
+contribs AS (
+  SELECT fp.doc_id, fp.term,
+         fp.wtf * ((greatest({IDF_NUMERATOR}, nd.n_docs) // d.df)::DOUBLE)
+                * ({mult_case}) AS contrib
+  FROM fp JOIN dfs d USING (term) CROSS JOIN nd
+  WHERE fp.term IN ({present})
+),
+scored AS (
+  SELECT c.doc_id,
+         list_sum(list(c.contrib ORDER BY c.term))
+           * (1.0::DOUBLE / (SELECT n_docs FROM nd)) AS score
+  FROM contribs c
+  WHERE true{gate_sql}
+  GROUP BY c.doc_id
+),
+topk AS (
+  SELECT doc_id, score FROM scored WHERE score <> 0.0
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+
+
+def _phrase_cand_cte(terms: list[str]) -> str:
+    """P4+P5: docs containing every distinct term where term positions
+    satisfy the shift-intersection fold (engine _phrase_filtered)."""
+    distinct = sorted(set(terms))
+    joins = [f"agg a0 " if i == 0 else f"JOIN agg a{i} USING (doc_id)" for i in range(len(distinct))]
+    alias = {t: f"a{i}" for i, t in enumerate(distinct)}
+    conds = " AND ".join(f"{alias[t]}.term = '{t}'" for t in distinct)
+    base = f"{alias[terms[0]]}.ps"
+    for i, t in enumerate(terms[1:], start=1):
+        base = f"list_intersect({base}, list_transform({alias[t]}.ps, x -> x - {i}))"
+    return (
+        "cand AS (\n  SELECT a0.doc_id FROM "
+        + " ".join(joins)
+        + f"\n  WHERE {conds} AND len({base}) > 0\n)"
+    )
+
+
+def normal_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
+    """handleNormal + RankDocuments: OR semantics, true df, no gate."""
+    p = parser.parse(query)
+    words = sorted({w for w in p.query_words if w.upper() not in parser.OPERATORS})
+    present = ", ".join(f"'{t}'" for t in words)
+    # normal path uses the build-time (true) df: recounting over fp IS the
+    # true df because fp is unfiltered (every posting of the term)
+    filtered = f"fp AS (SELECT * FROM w WHERE term IN ({present}))"
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, words, gate=None, k=k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def phrase_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
+    """handlePhrase + PhraseRank: candidate AND -> adjacency -> score
+    with filtered-df recount (Q12) and first-word gate (Q7)."""
+    p = parser.parse(query)
+    terms = p.query_words
+    distinct = sorted(set(terms))
+    present = ", ".join(f"'{t}'" for t in distinct)
+    filtered = (
+        _phrase_cand_cte(terms)
+        + f",\nfp AS (SELECT w.* FROM w JOIN cand USING (doc_id) WHERE w.term IN ({present}))"
+    )
+    words = p.scoring_words
+    gate = words[0] if words else None
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, words, gate=gate, k=k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def boolean_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
+    """handlePhraseWithBoolean + PhraseAndBoolRank for the driver query
+    '"<phrase>" AND <word>': left-fold set algebra on segment doc sets,
+    postings filtered to the merged set, boolean structure discarded for
+    scoring (Q8)."""
+    p = parser.parse(query)
+    segments = [s for s in p.segments if not parser.is_operator(s)]
+    operators = parser.extract_operators(p.segments)
+    assert (
+        len(segments) == 2
+        and operators == ["AND"]
+        and segments[0].startswith('"')
+        and not segments[1].startswith('"')
+    ), "generator covers the driver-contract shape: \"phrase\" AND word"
+    phrase_terms = [parser.stem(w) for w in parser.tokenize(segments[0][1:-1])]
+    bare = parser.stem(segments[1])
+    all_terms = sorted(set(phrase_terms) | {bare})
+    present = ", ".join(f"'{t}'" for t in all_terms)
+    filtered = (
+        _phrase_cand_cte(phrase_terms)
+        + f""",
+mdocs AS (SELECT DISTINCT doc_id FROM agg WHERE term = '{bare}'),
+merged AS (SELECT doc_id FROM cand INTERSECT SELECT doc_id FROM mdocs),
+fp AS (SELECT w.* FROM w JOIN merged USING (doc_id) WHERE w.term IN ({present}))"""
+    )
+    words = p.scoring_words
+    gate = words[0] if words else None
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, words, gate=gate, k=k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def snippets_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
+    """search(..., with_snippets=True) on a normal query: top-k + doc_meta
+    (url = doc_id, title = adapter tool = '') + R9 snippet. Snippet terms
+    for normal queries are the RAW operator-split segments
+    (Ranker.java:202) — here the single segment string. Sentence split
+    reproduces Python's `(?<=[.!?])\\s+` via a marker substitution (RE2
+    has no lookbehind)."""
+    p = parser.parse(query)
+    assert p.qtype == "normal" and len(p.segments) == 1
+    seg = p.segments[0].lower()
+    esc = seg.replace("'", "''")
+    # regex-escape for the highlight pattern (segment is alnum+spaces here)
+    import re as _re
+
+    pat = _re.escape(seg).replace("'", "''")
+    base = normal_topk_sql(stem_values, query, k)
+    # strip the final SELECT; reuse its CTE chain
+    body = base[: base.rindex("\nSELECT doc_id")]
+    return (
+        body
+        + f""",
+paras AS (
+  SELECT doc_id, ord - 1 AS pidx, p
+  FROM (
+    SELECT doc_id, unnest(sarr) AS p, generate_subscripts(sarr, 1) AS ord
+    FROM (
+      SELECT d.doc_id,
+             string_split(regexp_replace(d.text, '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                          chr(30)) AS sarr
+      FROM docs d JOIN topk USING (doc_id)
+      WHERE length(coalesce(d.text, '')) > 0
+    )
+  )
+),
+eligible AS (
+  SELECT doc_id, pidx, p,
+         CASE WHEN contains(lower(p), '{esc}') THEN 1 ELSE 0 END AS nseg,
+         (length(lower(p)) - length(replace(lower(p), '{esc}', ''))) // {len(seg)} AS freq
+  FROM paras WHERE length(p) <= 1000
+),
+best AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY nseg DESC, freq DESC, pidx ASC) AS rn
+  FROM eligible
+)
+SELECT t.doc_id, t.doc_id AS url, round(t.score, 6) AS score, '' AS title,
+       coalesce(regexp_replace(b.p, '{pat}', '<b>\\0</b>', 'gi'), '') AS snippet
+FROM topk t LEFT JOIN (SELECT doc_id, p FROM best WHERE rn = 1) b USING (doc_id)"""
+    )
+
+
+def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
+    """The 5 flagship oracle SQL strings for the given corpus. Raises if
+    the corpus is unreadable (callers treat that as 'no oracle')."""
+    sv = _corpus_stem_values(sf_dir)
+    return {
+        "search_normal_topk": normal_topk_sql(sv, NORMAL_QUERY),
+        "search_phrase_topk": phrase_topk_sql(sv, PHRASE_QUERY),
+        "search_boolean_topk": boolean_topk_sql(sv, BOOLEAN_QUERY),
+        # WAND is rank+score identical to the exact plan (tests/test_wand.py)
+        "search_wand_topk": normal_topk_sql(sv, NORMAL_QUERY),
+        "search_snippets_topk": snippets_topk_sql(sv, NORMAL_QUERY),
+    }
