@@ -72,18 +72,22 @@ ANALYZED_SCHEMA = (
 _REF_TITLE_TEXT = "title"
 
 
-def _analyze_partition(batches):
-    for pdf in batches:
-        flat = analyze_batch_flat(
-            pdf["text"],
-            title=pd.Series([_REF_TITLE_TEXT] * len(pdf)),
-            h1=pdf["role"].reset_index(drop=True),
-            tags_as_counts=True,
-        )
-        doc_ids = pdf["doc_id"].to_numpy()
-        yield pd.DataFrame(
-            {
-                "doc_id": doc_ids[flat["doc"].to_numpy()]
+def _analyze_partition_factory(extra_cols: tuple[str, ...] = ()):
+    """mapInPandas fn: analyze a batch; per-doc `extra_cols` (e.g. the
+    resume batch id) are carried through by doc index — no recompute."""
+
+    def _analyze_partition(batches):
+        for pdf in batches:
+            flat = analyze_batch_flat(
+                pdf["text"],
+                title=pd.Series([_REF_TITLE_TEXT] * len(pdf)),
+                h1=pdf["role"].reset_index(drop=True),
+                tags_as_counts=True,
+            )
+            doc_ilocs = flat["doc"].to_numpy() if len(flat) else np.empty(0, np.int64)
+            doc_ids = pdf["doc_id"].to_numpy()
+            out = {
+                "doc_id": doc_ids[doc_ilocs]
                 if len(flat)
                 else np.empty(0, dtype=object),
                 "term": flat["term"],
@@ -92,16 +96,35 @@ def _analyze_partition(batches):
                 "n_title": flat["n_title"],
                 "n_h1": flat["n_h1"],
             }
-        )
+            for c in extra_cols:
+                vals = pdf[c].to_numpy()
+                out[c] = vals[doc_ilocs] if len(flat) else vals[:0]
+            yield pd.DataFrame(out)
+
+    return _analyze_partition
 
 
-def analyze_transcripts(transcripts: DataFrame) -> DataFrame:
+def analyze_transcripts(
+    transcripts: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Stage 1 transform: transcripts -> flat posting rows. Narrow (no
-    shuffle); all Python work is Arrow-batched."""
+    shuffle); all Python work is Arrow-batched. `extra_cols` names extra
+    per-turn columns of `transcripts` to carry onto each posting row."""
     docs = transcripts.select(
-        doc_id_expr().alias("doc_id"), F.col("text"), F.col("role")
+        doc_id_expr().alias("doc_id"),
+        F.col("text"),
+        F.col("role"),
+        *[F.col(c) for c in extra_cols],
     )
-    return docs.mapInPandas(_analyze_partition, schema=ANALYZED_SCHEMA)
+    schema = ANALYZED_SCHEMA
+    if extra_cols:
+        extra_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in docs.schema.fields
+            if f.name in extra_cols
+        )
+        schema = f"{ANALYZED_SCHEMA}, {extra_schema}"
+    return docs.mapInPandas(_analyze_partition_factory(extra_cols), schema=schema)
 
 
 # with doc_ord attached (disk builds): +doc_ords/wtfs so the block-max
@@ -359,49 +382,82 @@ class IndexBuilder:
     # -- stage 1 ----------------------------------------------------------
     def analyze(self, transcripts: DataFrame, build_id: str,
                 only_batches: list[int] | None = None) -> None:
-        """Resumable analyze: doc-batches not yet in lineage are analyzed
-        and appended under analyzed/batch=<id>/. `only_batches` restricts
-        the run (operational partial runs / crash simulation in tests).
-        Lineage stats ride the write via Observation — no re-scan."""
-        from pyspark.sql import Observation
+        """Resumable analyze in ONE input pass: every not-yet-done batch
+        is analyzed in a single job writing partitionBy(batch) with
+        dynamic partition overwrite (only the touched batch directories
+        are replaced — a crashed run's partial files are cleared when its
+        batch re-runs), then one lineage row per completed batch.
 
+        The previous implementation looped `for b in range(n_batches)`
+        re-filtering the full input scan on a COMPUTED column
+        (pmod(xxhash64(conv_id), B)) that no reader can prune — B full
+        scans of the corpus, i.e. 64 scans of a 100 TB table at the job
+        default. Per-batch stats now come from a column-pruned read-back
+        of the (much smaller) analyzed output instead of Observation,
+        which only ever saw one batch per job anyway.
+
+        `only_batches` restricts the run (operational partial runs /
+        crash simulation in tests); resume granularity is unchanged."""
         done = self._completed_batches()
+        todo = [
+            b
+            for b in range(self.n_batches)
+            if b not in done and (only_batches is None or b in only_batches)
+        ]
+        if not todo:
+            return
+        t0 = time.time()
         with_batch = transcripts.withColumn(
             "batch", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_batches)).cast("int")
         )
-        for b in range(self.n_batches):
-            if b in done or (only_batches is not None and b not in only_batches):
-                continue
-            t0 = time.time()
-            part = with_batch.filter(F.col("batch") == b).drop("batch")
-            obs = Observation(f"analyze-{b}")
-            flat = analyze_transcripts(part).observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.min("doc_id").alias("dlo"),
-                F.max("doc_id").alias("dhi"),
-                F.min("term").alias("tlo"),
-                F.max("term").alias("thi"),
+        part = (
+            with_batch
+            if len(todo) == self.n_batches
+            else with_batch.filter(F.col("batch").isin(todo))
+        )
+        flat = analyze_transcripts(part, extra_cols=("batch",))
+        (
+            flat.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(self.analyzed_dir)
+        )
+        ms = int((time.time() - t0) * 1000)
+        # per-batch stats: pruned columnar read of (batch, doc_id, term)
+        # over ONLY the just-written batch partitions
+        stats = {
+            int(r.batch): r
+            for r in (
+                self.spark.read.parquet(self.analyzed_dir)
+                .filter(F.col("batch").isin(todo))
+                .groupBy("batch")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("doc_id").alias("dlo"),
+                    F.max("doc_id").alias("dhi"),
+                    F.min("term").alias("tlo"),
+                    F.max("term").alias("thi"),
+                )
+                .collect()
             )
-            out = os.path.join(self.analyzed_dir, f"batch={b}")
-            flat.write.mode("overwrite").parquet(out)
-            stats = obs.get
-            self._append_lineage(
-                [
-                    {
-                        "build_id": build_id,
-                        "partition_id": b,
-                        "term_lo": stats["tlo"],
-                        "term_hi": stats["thi"],
-                        "doc_lo": stats["dlo"],
-                        "doc_hi": stats["dhi"],
-                        "n_rows": stats["n"] or 0,
-                        "n_postings": stats["n"] or 0,
-                        "build_ms": int((time.time() - t0) * 1000),
-                        "snapshot_id": f"analyzed-{b}",
-                    }
-                ]
-            )
+        }
+        self._append_lineage(
+            [
+                {
+                    "build_id": build_id,
+                    "partition_id": b,
+                    "term_lo": stats[b].tlo if b in stats else None,
+                    "term_hi": stats[b].thi if b in stats else None,
+                    "doc_lo": stats[b].dlo if b in stats else None,
+                    "doc_hi": stats[b].dhi if b in stats else None,
+                    "n_rows": int(stats[b].n) if b in stats else 0,
+                    "n_postings": int(stats[b].n) if b in stats else 0,
+                    "build_ms": ms,
+                    "snapshot_id": f"analyzed-{b}",
+                }
+                for b in todo
+            ]
+        )
 
     @property
     def doc_map_dir(self):
