@@ -321,8 +321,21 @@ FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
 def q_ngram_jaccard(spark, sf_dir):
     pairs = q_minhash_pairs(spark, sf_dir)
     dsh = _shingles(_docs(spark, sf_dir)).distinct()
-    cnt = dsh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a, b = dsh.alias("a"), dsh.alias("b")
+    # Restrict the shingle frame to LSH-candidate docs BEFORE the
+    # co-shingle self-join: without this the join computes intersections
+    # for EVERY co-shingled doc pair — quadratic on hot shingles (a
+    # common 3-gram shared by 10^6 docs is 10^12 join rows at scale).
+    # Candidate docs are a tiny fraction of the corpus by construction.
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dshc = dsh.join(cand_docs, "doc_id", "left_semi")
+    # per-doc shingle counts are doc-local, so the candidate-restricted
+    # frame yields the same ca/cb values without a full-corpus aggregate
+    cnt = dshc.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = dshc.alias("a"), dshc.alias("b")
     inter = (
         a.join(
             b,
@@ -366,10 +379,14 @@ SQL_NGRAM_JACCARD = _SQL_SHINGLES + f"""
   FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
 )
 , dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)
-, cnt AS (SELECT doc_id, count(*) AS c FROM dsh GROUP BY doc_id)
+, cand_docs AS (
+  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b AS doc_id FROM pairs
+)
+, dshc AS (SELECT * FROM dsh WHERE doc_id IN (SELECT doc_id FROM cand_docs))
+, cnt AS (SELECT doc_id, count(*) AS c FROM dshc GROUP BY doc_id)
 , inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM dshc a JOIN dshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc_a, p.doc_b,

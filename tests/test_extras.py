@@ -52,6 +52,93 @@ def test_simhash_candidates_and_hamming(spark, docs):
     assert all(r.h == 0 for r in j.collect())
 
 
+def test_simhash_regression_vs_explode_shape(spark, docs):
+    """The restructured simhash64 (64 partially-aggregated sums, one
+    groupBy(doc_id)) must produce signatures identical to the original
+    explode-64-rows-per-(doc,term) shape it replaced."""
+    from apt_search_engine_spark.extras.dedup import _tokens, simhash64
+
+    sample = docs.limit(50)
+    tf = _tokens(sample).groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    bits = (
+        tf.withColumn("h", F.xxhash64("term"))
+        .select(
+            "doc_id", "cnt", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        )
+        .withColumn(
+            "vote",
+            F.expr(
+                "CASE WHEN (shiftright(h, bit) & 1L) = 1L THEN cnt ELSE -cnt END"
+            ),
+        )
+    )
+    old = {
+        r.doc_id: r.simhash
+        for r in (
+            bits.groupBy("doc_id", "bit")
+            .agg(F.sum("vote").alias("v"))
+            .withColumn(
+                "bitval",
+                F.expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("bitval").cast("long").alias("simhash"))
+            .collect()
+        )
+    }
+    new = {r.doc_id: r.simhash for r in simhash64(sample).collect()}
+    assert new == old
+
+
+def test_simhash_md5_hex_matches_bands(spark, docs):
+    """The hex encoding is exactly the four 16-bit band values, band 3
+    high — and banded candidates pair duplicated texts."""
+    from apt_search_engine_spark.extras.dedup import (
+        _simhash_md5_bandframe,
+        simhash64_md5_hex,
+        simhash_md5_candidates,
+    )
+
+    sample = docs.limit(20)
+    bands = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+             for r in _simhash_md5_bandframe(sample).collect()}
+    for r in simhash64_md5_hex(sample).collect():
+        b0, b1, b2, b3 = bands[r.doc_id]
+        assert r.sig_hex == f"{b3:04x}{b2:04x}{b1:04x}{b0:04x}"
+    dup = sample.limit(2).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in simhash_md5_candidates(sample.union(dup)).collect()}
+    for i in [r.doc_id for r in sample.limit(2).select("doc_id").collect()]:
+        assert (i, i + 10_000_000) in pairs
+
+
+def test_embedding_neardup_recall_on_planted(spark, emb):
+    """Recall of the multi-table hyperplane LSH on PLANTED near-dups
+    (cos ~0.98): with 2 tables x 8 planes the per-pair collision rate is
+    1-(1-(1-theta/pi)^8)^2 ~ 0.83, so >=60% of 20 planted pairs must
+    surface; every surfaced pair must clear the threshold exactly."""
+    from apt_search_engine_spark.extras.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(99)
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    planted = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        noise = rng.standard_normal(len(v)) * 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+        planted.append((int(r.vec_id) + 1_000_000, (v + noise).tolist()))
+    plus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).union(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    )
+    pairs = embedding_neardup_pairs(
+        plus, threshold=0.9, n_planes=8, n_tables=2
+    ).collect()
+    found = {(r.vec_a, r.vec_b) for r in pairs}
+    hits = sum(1 for r in rows if (int(r.vec_id), int(r.vec_id) + 1_000_000) in found)
+    assert hits >= 12, f"planted-pair recall too low: {hits}/20"
+    assert all(r.cos >= 0.9 for r in pairs)
+
+
 def test_embedding_neardup_finds_planted(spark, emb):
     from apt_search_engine_spark.extras.dedup import embedding_neardup_pairs
 
