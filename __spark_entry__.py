@@ -163,10 +163,14 @@ def _ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8 power iteration as a DataFrame job over a deterministic toy graph
     synthesized from the documents table (each doc links to the next two
-    doc_ids in its source — ring within conversation)."""
+    doc_ids in its source — ring within conversation). Fixed 12
+    iterations, hash-verified vs an unrolled DuckDB oracle; the
+    convergence-stop variant (quirk Q9 + stale-map return) is the
+    library op, verified vs the line-by-line Python oracle in
+    tests/test_pagerank.py."""
     from pyspark.sql import Window
 
-    from apt_search_engine_spark.ranking.pagerank import pagerank
+    from apt_search_engine_spark.ranking.pagerank import pagerank_fixed
 
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -181,21 +185,27 @@ def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lead("url", 1).over(w), F.lead("url", 2).over(w))
         ).alias("out_links"),
     )
-    return pagerank(spark, adj).select(
+    return pagerank_fixed(spark, adj, n_iters=12).select(
         "url", F.round("rank", 9).alias("rank")
     )
 
 
 def _stream_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: watermarked event-time tumbling windows over
-    the adapted corpus, drained availableNow (rows-only; batch
-    equivalence + late-data drop proven in tests/test_streaming.py)."""
+    the adapted corpus, drained availableNow. Hash-verified against the
+    batch restatement in DuckDB (windows finalized by the ending
+    watermark); batch equivalence + late-data drop also proven in
+    tests/test_streaming.py. The temp-state key carries a layout/code
+    version (like the index cache) so stale checkpoints and epoch
+    outputs from older revisions are never folded into the cumulative
+    result; input reuse is gated on the parquet _SUCCESS marker, not
+    bare directory existence."""
     from apt_search_engine_spark.streaming.windows import run_windowed_drain
 
-    key = hashlib.md5(f"{sf_dir}|stream1".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}|stream|layout=2".encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"aptse_stream_{key}")
     inp, ck, out = (os.path.join(base, d) for d in ("in", "ck", "out"))
-    if not os.path.exists(inp):
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
         tr = _adapt_documents(spark, sf_dir).withColumn(
             "ts",
             F.expr(
@@ -206,12 +216,19 @@ def _stream_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.write.mode("overwrite").parquet(inp)
     rows = run_windowed_drain(spark, inp, ck, out)
     schema = (
-        "win_start timestamp, win_end timestamp, conv_id string, "
+        "win_start string, win_end string, conv_id string, "
         "n_turns long, n_chars long"
     )
+    fmt = "%Y-%m-%d %H:%M:%S"
     return spark.createDataFrame(
         [
-            (r.win_start, r.win_end, r.conv_id, r.n_turns, r.n_chars)
+            (
+                r.win_start.strftime(fmt),
+                r.win_end.strftime(fmt),
+                r.conv_id,
+                r.n_turns,
+                r.n_chars,
+            )
             for r in rows
         ],
         schema,
@@ -287,4 +304,12 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_neardup_pairs"] = embedding_neardup_sql(
         dim=64, **_NEARDUP_ARGS
     )
+    from apt_search_engine_spark.ranking.pagerank import pagerank_fixed_oracle_sql
+
+    out["pagerank"] = pagerank_fixed_oracle_sql(n_iters=12)
+    from apt_search_engine_spark.streaming.windows import (
+        windowed_counts_oracle_sql,
+    )
+
+    out["stream_windowed_counts"] = windowed_counts_oracle_sql()
     return out

@@ -70,6 +70,127 @@ def pagerank_oracle(url_graph: dict[str, list[str]]) -> dict[str, float]:
     return ranks
 
 
+# ----------------------------------------------------- fixed-iteration form
+def pagerank_fixed(
+    spark: SparkSession, adjacency: DataFrame, n_iters: int = 12
+) -> DataFrame:
+    """Exactly `n_iters` power iterations of the reference recurrence
+    (same edges/out-degree/dangling-mass math as `pagerank`, no
+    convergence stop). This is the driver-contract surface paired with a
+    DuckDB oracle: a fixed iteration count removes the threshold
+    comparison whose FP boundary could flip between engines, while the
+    quirky stop rule (Q9 + stale-map return) stays verified against the
+    line-by-line Python oracle in tests/test_pagerank.py.
+
+    The whole computation is ONE lazy plan (dangling mass rides a
+    cross-joined aggregate instead of a per-iteration collect);
+    localCheckpoint every few rounds cuts lineage."""
+    adjacency = adjacency.select("url", "out_links")
+    nodes = adjacency.select("url")
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "url string, rank double")
+    edges = (
+        adjacency.select("url", F.explode_outer("out_links").alias("dst"))
+        .withColumnRenamed("url", "src")
+        .join(nodes.withColumnRenamed("url", "dst"), "dst", "left_semi")
+    )
+    out_counts = (
+        nodes.join(
+            edges.groupBy("src").agg(F.count("*").alias("oc")),
+            nodes.url == F.col("src"),
+            "left",
+        )
+        .select("url", F.coalesce("oc", F.lit(0)).alias("out_count"))
+        .persist()
+    )
+    edges_w = (
+        edges.join(out_counts, edges.src == out_counts.url)
+        .select("src", "dst", "out_count")
+        .persist()
+    )
+    ranks = nodes.select("url", F.lit(1.0 / n).alias("rank"))
+    for i in range(n_iters):
+        dang = (
+            ranks.join(out_counts, "url")
+            .filter(F.col("out_count") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.url)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_count")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.url == contribs.dst, "left")
+            .crossJoin(dang)
+            .select(
+                "url",
+                (
+                    F.lit((1 - DAMPING) / n)
+                    + F.lit(DAMPING)
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+        )
+        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_fixed_oracle_sql(n_iters: int = 12, limit: int = 512) -> str:
+    """DuckDB oracle for the driver's pagerank entry: the SAME
+    deterministic toy graph synthesized from the `documents` view (each
+    doc links to the next two doc_ids in its source), unrolled
+    `n_iters` levels. Damping contracts cross-engine FP sum-order noise
+    (~1e-16/iter), so round(rank, 9) is deterministic."""
+    lines = [
+        f"""
+WITH d AS MATERIALIZED (SELECT doc_id::VARCHAR AS url, source FROM documents ORDER BY doc_id LIMIT {limit}),
+adj AS MATERIALIZED (
+  SELECT url,
+         lead(url, 1) OVER (PARTITION BY source ORDER BY url) AS l1,
+         lead(url, 2) OVER (PARTITION BY source ORDER BY url) AS l2
+  FROM d
+),
+edges AS MATERIALIZED (
+  SELECT url AS src, l1 AS dst FROM adj WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT url AS src, l2 AS dst FROM adj WHERE l2 IS NOT NULL
+),
+nodes AS MATERIALIZED (SELECT url FROM adj),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+oc AS MATERIALIZED (
+  SELECT nodes.url, count(e.src) AS out_count
+  FROM nodes LEFT JOIN edges e ON e.src = nodes.url GROUP BY nodes.url
+),
+r0 AS MATERIALIZED (SELECT url, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        lines.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS dm
+  FROM r{p} r JOIN oc ON oc.url = r.url WHERE oc.out_count = 0
+),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS url, sum(r.rank / o.out_count) AS c
+  FROM edges e JOIN r{p} r ON r.url = e.src JOIN oc o ON o.url = e.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT nodes.url,
+         (1.0::DOUBLE - {DAMPING}::DOUBLE) / (SELECT n FROM nn)
+         + {DAMPING}::DOUBLE * (coalesce(c{i}.c, 0.0::DOUBLE)
+                        + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN c{i} ON c{i}.url = nodes.url
+)"""
+        )
+    lines.append(f"\nSELECT url, round(rank, 9) AS rank FROM r{n_iters}")
+    return "".join(lines)
+
+
 # ----------------------------------------------------------------- spark
 def pagerank(spark: SparkSession, adjacency: DataFrame) -> DataFrame:
     """`adjacency`: (url string, out_links array<string>), one row per

@@ -75,16 +75,30 @@ def _drain_to_parquet(
 
 
 def _collect_epochs(spark: SparkSession, out_dir: str) -> list:
+    """Read every epoch directory's rows. An epoch with a _SUCCESS marker
+    but no data files is a legitimately empty emission; anything else
+    unreadable (crashed foreachBatch writer, concurrent run) RAISES
+    instead of being silently folded in as empty — a partial epoch would
+    otherwise yield incomplete aggregates with no error signal."""
     import glob
     import os
 
     parts = sorted(glob.glob(os.path.join(out_dir, "epoch=*")))
     rows = []
     for p in parts:
-        try:
-            rows.extend(spark.read.parquet(p).collect())
-        except Exception:
-            pass  # empty epoch directory (no emissions that batch)
+        data_files = [
+            f
+            for f in os.listdir(p)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+        if not data_files:
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                continue  # committed, zero emissions that batch
+            raise RuntimeError(
+                f"epoch dir {p} has no data files and no _SUCCESS marker "
+                "(partial write from a crashed or concurrent run)"
+            )
+        rows.extend(spark.read.parquet(p).collect())
     return rows
 
 
@@ -107,6 +121,42 @@ def run_windowed_drain(
         "append",
     )
     return _collect_epochs(spark, out_dir)
+
+
+def windowed_counts_oracle_sql(
+    window_minutes: int = 5, watermark_minutes: int = 10
+) -> str:
+    """DuckDB oracle for the driver's stream_windowed_counts entry: the
+    batch restatement of the watermarked streaming aggregate over the
+    SAME deterministic event synthesis the Spark entry writes
+    (__spark_entry__._stream_windowed_q — ts = 2025-03-01 12:00 +
+    turn_idx minutes per conversation). Emitted windows under
+    append-mode availableNow are exactly those finalized by the ending
+    watermark: window_end <= max(ts) - delay."""
+    return f"""
+WITH docs AS (
+  SELECT source AS conv_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS turn_idx,
+         text
+  FROM documents
+),
+evt AS (
+  SELECT conv_id,
+         TIMESTAMP '2025-03-01 12:00:00' + turn_idx * INTERVAL 1 MINUTE AS ts,
+         text
+  FROM docs
+),
+mx AS (SELECT max(ts) AS m FROM evt),
+win AS (
+  SELECT time_bucket(INTERVAL {window_minutes} MINUTE, ts) AS ws, conv_id,
+         count(*) AS n_turns, sum(length(text))::BIGINT AS n_chars
+  FROM evt GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(ws + INTERVAL {window_minutes} MINUTE, '%Y-%m-%d %H:%M:%S') AS win_end,
+       conv_id, n_turns, n_chars
+FROM win CROSS JOIN mx
+WHERE ws + INTERVAL {window_minutes} MINUTE <= m - INTERVAL {watermark_minutes} MINUTE"""
 
 
 _CONV_STATS_OUT = (
