@@ -312,4 +312,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["stream_windowed_counts"] = windowed_counts_oracle_sql()
+    # IVF ANN: centroids are recomputed at generation time from the same
+    # ordered sample with the shared seeded numpy kmeans — corpus-bound
+    # like the search oracles, so guard on readability.
+    try:
+        from apt_search_engine_spark.extras.ann import ivf_oracle_sql
+
+        out["ann_ivf_topk"] = ivf_oracle_sql("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return out

@@ -177,6 +177,30 @@ def test_ivf_recall(spark, emb):
     assert full == exact
 
 
+def test_ivf_mllib_recall_at_10x(spark, emb):
+    """The MLlib-KMeans scale path: centroids trained distributed over
+    10x the base fixture (5,000 vectors) must give IVF recall >= 7/10 of
+    the exact top-10 when probing a quarter of the cells."""
+    from apt_search_engine_spark.extras.ann import brute_force_topk, ivf_topk
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(11)
+    data = []
+    for rep in range(10):
+        noise = rng.standard_normal(X.shape) * (0.05 if rep else 0.0)
+        for i, r in enumerate(rows):
+            data.append((int(r.vec_id) + rep * 100_000, (X[i] + noise[i]).tolist()))
+    big = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = X[3].tolist()
+    exact = [r.vec_id for r in brute_force_topk(big, q, k=10).collect()]
+    approx = {
+        r.vec_id
+        for r in ivf_topk(big, q, k=10, nlist=16, nprobe=4, method="mllib").collect()
+    }
+    assert len(set(exact) & approx) >= 7, (exact, approx)
+
+
 def test_multimodal_features(spark):
     from apt_search_engine_spark.extras.multimodal import (
         FEATURE_DIM,
