@@ -180,6 +180,9 @@ def analyze_batch_flat(
     bodies: pd.Series,
     title: pd.Series | None = None,
     h1: pd.Series | None = None,
+    h2: pd.Series | None = None,
+    h3: pd.Series | None = None,
+    h456: pd.Series | None = None,
     tags_as_counts: bool = False,
 ) -> pd.DataFrame:
     """Analyze a batch of documents, fully vectorized, returning the FLAT
@@ -191,20 +194,29 @@ def analyze_batch_flat(
     aggregation) and the Q1/Q2 tf arithmetic are all numpy. Tag assignment
     (T6) reduces to a substring-count table of (distinct term x distinct
     processed heading) because heading channels have tiny vocabularies;
-    tags are written as a ['title']*a + ['h1']*b + ['body']*rest prefix
-    pattern, which is exactly the reference's earliest-body-tags-first
-    overwrite order (Tokenizer.java:182-190).
+    tags are written as a ['title']*a + ['h1']*b + ['h2']*c + ['h3']*d +
+    ['h456']*e + ['body']*rest prefix pattern, which is exactly the
+    reference's earliest-body-tags-first overwrite order applied channel
+    by channel in its fixed order (Tokenizer.java:143-171, 182-190).
 
-    With tags_as_counts=True the frame carries (n_title, n_h1) int columns
-    instead of materialized tag lists — the index build stores these two
-    ints per posting and reconstructs the tags array natively at merge
-    time (array_repeat concat), which keeps the analyze checkpoint small.
+    With tags_as_counts=True the frame carries one n_<channel> int
+    column per heading channel instead of materialized tag lists — the
+    index build stores these ints per posting and reconstructs the tags
+    array natively at merge time (array_repeat concat), which keeps the
+    analyze checkpoint small.
     """
     n = len(bodies)
-    empty = pd.DataFrame(
-        {"doc": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.float64),
-         "positions": [], "tags": []}
-    )
+    base_cols = {
+        "doc": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.float64),
+        "positions": [],
+    }
+    if tags_as_counts:
+        empty = pd.DataFrame(
+            base_cols
+            | {f"n_{c}": np.empty(0, np.int32) for c in HEADING_CHANNELS}
+        )
+    else:
+        empty = pd.DataFrame(base_cols | {"tags": []})
     stemmer = MemoStemmer()
     b = bodies.fillna("").astype(str)
     nonblank = b.str.strip().str.len() > 0  # T7
@@ -270,38 +282,39 @@ def analyze_batch_flat(
     tf = counts.astype(np.float64) / totals[g_doc]
     positions = np.split(p.astype(np.int32), gstarts[1:])
 
-    # T6 tags: substring-count tables over the tiny heading vocabularies
-    tcodes_r, tproc = _proc_headings(title, stemmer)
-    hcodes_r, hproc = _proc_headings(h1, stemmer)
-    n_title = np.zeros(g_doc.size, dtype=np.int64)
-    n_h1 = np.zeros(g_doc.size, dtype=np.int64)
-    if tproc is not None and len(tproc):
-        ct = np.array(
-            [[h.count(u) for h in tproc] for u in term_uniq], dtype=np.int64
-        )
-        n_title = ct[g_term, tcodes_r[g_doc]]
-    if hproc is not None and len(hproc):
-        ch = np.array(
-            [[h.count(u) for h in hproc] for u in term_uniq], dtype=np.int64
-        )
-        n_h1 = ch[g_term, hcodes_r[g_doc]]
-    a = np.minimum(n_title, sizes)
-    bb = np.minimum(n_h1, sizes - a)
+    # T6 tags: substring-count tables over the tiny heading vocabularies,
+    # consumed channel by channel in the reference's order with the
+    # remaining-body-positions cap applied sequentially
+    channel_series = {"title": title, "h1": h1, "h2": h2, "h3": h3, "h456": h456}
+    remaining = sizes.copy()
+    capped: dict[str, np.ndarray] = {}
+    for ch_name in HEADING_CHANNELS:
+        series = channel_series[ch_name]
+        raw = np.zeros(g_doc.size, dtype=np.int64)
+        codes_r, proc = _proc_headings(series, stemmer)
+        if proc is not None and len(proc):
+            ct = np.array(
+                [[h.count(u) for h in proc] for u in term_uniq], dtype=np.int64
+            )
+            raw = ct[g_term, codes_r[g_doc]]
+        got = np.minimum(raw, remaining)
+        capped[ch_name] = got
+        remaining = remaining - got
     if tags_as_counts:
-        return pd.DataFrame(
-            {
-                "doc": g_doc,
-                "term": term_uniq[g_term],
-                "tf": tf,
-                "positions": positions,
-                "n_title": a.astype(np.int32),
-                "n_h1": bb.astype(np.int32),
-            }
-        )
-    _T, _H, _B = "title", "h1", "body"
+        out = {
+            "doc": g_doc,
+            "term": term_uniq[g_term],
+            "tf": tf,
+            "positions": positions,
+        }
+        for ch_name in HEADING_CHANNELS:
+            out[f"n_{ch_name}"] = capped[ch_name].astype(np.int32)
+        return pd.DataFrame(out)
+    counts_lists = [capped[c].tolist() for c in HEADING_CHANNELS]
     tags = [
-        [_T] * ai + [_H] * bi + [_B] * (si - ai - bi)
-        for ai, bi, si in zip(a.tolist(), bb.tolist(), sizes.tolist())
+        [c for c, k in zip(HEADING_CHANNELS, ks) for _ in range(k)]
+        + ["body"] * rem
+        for *ks, rem in zip(*counts_lists, remaining.tolist())
     ]
 
     return pd.DataFrame(
@@ -319,12 +332,15 @@ def analyze_batch(
     bodies: pd.Series,
     title: pd.Series | None = None,
     h1: pd.Series | None = None,
+    h2: pd.Series | None = None,
+    h3: pd.Series | None = None,
+    h456: pd.Series | None = None,
 ) -> list[list[dict]]:
     """Per-row view of analyze_batch_flat: a list of posting dicts
     {term, tf, positions, tags} per input row (empty for blank bodies).
     Kept as the parity surface tests compare against analyze_doc."""
     n = len(bodies)
-    flat = analyze_batch_flat(bodies, title=title, h1=h1)
+    flat = analyze_batch_flat(bodies, title=title, h1=h1, h2=h2, h3=h3, h456=h456)
     results: list[list[dict]] = [[] for _ in range(n)]
     for doc, term, tf, positions, tags in zip(
         flat["doc"], flat["term"], flat["tf"], flat["positions"], flat["tags"]

@@ -57,33 +57,56 @@ from apt_search_engine_spark.config import (
     doc_id_expr,
 )
 
-# Tags are stored as the (n_title, n_h1) prefix counts — the analyzer's
-# overwrite order always yields ['title']*a + ['h1']*b + ['body']*rest, so
-# two ints replace an array<string> per posting; merge_postings
-# reconstructs the full array natively (array_repeat concat).
+# Tags are stored as per-channel prefix counts — the analyzer's overwrite
+# order always yields ['title']*a + ['h1']*b + ['h2']*c + ['h3']*d +
+# ['h456']*e + ['body']*rest (reference channel order,
+# Tokenizer.java:143-171), so five ints replace an array<string> per
+# posting; merge_postings reconstructs the full array natively
+# (array_repeat concat).
+_N_COLS = ("n_title", "n_h1", "n_h2", "n_h3", "n_h456")
 ANALYZED_SCHEMA = (
-    "doc_id string, term string, tf double, "
-    "positions array<int>, n_title int, n_h1 int"
+    "doc_id string, term string, tf double, positions array<int>, "
+    + ", ".join(f"{c} int" for c in _N_COLS)
 )
+
+# Bump whenever the analyzed/postings layout changes (columns, encoding,
+# channel set): resume and cache keys refuse to mix layouts (ADVICE r1 —
+# an old index silently rescoring new channels at the body weight).
+INDEX_LAYOUT_VERSION = 4
 
 
 # Q11: the reference's title channel processes the literal string "title"
 # (Tokenizer.java:143), never the document's real title.
 _REF_TITLE_TEXT = "title"
 
+# Heading-channel feed for transcript input (FIXTURES.md adapter): title
+# is the Q11 literal, h1 is the role column, h2/h3/h456 have no
+# transcript analog and stay empty. Each spec is (channel, kind, value)
+# with kind 'lit' (constant text) or 'col' (input column).
+DEFAULT_CHANNELS = (
+    ("title", "lit", _REF_TITLE_TEXT),
+    ("h1", "col", "role"),
+)
 
-def _analyze_partition_factory(extra_cols: tuple[str, ...] = ()):
+
+def _analyze_partition_factory(
+    extra_cols: tuple[str, ...] = (),
+    channels: tuple[tuple[str, str, str], ...] = DEFAULT_CHANNELS,
+):
     """mapInPandas fn: analyze a batch; per-doc `extra_cols` (e.g. the
-    resume batch id) are carried through by doc index — no recompute."""
+    resume batch id) are carried through by doc index — no recompute.
+    `channels` feeds the five weighted heading channels (see
+    DEFAULT_CHANNELS)."""
 
     def _analyze_partition(batches):
         for pdf in batches:
-            flat = analyze_batch_flat(
-                pdf["text"],
-                title=pd.Series([_REF_TITLE_TEXT] * len(pdf)),
-                h1=pdf["role"].reset_index(drop=True),
-                tags_as_counts=True,
-            )
+            kw = {}
+            for name, kind, value in channels:
+                if kind == "lit":
+                    kw[name] = pd.Series([value] * len(pdf))
+                else:
+                    kw[name] = pdf[value].reset_index(drop=True)
+            flat = analyze_batch_flat(pdf["text"], tags_as_counts=True, **kw)
             doc_ilocs = flat["doc"].to_numpy() if len(flat) else np.empty(0, np.int64)
             doc_ids = pdf["doc_id"].to_numpy()
             out = {
@@ -93,9 +116,9 @@ def _analyze_partition_factory(extra_cols: tuple[str, ...] = ()):
                 "term": flat["term"],
                 "tf": flat["tf"],
                 "positions": flat["positions"],
-                "n_title": flat["n_title"],
-                "n_h1": flat["n_h1"],
             }
+            for c in _N_COLS:
+                out[c] = flat[c]
             for c in extra_cols:
                 vals = pdf[c].to_numpy()
                 out[c] = vals[doc_ilocs] if len(flat) else vals[:0]
@@ -105,15 +128,21 @@ def _analyze_partition_factory(extra_cols: tuple[str, ...] = ()):
 
 
 def analyze_transcripts(
-    transcripts: DataFrame, extra_cols: tuple[str, ...] = ()
+    transcripts: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+    channels: tuple[tuple[str, str, str], ...] = DEFAULT_CHANNELS,
 ) -> DataFrame:
     """Stage 1 transform: transcripts -> flat posting rows. Narrow (no
     shuffle); all Python work is Arrow-batched. `extra_cols` names extra
-    per-turn columns of `transcripts` to carry onto each posting row."""
+    per-turn columns of `transcripts` to carry onto each posting row;
+    `channels` maps heading channels to literals or input columns (a
+    richer document source — e.g. pre-fielded HTML — feeds h2/h3/h456
+    here)."""
+    channel_cols = sorted({v for _, kind, v in channels if kind == "col"})
     docs = transcripts.select(
         doc_id_expr().alias("doc_id"),
         F.col("text"),
-        F.col("role"),
+        *[F.col(c) for c in channel_cols],
         *[F.col(c) for c in extra_cols],
     )
     schema = ANALYZED_SCHEMA
@@ -124,29 +153,36 @@ def analyze_transcripts(
             if f.name in extra_cols
         )
         schema = f"{ANALYZED_SCHEMA}, {extra_schema}"
-    return docs.mapInPandas(_analyze_partition_factory(extra_cols), schema=schema)
+    return docs.mapInPandas(
+        _analyze_partition_factory(extra_cols, channels), schema=schema
+    )
 
 
 # with doc_ord attached (disk builds): +doc_ords/wtfs so the block-max
 # companion derives from postings with NO further shuffle
+_N_PLURALS = tuple(f"{c}s" for c in _N_COLS)
 _ASSEMBLED_SCHEMA = (
     "term string, doc_ids array<string>, tfs array<double>, "
-    "positions array<array<int>>, n_titles array<int>, n_h1s array<int>"
+    "positions array<array<int>>, "
+    + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
 )
 _ASSEMBLED_SCHEMA_ORD = (
     _ASSEMBLED_SCHEMA + ", doc_ords array<long>, wtfs array<double>"
 )
 
-# per-posting weighted tf, natively: tf * sum of tag weights. The Python
-# left fold adds title weights, then h1, then body; 4.0/2.5/0.5 and their
-# integer multiples are exact binary fractions, so the closed form is
-# bit-identical to the fold (analyzer.tag_weight, Ranker.java:43-66).
+# per-posting weighted tf, natively: tf * sum of tag weights
+# (Ranker.java:43-52 switch: title 4.0, h1 2.5, h2 2.0, h3 1.5 — and the
+# stored 'h456' tag falls through to the DEFAULT 0.5 arm because the
+# switch has no 'h456' case, so h456 positions score like body). The
+# Python left fold adds channel weights in tag order; all weights and
+# their integer multiples are exact binary fractions, so the closed form
+# is bit-identical to the fold (analyzer.tag_weight).
 _WTF_EXPR = (
-    "((4.0D * n_title + 2.5D * n_h1) + "
-    "0.5D * (size(positions) - n_title - n_h1)) * tf"
+    "((4.0D * n_title + 2.5D * n_h1 + 2.0D * n_h2 + 1.5D * n_h3) + "
+    "0.5D * (size(positions) - n_title - n_h1 - n_h2 - n_h3)) * tf"
 )
 
-_COLS = ("doc_id", "tf", "positions", "n_title", "n_h1")
+_COLS = ("doc_id", "tf", "positions") + _N_COLS
 _COLS_ORD = _COLS + ("doc_ord", "wtf")
 
 
@@ -157,9 +193,8 @@ def _assemble_factory(cap: int, cols: tuple[str, ...]):
     only concatenated at emit time — no per-element Python."""
     _plural = {
         "doc_id": "doc_ids", "tf": "tfs", "positions": "positions",
-        "n_title": "n_titles", "n_h1": "n_h1s", "doc_ord": "doc_ords",
-        "wtf": "wtfs",
-    }
+        "doc_ord": "doc_ords", "wtf": "wtfs",
+    } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
     out_cols = ["term"] + [_plural[c] for c in cols]
 
     def assemble(batches):
@@ -266,7 +301,7 @@ def merge_postings(
         .withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
     )
     keep = ["term", "doc_ids", "tfs", "wtfs", "positions",
-            "n_titles", "n_h1s", "doc_lo", "doc_hi", "term_bucket"]
+            *_N_PLURALS, "doc_lo", "doc_hi", "term_bucket"]
     if with_ord:
         keep.append("doc_ords")
     return merged.select(*keep)
@@ -303,12 +338,15 @@ def build_lexicon_from_flat(flat: DataFrame) -> DataFrame:
 
 
 # exploded-entry expressions shared by the reconstructed view and the query
-# engine: tags rebuilt from prefix counts (analyzer emits title..h1..body
-# order), struct view zipped from the parallel arrays
-_TAGS_FROM_COUNTS = (
-    "concat(array_repeat('title', {t}), array_repeat('h1', {h}), "
-    "array_repeat('body', size({p}) - {t} - {h}))"
-)
+# engine: tags rebuilt from prefix counts (analyzer emits channel-order
+# prefixes then body), struct view zipped from the parallel arrays
+def _tags_from_counts(prefix: str, pos: str) -> str:
+    channels = ("title", "h1", "h2", "h3", "h456")
+    reps = ", ".join(
+        f"array_repeat('{c}', {prefix}n_{c}s)" for c in channels
+    )
+    body_n = " - ".join([f"size({pos})"] + [f"{prefix}n_{c}s" for c in channels])
+    return f"concat({reps}, array_repeat('body', {body_n}))"
 
 
 def with_postings_struct(df: DataFrame) -> DataFrame:
@@ -316,11 +354,12 @@ def with_postings_struct(df: DataFrame) -> DataFrame:
     array<struct<doc_id,tf,positions,tags>>` column reconstructed from the
     compact parallel arrays. Use on term-pruned reads (tests, exports) —
     NOT on the build hot path."""
-    tags = _TAGS_FROM_COUNTS.format(t="x.n_titles", h="x.n_h1s", p="x.positions")
+    tags = _tags_from_counts("x.", "x.positions")
+    zipped = "arrays_zip(doc_ids, tfs, positions, " + ", ".join(_N_PLURALS) + ")"
     return df.withColumn(
         "postings",
         F.expr(
-            "transform(arrays_zip(doc_ids, tfs, positions, n_titles, n_h1s), "
+            f"transform({zipped}, "
             f"x -> struct(x.doc_ids as doc_id, x.tfs as tf, "
             f"x.positions as positions, {tags} as tags))"
         ),
@@ -332,11 +371,34 @@ class IndexBuilder:
     DataFrame source."""
 
     def __init__(self, spark: SparkSession, index_dir: str, n_batches: int = 4,
-                 max_per_row: int = MAX_POSTINGS_PER_ROW):
+                 max_per_row: int = MAX_POSTINGS_PER_ROW,
+                 channels: tuple = DEFAULT_CHANNELS):
         self.spark = spark
         self.index_dir = index_dir
         self.n_batches = n_batches
         self.max_per_row = max_per_row
+        self.channels = channels
+
+    @property
+    def layout_path(self):
+        return os.path.join(self.index_dir, "layout.json")
+
+    def _check_layout(self) -> None:
+        """Refuse to resume into an index written by a different layout
+        version — mixed analyzed schemas would silently misscore (e.g.
+        old files lacking the h2/h3/h456 count columns read as nulls)."""
+        if os.path.exists(self.layout_path):
+            with open(self.layout_path) as f:
+                found = json.load(f).get("layout")
+            if found != INDEX_LAYOUT_VERSION:
+                raise RuntimeError(
+                    f"index at {self.index_dir} has layout {found}, code is "
+                    f"layout {INDEX_LAYOUT_VERSION}: rebuild into a fresh dir"
+                )
+        else:
+            os.makedirs(self.index_dir, exist_ok=True)
+            with open(self.layout_path, "w") as f:
+                json.dump({"layout": INDEX_LAYOUT_VERSION}, f)
 
     # -- paths ------------------------------------------------------------
     @property
@@ -398,6 +460,7 @@ class IndexBuilder:
 
         `only_batches` restricts the run (operational partial runs /
         crash simulation in tests); resume granularity is unchanged."""
+        self._check_layout()
         done = self._completed_batches()
         todo = [
             b
@@ -415,7 +478,9 @@ class IndexBuilder:
             if len(todo) == self.n_batches
             else with_batch.filter(F.col("batch").isin(todo))
         )
-        flat = analyze_transcripts(part, extra_cols=("batch",))
+        flat = analyze_transcripts(
+            part, extra_cols=("batch",), channels=self.channels
+        )
         (
             flat.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -560,5 +625,6 @@ class IndexBuilder:
         self.merge_and_write(build_id, with_blocks=with_blocks)
         self.write_doc_meta(transcripts)
         with open(self.meta_path, "w") as f:
-            json.dump({"build_id": build_id, "n_docs": n_docs}, f)
+            json.dump({"build_id": build_id, "n_docs": n_docs,
+                       "layout": INDEX_LAYOUT_VERSION}, f)
         return build_id

@@ -141,3 +141,43 @@ def test_batch_matches_single():
             assert got[term]["tf"] == pytest.approx(info["tf"]), (i, term)
             assert list(got[term]["positions"]) == info["positions"], (i, term)
             assert list(got[term]["tags"]) == info["tags"], (i, term)
+
+
+def test_batch_full_heading_channels_match_analyze_doc():
+    """T6 over ALL five channels: batch (prefix counts) == per-doc
+    oracle (tag overwrite loop), including the sequential remaining-
+    positions cap across channels in reference order."""
+    bodies = pd.Series(
+        [
+            "alpha beta alpha gamma delta epsilon",
+            "alpha alpha alpha beta",
+            "gamma gamma beta beta delta",
+            "",
+        ]
+    )
+    chans = {
+        "title": pd.Series(["alpha beta", "alpha", "", ""]),
+        "h1": pd.Series(["alpha", "alpha alpha", "gamma", "alpha"]),
+        "h2": pd.Series(["gamma", "alpha", "beta beta", ""]),
+        "h3": pd.Series(["delta", "", "delta", ""]),
+        "h456": pd.Series(["epsilon", "beta", "gamma", ""]),
+    }
+    batch = analyze_batch(bodies, **chans)
+    for i, body in enumerate(bodies):
+        headings = [(name, [chans[name][i]]) for name in
+                    ("title", "h1", "h2", "h3", "h456")]
+        want = analyze_doc(body, headings)
+        got = {p["term"]: p for p in batch[i]}
+        assert set(got) == set(want)
+        for term, w in want.items():
+            assert got[term]["tags"] == w["tags"], (i, term)
+            assert got[term]["tf"] == pytest.approx(w["tf"], rel=1e-12)
+            assert got[term]["positions"] == w["positions"]
+
+
+def test_h456_tag_scores_default_weight():
+    # the stored tag is the literal 'h456', which has no arm in the
+    # reference weight switch -> DEFAULT 0.5, same as body (Ranker.java:43-52)
+    assert tag_weight("h456") == 0.5
+    assert tag_weight("h2") == 2.0
+    assert tag_weight("h3") == 1.5

@@ -145,3 +145,30 @@ def test_no_python_row_udfs_in_merge_plan(spark, index_dir):
     plan = eng.search_df("travel guide", 10)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_h2_channel_weight_affects_ranking(spark):
+    """End-to-end over the full heading channels: an h2-tagged query
+    term must outscore the body-tagged one by exactly the reference
+    weight ratio (2.0 vs 0.5) through analyze -> merge -> rank."""
+    from apt_search_engine_spark.indexing.build import (
+        analyze_transcripts,
+        merge_postings,
+    )
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    rows = [
+        ("c", 0, "zebra apple grape filler", "zebra"),
+        ("c", 1, "zebra apple grape filler", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, h2txt string"
+    )
+    flat = analyze_transcripts(df, channels=(("h2", "col", "h2txt"),))
+    eng = SearchEngine(spark, postings_df=merge_postings(flat), n_docs=2)
+    res = eng.search_df("zebra", k=2).collect()
+    assert [r.doc_id for r in res] == ["c#000000", "c#000001"]
+    # tf = (1+1)/8; df = 2 -> idf floor(6000/2) = 3000; prior = 1/2
+    # doc0 wtf = 2.0 * 0.25 (h2 tag), doc1 wtf = 0.5 * 0.25 (body tag)
+    assert res[0].score == 0.5 * 3000 * 0.5
+    assert res[1].score == 0.125 * 3000 * 0.5
