@@ -46,12 +46,23 @@ BLOCKS_SCHEMA = (
 DOC_MAP_SCHEMA = "doc_id string, doc_ord long"
 
 
-def write_doc_map(spark: SparkSession, doc_ids: DataFrame, out_dir: str) -> None:
+def write_doc_map(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    out_dir: str,
+    start_ord: int = 0,
+    mode: str = "overwrite",
+) -> None:
     """Dense ordinal per doc_id in global doc_id order, distributed:
     range-partition by doc_id, sort within partitions, then a two-pass
     (per-partition counts -> broadcast prefix offsets -> offset + arange)
     assignment in mapInPandas. The persist() pins one range partitioning
-    across both passes (range boundaries come from sampling)."""
+    across both passes (range boundaries come from sampling).
+
+    Incremental compaction appends NEW docs with `start_ord` = the
+    existing doc count and mode='append': new docs land above every old
+    ordinal, keeping per-term block ordinal ranges disjoint across
+    increments (blocks invariant in the module docstring)."""
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
         doc_ids.repartitionByRange(n_parts, "doc_id")
@@ -65,7 +76,7 @@ def write_doc_map(spark: SparkSession, doc_ids: DataFrame, out_dir: str) -> None
             for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
         }
         offsets: dict[int, int] = {}
-        acc = 0
+        acc = start_ord
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
@@ -87,9 +98,9 @@ def write_doc_map(spark: SparkSession, doc_ids: DataFrame, out_dir: str) -> None
                 )
                 nxt += n
 
-        ranged.mapInPandas(assign, DOC_MAP_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
+        ranged.mapInPandas(assign, DOC_MAP_SCHEMA).write.mode(mode).parquet(
+            out_dir
+        )
     finally:
         ranged.unpersist()
 
@@ -137,6 +148,7 @@ def write_blocks(
     spark: SparkSession,
     postings_src,
     blocks_dir: str,
+    mode: str = "overwrite",
 ) -> None:
     """Narrow derivation: chunk each postings segment row into compressed
     blocks. No shuffle — the merge already ordered and ord-stamped it.
@@ -151,4 +163,4 @@ def write_blocks(
         "term", "term_bucket", "positions", "doc_ords", "tfs", "wtfs"
     )
     blocks = postings.mapInPandas(_blocks_from_segments, schema=BLOCKS_SCHEMA)
-    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(blocks_dir)
+    blocks.write.mode(mode).partitionBy("term_bucket").parquet(blocks_dir)

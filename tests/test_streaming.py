@@ -69,6 +69,89 @@ def test_stream_equals_batch(spark, tmp_path, stream_corpus):
     assert all(r.partition_id >= 1_000_000 for r in eps)
 
 
+def test_incremental_compaction_equals_full_rebuild(spark, tmp_path, stream_corpus):
+    """Compacting after EACH drain (second compaction takes the
+    incremental append path) must yield the same postings content,
+    lexicon and ranked results as a one-shot batch build — and the
+    incremental compaction must provably read ONLY the delta (its
+    lineage n_rows equals the second increment's analyzed rows, not the
+    total)."""
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+    from apt_search_engine_spark.query.engine import SearchEngine
+    from apt_search_engine_spark.streaming.ingest import compact, stream_analyze
+
+    first, second, full = stream_corpus
+    inp = str(tmp_path / "incoming3")
+    sdir = str(tmp_path / "stream_index3")
+    bdir = str(tmp_path / "batch_index3")
+
+    first.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)  # bootstrap: full merge of increment 1
+    second.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)  # incremental: appends increment 2 only
+
+    IndexBuilder(spark, bdir, n_batches=1).build(full)
+
+    assert _postings_map(spark, sdir) == _postings_map(spark, bdir)
+    lex_s = {
+        (r.term, r.df)
+        for r in spark.read.parquet(os.path.join(sdir, "lexicon")).collect()
+    }
+    lex_b = {
+        (r.term, r.df)
+        for r in spark.read.parquet(os.path.join(bdir, "lexicon")).collect()
+    }
+    assert lex_s == lex_b
+
+    for q in ("travel guide", '"travel guide"', "spark AND index"):
+        got = [
+            (r.doc_id, round(r.score, 9))
+            for r in SearchEngine(spark, index_dir=sdir).search_df(q, k=10).collect()
+        ]
+        want = [
+            (r.doc_id, round(r.score, 9))
+            for r in SearchEngine(spark, index_dir=bdir).search_df(q, k=10).collect()
+        ]
+        assert got == want, q
+
+    # WAND over the APPENDED blocks companion must equal the exact plan
+    eng_s = SearchEngine(spark, index_dir=sdir)
+    wand = [
+        (r.doc_id, round(r.score, 9))
+        for r in eng_s.search_df_wand("travel guide", k=10).collect()
+    ]
+    exact = [
+        (r.doc_id, round(r.score, 9))
+        for r in eng_s.search_df("travel guide", k=10).collect()
+    ]
+    assert wand == exact
+
+    # only-the-delta evidence: the incremental compaction's lineage rows
+    # record exactly the second increment's analyzed row count
+    lin = spark.read.parquet(os.path.join(sdir, "lineage"))
+    delta_rows = lin.filter(
+        F.col("snapshot_id").startswith("compact-delta-")
+    ).collect()
+    assert delta_rows, "incremental compaction recorded no lineage"
+    second_epoch_n = sum(
+        r.n_rows
+        for r in lin.filter(
+            F.col("snapshot_id").startswith("stream-epoch-")
+        ).collect()
+        if r.partition_id == max(
+            x.partition_id
+            for x in lin.filter(
+                F.col("snapshot_id").startswith("stream-epoch-")
+            ).collect()
+        )
+    )
+    total_analyzed = spark.read.parquet(os.path.join(sdir, "analyzed")).count()
+    assert delta_rows[0].n_rows == second_epoch_n
+    assert delta_rows[0].n_rows < total_analyzed
+
+
 def test_drained_stream_is_idempotent(spark, tmp_path, stream_corpus):
     """Draining again with no new files must not change the analyzed set."""
     from apt_search_engine_spark.streaming.ingest import stream_analyze
