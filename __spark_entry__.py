@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -57,9 +59,24 @@ def _engine_over(spark: SparkSession, sf_dir: str):
         key = hashlib.md5(f"{sf_dir}|layout=4".encode()).hexdigest()[:10]
         idx = os.path.join(tempfile.gettempdir(), f"aptse_entry_{key}")
         if not os.path.exists(os.path.join(idx, "meta.json")):
-            IndexBuilder(spark, idx, n_batches=2).build(
+            # build into a process-unique staging dir, then atomically
+            # rename into place: two concurrent driver processes on the
+            # same sf_dir each build their own copy instead of clobbering
+            # each other's partial writes (meta.json-only gating raced)
+            if os.path.isdir(idx):
+                # stale partial dir from a crashed pre-staging revision
+                shutil.rmtree(idx, ignore_errors=True)
+            stage = f"{idx}.build-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+            IndexBuilder(spark, stage, n_batches=2).build(
                 _adapt_documents(spark, sf_dir), with_blocks=True
             )
+            try:
+                os.rename(stage, idx)
+            except OSError:
+                # another process won the race with a complete index
+                if not os.path.exists(os.path.join(idx, "meta.json")):
+                    raise
+                shutil.rmtree(stage, ignore_errors=True)
         _ENGINE_CACHE[sf_dir] = SearchEngine(spark, index_dir=idx)
     return _ENGINE_CACHE[sf_dir]
 

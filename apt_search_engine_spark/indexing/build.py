@@ -598,13 +598,16 @@ class IndexBuilder:
             ]
         )
 
-    def write_doc_meta(self, transcripts: DataFrame) -> None:
+    def write_doc_meta(self, transcripts: DataFrame, url_expr=None) -> None:
         """Forward store for result assembly (S9): doc_id, url, title
         (<- tool per the FIXTURES.md adapter), ps (sentence-split text —
-        the reference's paragraph list analog for snippets)."""
+        the reference's paragraph list analog for snippets). `url_expr`
+        overrides the default url == doc_id (transcripts use natural
+        keys); sources with real URLs feed it so the R10 per-URL score
+        dedup (engine dedup_by_url) has something to merge."""
         meta = transcripts.select(
             doc_id_expr().alias("doc_id"),
-            doc_id_expr().alias("url"),
+            (url_expr if url_expr is not None else doc_id_expr()).alias("url"),
             F.col("tool").alias("title"),
             F.when(
                 F.length(F.coalesce(F.col("text"), F.lit(""))) > 0,

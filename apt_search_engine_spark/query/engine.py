@@ -273,6 +273,7 @@ class SearchEngine:
         scoring_words: list[str],
         gate_word: str | None,
         k: int,
+        dedup_by_url: bool = False,
     ) -> DataFrame:
         """Score the final filtered postings. df per term = filtered map
         size (quirk Q12); duplicate scoring words multiply; optional
@@ -304,6 +305,33 @@ class SearchEngine:
         if gate_word is not None:
             gate = sp.filter(F.col("term") == gate_word).select("doc_id")
             sp = sp.join(gate, "doc_id", "left_semi")
+
+        if dedup_by_url:
+            # R10 (Ranker.java:201-214): scoreTracker is keyed by URL, so
+            # per-(term, doc) contributions of docs sharing a URL merge
+            # into one result row. Fold order (term, doc_id) ascending —
+            # identical to the per-doc path when URLs are unique
+            # (determinism contract, SURVEY.md 7.4).
+            if self.doc_meta_path is None:
+                raise ValueError("dedup_by_url needs a disk index (doc_meta)")
+            urls = self.spark.read.parquet(self.doc_meta_path).select(
+                "doc_id", "url"
+            )
+            scored = (
+                sp.join(urls, "doc_id")
+                .groupBy("url")
+                .agg(
+                    F.expr(
+                        "aggregate(array_sort(collect_list("
+                        "struct(term, doc_id, contrib))), "
+                        "0D, (acc, x) -> acc + x.contrib)"
+                    ).alias("raw")
+                )
+                .withColumn("score", F.col("raw") * F.lit(self.prior))
+                .filter(F.col("score") != 0.0)
+                .select("url", "score")
+            )
+            return scored.orderBy(F.desc("score"), F.asc("url")).limit(k)
 
         scored = (
             sp.groupBy("doc_id")
@@ -364,8 +392,13 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------- public
-    def search_df(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
-        """The ranked top-k (doc_id, score) plan for `query`."""
+    def search_df(
+        self, query: str, k: int = DEFAULT_TOP_K, dedup_by_url: bool = False
+    ) -> DataFrame:
+        """The ranked top-k (doc_id, score) plan for `query`. With
+        `dedup_by_url` the final aggregate is keyed by URL instead of
+        doc_id (reference R10: docs sharing a URL merge scores) and the
+        result schema is (url, score)."""
         parsed = parser.parse(query)
         if parsed.qtype == "phrase":
             filtered = self._phrase_filtered(parsed.query_words)
@@ -383,7 +416,7 @@ class SearchEngine:
             gate = None
         if not words:
             return self._empty_results()
-        return self._score(filtered, words, gate, k)
+        return self._score(filtered, words, gate, k, dedup_by_url=dedup_by_url)
 
     def search(
         self, query: str, k: int = DEFAULT_TOP_K, with_snippets: bool = True

@@ -172,3 +172,43 @@ def test_h2_channel_weight_affects_ranking(spark):
     # doc0 wtf = 2.0 * 0.25 (h2 tag), doc1 wtf = 0.5 * 0.25 (body tag)
     assert res[0].score == 0.5 * 3000 * 0.5
     assert res[1].score == 0.125 * 3000 * 0.5
+
+
+def test_r10_url_dedup_merges_scores(spark, tmp_path):
+    """R10 (Ranker.java:201-214): docs sharing a URL merge their score
+    contributions into one result row; docs with unique URLs score
+    exactly as the per-doc path."""
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+    from apt_search_engine_spark.query.engine import SearchEngine
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("c", 0, "zebra apple grape filler"),
+        ("c", 1, "zebra apple grape filler"),
+        ("c", 2, "zebra apple grape filler"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).select(
+        "conv_id", "turn_idx", F.lit("user").alias("role"), "text",
+        F.lit("").alias("tool"),
+        F.lit("2025-01-01").cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "r10_index")
+    b = IndexBuilder(spark, d, n_batches=1)
+    b.build(df, with_blocks=False)
+    # turns 0 and 1 share a URL; turn 2 is alone
+    b.write_doc_meta(
+        df,
+        url_expr=F.when(F.col("turn_idx") < 2, F.lit("u-shared")).otherwise(
+            F.lit("u-solo")
+        ),
+    )
+    eng = SearchEngine(spark, index_dir=d)
+    per_doc = {r.doc_id: r.score for r in eng.search_df("zebra", k=10).collect()}
+    per_url = {r.url: r.score for r in eng.search_df("zebra", k=10, dedup_by_url=True).collect()}
+    assert set(per_url) == {"u-shared", "u-solo"}
+    assert per_url["u-solo"] == per_doc["c#000002"]
+    assert per_url["u-shared"] == pytest.approx(
+        per_doc["c#000000"] + per_doc["c#000001"], rel=1e-12
+    )
