@@ -4,12 +4,19 @@ entry(spark)  — flagship: adapt sf0.001 `documents` into the transcript
                 shape, build a disk index with the full engine pipeline
                 (analyzer UDF -> salted term agg -> compressed block-max
                 companion) and run a ranked top-k search.
-queries()     — operator inventory: SQL-expressible ops are paired with
-                DuckDB oracles in apt_search_engine_spark/extras/docops.py;
-                the Porter-stemmed full-engine paths and the approximate /
-                iterative ops (WAND, IVF-ANN, LSH pairs, PageRank,
-                multimodal plumbing) are exposed as rows-only checks and
-                verified against pure-Python oracles in tests/ instead.
+queries()     — operator inventory; every entry except
+                multimodal_features (decode is an honest stub — no image
+                or audio decoder libs in this environment) is paired with
+                a DuckDB oracle:
+                  - SQL-expressible building blocks live in
+                    extras/docops.py (Spark + SQL side by side);
+                  - the Porter-stemmed flagship search paths use
+                    generated SQL with the corpus stem map embedded as a
+                    VALUES table (extras/search_oracle.py);
+                  - simhash / embedding-near-dup / IVF-ANN / pagerank /
+                    streaming-window oracles are generated next to their
+                    operators (extras/dedup.py, extras/ann.py,
+                    ranking/pagerank.py, streaming/windows.py).
 oracle_sql()  — the DuckDB SQL side of each paired operator.
 """
 

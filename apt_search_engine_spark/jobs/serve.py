@@ -1,0 +1,108 @@
+"""REST serving surface: the analogue of the reference's Spring endpoint
+`GET /search?query=...&page=...&size=...`
+(server/src/main/java/com/example/demo/SearchController.java:51-70).
+
+    python -m apt_search_engine_spark.jobs.serve --index-dir /data/idx \
+        [--host 127.0.0.1] [--port 8080]
+
+Response mirrors the reference's SearchResult JSON
+(SearchController.java:19-41): {"results": [{"url", "score", "title",
+"snippet"}], "totalCount", "totalTime"}. One documented deviation (P9,
+SURVEY.md): the reference computes the FULL result list and lets the
+client slice 10/page — at 10^12 turns return-everything is not a
+contract worth keeping, so page/size are honored server-side via the
+engine's top-k (k = page*size), and totalCount counts the scored
+candidates actually materialized rather than every match.
+
+Stdlib http.server on purpose: the serving layer is a thin driver-side
+shim over SearchEngine (queries are driver-planned DataFrame jobs); a
+production deployment would put any HTTP framework here unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def make_handler(engine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path != "/search":
+                self._json(404, {"error": "not found"})
+                return
+            q = parse_qs(u.query)
+            query = (q.get("query") or [""])[0]
+            if not query.strip():
+                self._json(400, {"error": "empty query"})
+                return
+            page = int((q.get("page") or ["1"])[0])
+            size = int((q.get("size") or ["10"])[0])
+            t0 = time.time()
+            rows = engine.search(query, k=max(1, page) * size, with_snippets=True)
+            sliced = rows[(page - 1) * size : page * size]
+            self._json(
+                200,
+                {
+                    "results": [
+                        {
+                            "url": r["url"],
+                            "score": r["score"],
+                            "title": r["title"],
+                            "snippet": r["snippet"],
+                        }
+                        for r in sliced
+                    ],
+                    "totalCount": len(rows),
+                    "totalTime": int((time.time() - t0) * 1000),
+                },
+            )
+
+    return Handler
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8080):
+    """Returns the bound ThreadingHTTPServer (caller runs serve_forever,
+    or drives it from a thread in tests)."""
+    return ThreadingHTTPServer((host, port), make_handler(engine))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    args = p.parse_args(argv)
+
+    from apt_search_engine_spark.query.engine import SearchEngine
+    from apt_search_engine_spark.session import get_spark
+
+    spark = get_spark("aptse-serve")
+    engine = SearchEngine(spark, index_dir=args.index_dir)
+    httpd = serve(engine, args.host, args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}/search"}))
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

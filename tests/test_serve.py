@@ -1,0 +1,55 @@
+"""REST serving surface (jobs/serve.py): response contract mirrors the
+reference's SearchController JSON; pagination slices server-side (P9
+documented deviation)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_search_endpoint_contract(engine):
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query=travel%20guide&page=1&size=5"
+        )
+        assert status == 200
+        assert set(body) == {"results", "totalCount", "totalTime"}
+        assert 0 < len(body["results"]) <= 5
+        for r in body["results"]:
+            assert set(r) == {"url", "score", "title", "snippet"}
+            assert isinstance(r["score"], float)
+        # page 2 returns the next slice, disjoint from page 1
+        _, body2 = _get(
+            f"http://127.0.0.1:{port}/search?query=travel%20guide&page=2&size=5"
+        )
+        urls1 = {r["url"] for r in body["results"]}
+        urls2 = {r["url"] for r in body2["results"]}
+        assert urls1.isdisjoint(urls2)
+        # empty query is a 400, unknown path a 404
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query=", timeout=60
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=60)
+            raise AssertionError("expected HTTP 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
