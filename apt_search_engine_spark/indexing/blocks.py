@@ -106,41 +106,84 @@ def write_doc_map(
 
 
 def _blocks_from_segments(batches):
+    """One vectorized pass per Arrow batch: all segment rows' postings
+    are concatenated, block boundaries computed globally, each byte
+    column encoded with ONE segmented codec pass and sliced per block
+    (codec.varbyte_encode_segmented). Bit-identical to encoding each
+    block separately; the per-block Python loop this replaces dominated
+    the stage on Zipf-tail segments (millions of 1-posting rows at
+    corpus scale, ~100 codec-call overheads each)."""
+    cols = [
+        "term", "n_docs", "doc_ids_vb", "tfs", "wtfs", "positions_vb",
+        "block_max_wtf", "lo_ord", "hi_ord", "term_bucket",
+    ]
     for pdf in batches:
-        rows = []
-        for term, bucket, poss, ords_l, tfs_l, wtfs_l in zip(
-            pdf["term"], pdf["term_bucket"], pdf["positions"],
-            pdf["doc_ords"], pdf["tfs"], pdf["wtfs"],
-        ):
-            ords_a = np.asarray(ords_l, dtype=np.int64)
-            tfs_a = np.asarray(tfs_l, dtype=np.float64)
-            wtf_a = np.asarray(wtfs_l, dtype=np.float64)
-            n = len(ords_a)
-            for b0 in range(0, n, POSTING_BLOCK_SIZE):
-                b1 = min(b0 + POSTING_BLOCK_SIZE, n)
-                ords = ords_a[b0:b1]
-                wtf = wtf_a[b0:b1]
-                rows.append(
-                    (
-                        term,
-                        b1 - b0,
-                        codec.encode_doc_ids(ords),
-                        codec.encode_tfs(tfs_a[b0:b1]),
-                        codec.encode_tfs(wtf),
-                        codec.encode_positions(poss[b0:b1]),
-                        float(wtf.max()),
-                        int(ords[0]),
-                        int(ords[-1]),
-                        int(bucket),
-                    )
-                )
+        n_rows = len(pdf)
+        if not n_rows:
+            continue
+        lens = np.fromiter(
+            (len(o) for o in pdf["doc_ords"]), dtype=np.int64, count=n_rows
+        )
+        all_ords = np.concatenate(
+            [np.asarray(o, dtype=np.int64) for o in pdf["doc_ords"]]
+        )
+        all_tfs = np.concatenate(
+            [np.asarray(t, dtype=np.float64) for t in pdf["tfs"]]
+        )
+        all_wtfs = np.concatenate(
+            [np.asarray(w, dtype=np.float64) for w in pdf["wtfs"]]
+        )
+        all_pos: list = []
+        for p in pdf["positions"]:
+            all_pos.extend(p)
+        # block starts (posting indices): multiples of POSTING_BLOCK_SIZE
+        # within each row, offset by the row's start
+        n_blocks = (lens + POSTING_BLOCK_SIZE - 1) // POSTING_BLOCK_SIZE
+        row_starts = np.cumsum(lens) - lens
+        # within-row block offsets 0, B, 2B... per row, flattened
+        tot_blocks = int(n_blocks.sum())
+        block_row = np.repeat(np.arange(n_rows), n_blocks)
+        first_block_of_row = np.cumsum(n_blocks) - n_blocks
+        within = (
+            np.arange(tot_blocks) - first_block_of_row[block_row]
+        ) * POSTING_BLOCK_SIZE
+        block_starts = row_starts[block_row] + within
+        block_ends = np.minimum(
+            block_starts + POSTING_BLOCK_SIZE, row_starts[block_row] + lens[block_row]
+        )
+
+        ids_buf, ids_off = codec.encode_doc_ids_segmented(all_ords, block_starts)
+        pos_buf, pos_off = codec.encode_positions_segmented(all_pos, block_starts)
+        tf_buf = all_tfs.tobytes()
+        wtf_buf = all_wtfs.tobytes()
+        block_max = np.maximum.reduceat(all_wtfs, block_starts)
+
+        terms = pdf["term"].to_numpy()
+        buckets = pdf["term_bucket"].to_numpy()
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "term", "n_docs", "doc_ids_vb", "tfs",
-                "wtfs", "positions_vb", "block_max_wtf", "lo_ord", "hi_ord",
-                "term_bucket",
-            ],
+            {
+                "term": terms[block_row],
+                "n_docs": (block_ends - block_starts).astype(np.int32),
+                "doc_ids_vb": [
+                    ids_buf[a:b] for a, b in zip(ids_off[:-1], ids_off[1:])
+                ],
+                "tfs": [
+                    tf_buf[8 * a : 8 * b]
+                    for a, b in zip(block_starts, block_ends)
+                ],
+                "wtfs": [
+                    wtf_buf[8 * a : 8 * b]
+                    for a, b in zip(block_starts, block_ends)
+                ],
+                "positions_vb": [
+                    pos_buf[a:b] for a, b in zip(pos_off[:-1], pos_off[1:])
+                ],
+                "block_max_wtf": block_max,
+                "lo_ord": all_ords[block_starts],
+                "hi_ord": all_ords[block_ends - 1],
+                "term_bucket": buckets[block_row].astype(np.int32),
+            },
+            columns=cols,
         )
 
 

@@ -443,23 +443,26 @@ class IndexBuilder:
 
     # -- stage 1 ----------------------------------------------------------
     def analyze(self, transcripts: DataFrame, build_id: str,
-                only_batches: list[int] | None = None) -> None:
+                only_batches: list[int] | None = None) -> int | None:
         """Resumable analyze in ONE input pass: every not-yet-done batch
         is analyzed in a single job writing partitionBy(batch) with
         dynamic partition overwrite (only the touched batch directories
         are replaced — a crashed run's partial files are cleared when its
         batch re-runs), then one lineage row per completed batch.
 
-        The previous implementation looped `for b in range(n_batches)`
+        A naive implementation loops `for b in range(n_batches)`
         re-filtering the full input scan on a COMPUTED column
         (pmod(xxhash64(conv_id), B)) that no reader can prune — B full
         scans of the corpus, i.e. 64 scans of a 100 TB table at the job
-        default. Per-batch stats now come from a column-pruned read-back
-        of the (much smaller) analyzed output instead of Observation,
-        which only ever saw one batch per job anyway.
+        default. Per-batch lineage stats ride the single write as
+        Observation aggregates (small todo sets) or one pruned read-back
+        of the analyzed output (large ones) — see inline rationale.
 
-        `only_batches` restricts the run (operational partial runs /
-        crash simulation in tests); resume granularity is unchanged."""
+        Returns the input turn count when the run covered every batch
+        (observed on the same job — saves build() a full input scan),
+        else None. `only_batches` restricts the run (operational partial
+        runs / crash simulation in tests); resume granularity is
+        unchanged."""
         self._check_layout()
         done = self._completed_batches()
         todo = [
@@ -468,19 +471,46 @@ class IndexBuilder:
             if b not in done and (only_batches is None or b in only_batches)
         ]
         if not todo:
-            return
+            return None
         t0 = time.time()
+        from pyspark.sql import Observation
+
         with_batch = transcripts.withColumn(
             "batch", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_batches)).cast("int")
         )
-        part = (
-            with_batch
-            if len(todo) == self.n_batches
-            else with_batch.filter(F.col("batch").isin(todo))
-        )
+        full_run = len(todo) == self.n_batches
+        obs_in = Observation("analyze-input") if full_run else None
+        if full_run:
+            # input turn count rides the same job (build() needs n_docs;
+            # a separate transcripts.count() is one more full input scan)
+            part = with_batch.observe(obs_in, F.count(F.lit(1)).alias("n_turns"))
+        else:
+            part = with_batch.filter(F.col("batch").isin(todo))
         flat = analyze_transcripts(
             part, extra_cols=("batch",), channels=self.channels
         )
+        # per-batch lineage stats: for small todo sets they RIDE the write
+        # as conditional aggregates in one Observation (zero extra jobs —
+        # extra driver-side serial jobs are exactly what erodes N->4N
+        # scaling efficiency); beyond the threshold the per-row CASE cost
+        # of B*5 observed expressions outweighs one pruned columnar
+        # read-back of the (much smaller) analyzed output.
+        use_obs = len(todo) <= 8
+        if use_obs:
+            from pyspark.sql import Observation
+
+            obs = Observation("analyze")
+            exprs = []
+            for b in todo:
+                cond = F.col("batch") == b
+                exprs += [
+                    F.count(F.when(cond, 1)).alias(f"n_{b}"),
+                    F.min(F.when(cond, F.col("doc_id"))).alias(f"dlo_{b}"),
+                    F.max(F.when(cond, F.col("doc_id"))).alias(f"dhi_{b}"),
+                    F.min(F.when(cond, F.col("term"))).alias(f"tlo_{b}"),
+                    F.max(F.when(cond, F.col("term"))).alias(f"thi_{b}"),
+                ]
+            flat = flat.observe(obs, *exprs)
         (
             flat.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -488,24 +518,42 @@ class IndexBuilder:
             .parquet(self.analyzed_dir)
         )
         ms = int((time.time() - t0) * 1000)
-        # per-batch stats: pruned columnar read of (batch, doc_id, term)
-        # over ONLY the just-written batch partitions
-        stats = {
-            int(r.batch): r
-            for r in (
-                self.spark.read.parquet(self.analyzed_dir)
-                .filter(F.col("batch").isin(todo))
-                .groupBy("batch")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min("doc_id").alias("dlo"),
-                    F.max("doc_id").alias("dhi"),
-                    F.min("term").alias("tlo"),
-                    F.max("term").alias("thi"),
+
+        class _Row:
+            __slots__ = ("n", "dlo", "dhi", "tlo", "thi")
+
+            def __init__(self, n, dlo, dhi, tlo, thi):
+                self.n, self.dlo, self.dhi, self.tlo, self.thi = (
+                    n, dlo, dhi, tlo, thi,
                 )
-                .collect()
-            )
-        }
+
+        if use_obs:
+            got = obs.get
+            stats = {
+                b: _Row(
+                    got[f"n_{b}"], got[f"dlo_{b}"], got[f"dhi_{b}"],
+                    got[f"tlo_{b}"], got[f"thi_{b}"],
+                )
+                for b in todo
+                if got[f"n_{b}"]
+            }
+        else:
+            stats = {
+                int(r.batch): r
+                for r in (
+                    self.spark.read.parquet(self.analyzed_dir)
+                    .filter(F.col("batch").isin(todo))
+                    .groupBy("batch")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.min("doc_id").alias("dlo"),
+                        F.max("doc_id").alias("dhi"),
+                        F.min("term").alias("tlo"),
+                        F.max("term").alias("thi"),
+                    )
+                    .collect()
+                )
+            }
         self._append_lineage(
             [
                 {
@@ -523,6 +571,7 @@ class IndexBuilder:
                 for b in todo
             ]
         )
+        return int(obs_in.get["n_turns"]) if obs_in is not None else None
 
     @property
     def doc_map_dir(self):
@@ -623,8 +672,12 @@ class IndexBuilder:
     def build(self, transcripts: DataFrame, with_blocks: bool = True) -> str:
         """Full (resumable) build. Returns the build id."""
         build_id = uuid.uuid4().hex[:12]
-        n_docs = transcripts.count()
-        self.analyze(transcripts, build_id)
+        # fresh builds get the turn count from the analyze job's input
+        # observation (no separate full scan); resumed builds (analyze
+        # skips completed batches) fall back to counting
+        n_docs = self.analyze(transcripts, build_id)
+        if n_docs is None:
+            n_docs = transcripts.count()
         self.merge_and_write(build_id, with_blocks=with_blocks)
         self.write_doc_meta(transcripts)
         with open(self.meta_path, "w") as f:

@@ -39,6 +39,39 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_segmented(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode ALL `values` in one vectorized pass and return
+    (buffer, byte_offsets) where byte_offsets[i] is the offset of
+    segment i (values[seg_starts[i]:seg_starts[i+1]]) in the buffer —
+    buffer[off[i]:off[i+1]] is bit-identical to
+    varbyte_encode(values[seg_starts[i]:seg_starts[i+1]]). Lets a caller
+    emit thousands of per-block encodings with one encode pass plus
+    cheap byte slices (indexing/blocks.py hot path)."""
+    arr = np.asarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if arr.size == 0:
+        return b"", np.zeros(seg_starts.size + 1, dtype=np.int64)
+    nb = np.ones(arr.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += arr >= t
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for k in range(max_nb):
+        sel = nb > k
+        payload = (arr[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        pos = starts[sel] + k
+        last = nb[sel] == k + 1
+        out[pos] = payload.astype(np.uint8) | (last.astype(np.uint8) << 7)
+    offsets = np.empty(seg_starts.size + 1, dtype=np.int64)
+    offsets[:-1] = starts[seg_starts]
+    offsets[-1] = int(ends[-1])
+    return out.tobytes(), offsets
+
+
 def varbyte_decode(data: bytes) -> np.ndarray:
     """Decode to an int64 array."""
     if not data:
@@ -118,6 +151,56 @@ def decode_positions(data: bytes, n_docs: int) -> list[np.ndarray]:
         out.append(np.cumsum(flat[i : i + n]))
         i += n
     return out
+
+
+def encode_doc_ids_segmented(
+    sorted_ordinals: np.ndarray, seg_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Segmented encode_doc_ids: delta chains restart at every segment
+    start (so each slice decodes standalone), one varbyte pass total."""
+    a = np.asarray(sorted_ordinals, dtype=np.int64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    deltas = np.empty_like(a)
+    if a.size:
+        deltas[0] = a[0]
+        deltas[1:] = np.diff(a)
+        deltas[seg_starts] = a[seg_starts]
+    return varbyte_encode_segmented(deltas, seg_starts)
+
+
+def encode_positions_segmented(
+    position_lists, seg_doc_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Segmented encode_positions over MANY docs' position lists at once:
+    seg_doc_starts are doc indices where segments (blocks) begin; returns
+    (buffer, byte_offsets) with buffer[off[i]:off[i+1]] bit-identical to
+    encode_positions(position_lists[seg_doc_starts[i]:seg_doc_starts[i+1]])
+    (run-delta chains already restart per doc, so any doc boundary is a
+    valid cut)."""
+    n_docs = len(position_lists)
+    seg_doc_starts = np.asarray(seg_doc_starts, dtype=np.int64)
+    if n_docs == 0:
+        return b"", np.zeros(seg_doc_starts.size + 1, dtype=np.int64)
+    lens = np.fromiter(
+        (len(p) for p in position_lists), dtype=np.int64, count=n_docs
+    )
+    total = int(lens.sum())
+    flat = np.empty(n_docs + total, dtype=np.int64)
+    head_idx = np.cumsum(lens + 1) - (lens + 1)
+    flat[head_idx] = lens
+    if total:
+        vals = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in position_lists]
+        )
+        deltas = np.empty_like(vals)
+        deltas[0] = vals[0]
+        deltas[1:] = np.diff(vals)
+        run_starts = np.cumsum(lens)[:-1]
+        run_starts = run_starts[run_starts < total]
+        deltas[run_starts] = vals[run_starts]
+        run_of = np.repeat(np.arange(n_docs), lens)
+        flat[np.arange(total) + run_of + 1] = deltas
+    return varbyte_encode_segmented(flat, head_idx[seg_doc_starts])
 
 
 def encode_tfs(tfs: np.ndarray) -> bytes:

@@ -120,6 +120,30 @@ def main() -> None:
                     _time(lambda fn=fn: fn(spark, sf_dir).collect()), 3
                 )
 
+        # -- canonical pinned-scale build -----------------------------------
+        # The sf-scaled point above is overhead-dominated at small corpora
+        # (r1 VERDICT: rounds were not comparable across it). This block
+        # builds a PINNED 12k-conv (~300k-turn) seeded corpus regardless of
+        # sf, so BENCH_r{N}.canonical_turns_per_sec measures the engine
+        # round over round. Skippable with SPARK_GRAFT_CANONICAL=0.
+        extra: dict[str, float | int] = {}
+        if os.environ.get("SPARK_GRAFT_CANONICAL", "1") != "0":
+            cdir = os.path.join(work, "canonical_transcripts")
+            gen_corpus_spark(spark, 12_000, partitions=cpus * 2).write.mode(
+                "overwrite"
+            ).parquet(cdir)
+            canon = spark.read.parquet(cdir)
+            c_turns = canon.count()
+            cidx = os.path.join(work, "canonical_index")
+            t0 = time.time()
+            IndexBuilder(spark, cidx, n_batches=1).build(canon)
+            c_sec = time.time() - t0
+            queries["index_build_canonical"] = round(c_sec, 3)
+            extra = {
+                "canonical_n_turns": int(c_turns),
+                "canonical_turns_per_sec": round(c_turns / c_sec, 1),
+            }
+
         total = round(sum(queries.values()), 3)
         print(
             json.dumps(
@@ -132,6 +156,7 @@ def main() -> None:
                     "n_turns": int(n_turns),
                     "index_build_turns_per_sec": round(n_turns / build_sec, 1),
                     "cpus": cpus,
+                    **extra,
                 }
             )
         )
