@@ -4,10 +4,10 @@ entry(spark)  — flagship: adapt sf0.001 `documents` into the transcript
                 shape, build a disk index with the full engine pipeline
                 (analyzer UDF -> salted term agg -> compressed block-max
                 companion) and run a ranked top-k search.
-queries()     — operator inventory; every entry except
-                multimodal_features (decode is an honest stub — no image
-                or audio decoder libs in this environment) is paired with
-                a DuckDB oracle:
+queries()     — operator inventory; every entry is paired with a DuckDB
+                oracle (multimodal_features pairs via the SQL-portable
+                hex-hash fake feature — the media decode itself stays an
+                honest stub, no decoder libs in this environment):
                   - SQL-expressible building blocks live in
                     extras/docops.py (Spark + SQL side by side);
                   - the Porter-stemmed flagship search paths use
@@ -261,16 +261,21 @@ def _stream_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (schema + mapInPandas batch shape) over the
-    deterministic synthetic media table; decode is a documented fake."""
+    deterministic synthetic media table; decode is a documented fake.
+    Uses the SQL-portable hex-hash fake feature so the whole Arrow path
+    is hash-verified vs DuckDB (multimodal_features_sql)."""
     from apt_search_engine_spark.extras.multimodal import (
         extract_features,
         synth_media,
     )
 
-    feats = extract_features(synth_media(spark, 64), deterministic_fake=True)
+    feats = extract_features(
+        synth_media(spark, 64), deterministic_fake=True, hex_hash=True
+    )
     return feats.select(
         "media_id",
         "kind",
+        "n_bytes",
         F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6).alias(
             "feature_sum"
         ),
@@ -282,14 +287,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from apt_search_engine_spark.extras.docops import SPARK_QUERIES
 
     q: dict[str, Callable] = dict(SPARK_QUERIES)
-    # full-engine paths (Porter stemming not SQL-expressible -> rows-only
-    # driver check; rank-identity is proven vs tests/oracle.py instead)
+    # full-engine paths — oracled via generated SQL with the corpus stem
+    # map embedded as a VALUES table (extras/search_oracle.py); rank
+    # identity additionally proven vs tests/oracle.py
     q["search_normal_topk"] = _search_q("table scan query")
     q["search_phrase_topk"] = _search_q('"table hash"')
     q["search_boolean_topk"] = _search_q('"table hash" AND merge')
     q["search_wand_topk"] = _wand_q
     q["search_snippets_topk"] = _snippets_q
-    # approximate / iterative / non-SQL ops (rows-only; python-oracle tests)
+    # approximate / iterative ops — each paired with a generated DuckDB
+    # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q
     q["simhash_candidate_pairs"] = _simhash_pairs_q
     q["embedding_neardup_pairs"] = _emb_neardup_q
@@ -336,6 +343,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["stream_windowed_counts"] = windowed_counts_oracle_sql()
+    from apt_search_engine_spark.extras.multimodal import (
+        multimodal_features_sql,
+    )
+
+    out["multimodal_features"] = multimodal_features_sql(64)
     # IVF ANN: centroids are recomputed at generation time from the same
     # ordered sample with the shared seeded numpy kmeans — corpus-bound
     # like the search oracles, so guard on readability.

@@ -50,11 +50,33 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (a - 128.0) / 128.0
 
 
-def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+def _fake_feature_hexhash(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Portable-oracle variant of `_fake_feature`: identical stretch/scale,
+    but the hash chain is seeded with the UPPERCASE hex encoding of the
+    payload (a valid VARCHAR) instead of the raw bytes, because the DuckDB
+    build in the correctness harness (v1.0.0) only exposes
+    sha256(VARCHAR) — no BLOB overload. The raw-bytes path stays the
+    library default; this one backs the hash-verified driver entry (same
+    precedent as extras/dedup.simhash64_md5_hex)."""
+    out = b""
+    seed = (payload or b"").hex().upper().encode("ascii")
+    while len(out) < dim:
+        seed = hashlib.sha256(seed).digest()
+        out += seed
+    a = np.frombuffer(out[:dim], dtype=np.uint8).astype(np.float32)
+    return (a - 128.0) / 128.0
+
+
+def extract_features(
+    media: DataFrame, deterministic_fake: bool = True, hex_hash: bool = False
+) -> DataFrame:
     """Decode + feature-extract as an Arrow-batched mapInPandas stage.
     Batch shape: payload arrives as bytes objects; features leave as
     list[float32] -> array<float> (the same column type the ANN operators
-    consume)."""
+    consume). `hex_hash=True` selects the SQL-portable fake-feature
+    variant (see `_fake_feature_hexhash`)."""
+
+    fake = _fake_feature_hexhash if hex_hash else _fake_feature
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -65,7 +87,7 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
                     "batch boundary"
                 )
             feats = [
-                _fake_feature(p if p is not None else b"").tolist()
+                fake(p if p is not None else b"").tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -95,6 +117,37 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def multimodal_features_sql(n: int = 64) -> str:
+    """DuckDB oracle for the driver's `multimodal_features` entry:
+    reconstructs `synth_media(n)` payloads symbolically (digest-hex
+    strings — DuckDB v1.0.0 cannot hash BLOBs) and reproduces the
+    hex-hash fake feature. feature_sum values are exact multiples of
+    1/128 with |sum| < 32, so the double sums are bit-exact on both
+    engines and round(x, 6) agrees."""
+    return f"""
+WITH m AS (
+  SELECT i,
+    printf('m%05d', i) AS media_id,
+    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    upper(repeat(sha256(i::VARCHAR), 1 + i % 5)) AS payload_hex
+  FROM range({n}) t(i)
+), d AS (
+  SELECT media_id, kind,
+         length(payload_hex) // 2 AS n_bytes,
+         sha256(payload_hex) AS h
+  FROM m
+)
+SELECT media_id, kind, n_bytes,
+  round(list_sum(list_transform(range(0, {FEATURE_DIM}), j ->
+    (CAST((strpos('0123456789abcdef', substr(h, 2*j + 1, 1)) - 1) * 16
+        + strpos('0123456789abcdef', substr(h, 2*j + 2, 1)) - 1 AS DOUBLE)
+     - 128.0) / 128.0
+  )), 6) AS feature_sum
+FROM d
+ORDER BY media_id
+"""
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:

@@ -224,6 +224,42 @@ def test_multimodal_features(spark):
     assert frames.groupBy("media_id").count().agg(F.min("count")).first()[0] >= 1
 
 
+def test_multimodal_hexhash_variant_matches_python_and_sql(spark):
+    """The SQL-portable hex-hash fake feature (driver-entry variant): the
+    Arrow path reproduces the pure-Python kernel, and the generated
+    DuckDB oracle reproduces both (same check the driver runs)."""
+    import duckdb
+
+    from apt_search_engine_spark.extras.multimodal import (
+        _fake_feature_hexhash,
+        extract_features,
+        multimodal_features_sql,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    feats = extract_features(media, hex_hash=True).collect()
+    by_id = {r.media_id: r for r in feats}
+    for row in media.collect():
+        expect = _fake_feature_hexhash(bytes(row.payload))
+        got = by_id[row.media_id].feature
+        assert [round(float(x), 6) for x in got] == [
+            round(float(x), 6) for x in expect
+        ]
+    # oracle parity on the rounded sums (exact multiples of 1/128; the
+    # sums hit exact .xxxxxx5 halfway points, where Spark's F.round and
+    # DuckDB's round both go HALF_UP — emulate that, not Python's
+    # banker's rounding)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    odf = duckdb.connect().execute(multimodal_features_sql(12)).fetchdf()
+    oracle = {r.media_id: r.feature_sum for r in odf.itertuples()}
+    for r in feats:
+        exact = Decimal(sum(float(x) for x in r.feature))
+        s = float(exact.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        assert abs(oracle[r.media_id] - s) < 1e-9, r.media_id
+
+
 def test_multimodal_stub_raises_without_fake(spark):
     from apt_search_engine_spark.extras.multimodal import extract_features, synth_media
 
