@@ -106,36 +106,37 @@ def write_doc_map(
 
 
 def _blocks_from_segments(batches):
-    """One vectorized pass per Arrow batch: all segment rows' postings
-    are concatenated, block boundaries computed globally, each byte
-    column encoded with ONE segmented codec pass and sliced per block
+    """One vectorized pass per Arrow RecordBatch: all segment rows'
+    postings are taken FLAT from the ListArray buffers (flatten() +
+    list_value_length — no per-row Python materialization at all), block
+    boundaries computed globally, each byte column encoded with ONE
+    segmented codec pass and sliced per block
     (codec.varbyte_encode_segmented). Bit-identical to encoding each
-    block separately; the per-block Python loop this replaces dominated
-    the stage on Zipf-tail segments (millions of 1-posting rows at
-    corpus scale, ~100 codec-call overheads each)."""
-    cols = [
-        "term", "n_docs", "doc_ids_vb", "tfs", "wtfs", "positions_vb",
-        "block_max_wtf", "lo_ord", "hi_ord", "term_bucket",
-    ]
-    for pdf in batches:
-        n_rows = len(pdf)
+    block separately; the earlier per-block Python loop and the pandas
+    object-array conversion both dominated the stage on Zipf-tail
+    segments (millions of 1-posting rows at corpus scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        n_rows = batch.num_rows
         if not n_rows:
             continue
-        lens = np.fromiter(
-            (len(o) for o in pdf["doc_ords"]), dtype=np.int64, count=n_rows
+        col = {
+            name: batch.column(i) for i, name in enumerate(batch.schema.names)
+        }
+        ords_arr = col["doc_ords"]
+        lens = pc.list_value_length(ords_arr).to_numpy().astype(np.int64)
+        all_ords = ords_arr.flatten().to_numpy().astype(np.int64, copy=False)
+        all_tfs = (
+            col["tfs"].flatten().to_numpy().astype(np.float64, copy=False)
         )
-        all_ords = np.concatenate(
-            [np.asarray(o, dtype=np.int64) for o in pdf["doc_ords"]]
+        all_wtfs = (
+            col["wtfs"].flatten().to_numpy().astype(np.float64, copy=False)
         )
-        all_tfs = np.concatenate(
-            [np.asarray(t, dtype=np.float64) for t in pdf["tfs"]]
-        )
-        all_wtfs = np.concatenate(
-            [np.asarray(w, dtype=np.float64) for w in pdf["wtfs"]]
-        )
-        all_pos: list = []
-        for p in pdf["positions"]:
-            all_pos.extend(p)
+        pos_l1 = col["positions"].flatten()  # posting-level list<int>
+        pos_lens = pc.list_value_length(pos_l1).to_numpy().astype(np.int64)
+        pos_vals = pos_l1.flatten().to_numpy().astype(np.int64, copy=False)
         # block starts (posting indices): multiples of POSTING_BLOCK_SIZE
         # within each row, offset by the row's start
         n_blocks = (lens + POSTING_BLOCK_SIZE - 1) // POSTING_BLOCK_SIZE
@@ -153,37 +154,50 @@ def _blocks_from_segments(batches):
         )
 
         ids_buf, ids_off = codec.encode_doc_ids_segmented(all_ords, block_starts)
-        pos_buf, pos_off = codec.encode_positions_segmented(all_pos, block_starts)
+        pos_buf, pos_off = codec.encode_positions_flat_segmented(
+            pos_lens, pos_vals, block_starts
+        )
         tf_buf = all_tfs.tobytes()
         wtf_buf = all_wtfs.tobytes()
         block_max = np.maximum.reduceat(all_wtfs, block_starts)
 
-        terms = pdf["term"].to_numpy()
-        buckets = pdf["term_bucket"].to_numpy()
-        yield pd.DataFrame(
-            {
-                "term": terms[block_row],
-                "n_docs": (block_ends - block_starts).astype(np.int32),
-                "doc_ids_vb": [
-                    ids_buf[a:b] for a, b in zip(ids_off[:-1], ids_off[1:])
-                ],
-                "tfs": [
-                    tf_buf[8 * a : 8 * b]
-                    for a, b in zip(block_starts, block_ends)
-                ],
-                "wtfs": [
-                    wtf_buf[8 * a : 8 * b]
-                    for a, b in zip(block_starts, block_ends)
-                ],
-                "positions_vb": [
-                    pos_buf[a:b] for a, b in zip(pos_off[:-1], pos_off[1:])
-                ],
-                "block_max_wtf": block_max,
-                "lo_ord": all_ords[block_starts],
-                "hi_ord": all_ords[block_ends - 1],
-                "term_bucket": buckets[block_row].astype(np.int32),
-            },
-            columns=cols,
+        take_idx = pa.array(block_row)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.take(col["term"], take_idx),
+                pa.array((block_ends - block_starts).astype(np.int32)),
+                pa.array(
+                    [ids_buf[a:b] for a, b in zip(ids_off[:-1], ids_off[1:])],
+                    type=pa.binary(),
+                ),
+                pa.array(
+                    [
+                        tf_buf[8 * a : 8 * b]
+                        for a, b in zip(block_starts, block_ends)
+                    ],
+                    type=pa.binary(),
+                ),
+                pa.array(
+                    [
+                        wtf_buf[8 * a : 8 * b]
+                        for a, b in zip(block_starts, block_ends)
+                    ],
+                    type=pa.binary(),
+                ),
+                pa.array(
+                    [pos_buf[a:b] for a, b in zip(pos_off[:-1], pos_off[1:])],
+                    type=pa.binary(),
+                ),
+                pa.array(block_max, type=pa.float64()),
+                pa.array(all_ords[block_starts], type=pa.int64()),
+                pa.array(all_ords[block_ends - 1], type=pa.int64()),
+                pc.take(col["term_bucket"], take_idx),
+            ],
+            names=[
+                "term", "n_docs", "doc_ids_vb", "tfs", "wtfs",
+                "positions_vb", "block_max_wtf", "lo_ord", "hi_ord",
+                "term_bucket",
+            ],
         )
 
 
@@ -205,5 +219,5 @@ def write_blocks(
     postings = postings_src.select(
         "term", "term_bucket", "positions", "doc_ords", "tfs", "wtfs"
     )
-    blocks = postings.mapInPandas(_blocks_from_segments, schema=BLOCKS_SCHEMA)
+    blocks = postings.mapInArrow(_blocks_from_segments, schema=BLOCKS_SCHEMA)
     blocks.write.mode(mode).partitionBy("term_bucket").parquet(blocks_dir)

@@ -178,20 +178,39 @@ def encode_positions_segmented(
     (run-delta chains already restart per doc, so any doc boundary is a
     valid cut)."""
     n_docs = len(position_lists)
-    seg_doc_starts = np.asarray(seg_doc_starts, dtype=np.int64)
     if n_docs == 0:
+        seg_doc_starts = np.asarray(seg_doc_starts, dtype=np.int64)
         return b"", np.zeros(seg_doc_starts.size + 1, dtype=np.int64)
     lens = np.fromiter(
         (len(p) for p in position_lists), dtype=np.int64, count=n_docs
     )
+    vals = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in position_lists])
+        if int(lens.sum())
+        else np.empty(0, dtype=np.int64)
+    )
+    return encode_positions_flat_segmented(lens, vals, seg_doc_starts)
+
+
+def encode_positions_flat_segmented(
+    lens: np.ndarray, vals: np.ndarray, seg_doc_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """encode_positions_segmented on pre-flattened input: per-doc list
+    lengths + concatenated values — exactly the layout an Arrow ListArray
+    already stores (flatten() + list_value_length), so callers reading
+    postings via mapInArrow skip the per-doc Python materialization
+    entirely. Bit-identical to the list-of-lists form."""
+    n_docs = len(lens)
+    seg_doc_starts = np.asarray(seg_doc_starts, dtype=np.int64)
+    if n_docs == 0:
+        return b"", np.zeros(seg_doc_starts.size + 1, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
     total = int(lens.sum())
     flat = np.empty(n_docs + total, dtype=np.int64)
     head_idx = np.cumsum(lens + 1) - (lens + 1)
     flat[head_idx] = lens
     if total:
-        vals = np.concatenate(
-            [np.asarray(p, dtype=np.int64) for p in position_lists]
-        )
+        vals = np.asarray(vals, dtype=np.int64)
         deltas = np.empty_like(vals)
         deltas[0] = vals[0]
         deltas[1:] = np.diff(vals)

@@ -32,7 +32,7 @@ import sys
 import tempfile
 
 _CHILD = """
-import json, statistics, sys, time
+import json, shutil, statistics, sys, time
 work, cpus, batches = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 from apt_search_engine_spark.session import get_spark
 from apt_search_engine_spark.indexing.build import IndexBuilder
@@ -41,6 +41,11 @@ from apt_search_engine_spark.query.engine import SearchEngine
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus,
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
+
+# fresh dirs: a leftover index from a previous repeat would RESUME (the
+# build is resumable by design) and fake an instant rebuild
+shutil.rmtree(work + "/warm_idx_%d" % cpus, ignore_errors=True)
+shutil.rmtree(work + "/index_%d" % cpus, ignore_errors=True)
 
 # untimed warmup: JIT/codegen + python worker pools
 warm = spark.read.parquet(work + "/warmup")
@@ -82,37 +87,66 @@ def main(argv=None) -> int:
     p.add_argument("--high", type=int, default=32)
     p.add_argument("--batches", type=int, default=1)
     p.add_argument("--keep", action="store_true")
+    p.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="interleave N low/high pairs and report medians — single-shot "
+        "numbers on a shared VM swing 2-3x run to run (BASELINE.md), so "
+        "any headline efficiency figure should come from repeats >= 3",
+    )
+    p.add_argument(
+        "--work",
+        default=None,
+        help="reuse an existing work dir (transcripts/ + warmup/ parquet) "
+        "instead of generating the corpus",
+    )
     args = p.parse_args(argv)
 
-    work = tempfile.mkdtemp(prefix="aptse_scaling_")
+    import statistics
+
+    work = args.work or tempfile.mkdtemp(prefix="aptse_scaling_")
     try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import sys\n"
-             "from apt_search_engine_spark.session import get_spark\n"
-             "from apt_search_engine_spark.corpus import gen_corpus_spark\n"
-             "s = get_spark('gen', master='local[%d]')\n"
-             "gen_corpus_spark(s, %d, partitions=%d).write.mode('overwrite')"
-             ".parquet(sys.argv[1] + '/transcripts')\n"
-             "gen_corpus_spark(s, 600, seed=99, partitions=32).write"
-             ".mode('overwrite').parquet(sys.argv[1] + '/warmup')\n"
-             % (args.high, args.convs, args.high * 8),
-             work],
-            capture_output=True, text=True, check=True,
-        )
-        low = _run_child(work, args.low, args.batches)
-        high = _run_child(work, args.high, args.batches)
-        eff = (high["turns_per_sec"] / low["turns_per_sec"]) / (
-            args.high / args.low
-        )
+        if not (args.work and os.path.isdir(os.path.join(work, "transcripts"))):
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import sys\n"
+                 "from apt_search_engine_spark.session import get_spark\n"
+                 "from apt_search_engine_spark.corpus import gen_corpus_spark\n"
+                 "s = get_spark('gen', master='local[%d]')\n"
+                 "gen_corpus_spark(s, %d, partitions=%d).write.mode('overwrite')"
+                 ".parquet(sys.argv[1] + '/transcripts')\n"
+                 "gen_corpus_spark(s, 600, seed=99, partitions=32).write"
+                 ".mode('overwrite').parquet(sys.argv[1] + '/warmup')\n"
+                 % (args.high, args.convs, args.high * 8),
+                 work],
+                capture_output=True, text=True, check=True,
+            )
+        lows, highs = [], []
+        for _ in range(args.repeats):
+            lows.append(_run_child(work, args.low, args.batches))
+            highs.append(_run_child(work, args.high, args.batches))
+        med_low = statistics.median(r["turns_per_sec"] for r in lows)
+        med_high = statistics.median(r["turns_per_sec"] for r in highs)
+        eff = (med_high / med_low) / (args.high / args.low)
         print(json.dumps({
-            "low": low, "high": high,
+            "low": {"cpus": args.low, "n_turns": lows[0]["n_turns"],
+                    "turns_per_sec_median": round(med_low, 1),
+                    "turns_per_sec_runs": [r["turns_per_sec"] for r in lows],
+                    "query_p50_sec": statistics.median(
+                        r["query_p50_sec"] for r in lows)},
+            "high": {"cpus": args.high, "n_turns": highs[0]["n_turns"],
+                     "turns_per_sec_median": round(med_high, 1),
+                     "turns_per_sec_runs": [r["turns_per_sec"] for r in highs],
+                     "query_p50_sec": statistics.median(
+                         r["query_p50_sec"] for r in highs)},
             "scaling_efficiency": round(eff, 3),
+            "repeats": args.repeats,
             "convs": args.convs,
         }))
         return 0
     finally:
-        if not args.keep:
+        if not args.keep and not args.work:
             shutil.rmtree(work, ignore_errors=True)
 
 
