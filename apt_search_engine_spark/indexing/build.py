@@ -517,7 +517,11 @@ class IndexBuilder:
             .partitionBy("batch")
             .parquet(self.analyzed_dir)
         )
-        ms = int((time.time() - t0) * 1000)
+        # the single-pass job covers len(todo) batches at once; record the
+        # per-batch SHARE so lineage timing keeps the per-batch semantics
+        # consumers had under the old loop (ADVICE r2: the shared job wall
+        # on every row inflated per-batch stats n_batches-fold)
+        ms = int((time.time() - t0) * 1000 / len(todo))
 
         class _Row:
             __slots__ = ("n", "dlo", "dhi", "tlo", "thi")

@@ -52,10 +52,19 @@ def make_handler(engine):
             if not query.strip():
                 self._json(400, {"error": "empty query"})
                 return
-            page = int((q.get("page") or ["1"])[0])
-            size = int((q.get("size") or ["10"])[0])
+            try:
+                page = int((q.get("page") or ["1"])[0])
+                size = int((q.get("size") or ["10"])[0])
+            except ValueError:
+                self._json(400, {"error": "page/size must be integers"})
+                return
+            # clamp rather than 400 on out-of-range values, mirroring the
+            # reference client's forgiving pager; page=0 / negative size
+            # previously produced wrong slices or a negative k
+            page = max(1, page)
+            size = max(1, size)
             t0 = time.time()
-            rows = engine.search(query, k=max(1, page) * size, with_snippets=True)
+            rows = engine.search(query, k=page * size, with_snippets=True)
             sliced = rows[(page - 1) * size : page * size]
             self._json(
                 200,

@@ -197,7 +197,7 @@ def test_windowed_agg_matches_batch_below_watermark(spark, tmp_path):
 
     got = run_windowed_drain(
         spark, inp, str(tmp_path / "win_ck"), str(tmp_path / "win_out")
-    )
+    ).collect()
 
     import datetime
 
@@ -236,14 +236,14 @@ def test_windowed_agg_drops_late_rows(spark, tmp_path):
         TRANSCRIPTS,
     )
     first.coalesce(1).write.mode("append").parquet(inp)
-    got1 = run_windowed_drain(spark, inp, ck, out)
+    got1 = run_windowed_drain(spark, inp, ck, out).collect()
     early = [r for r in got1 if r.win_start.minute == 0 and r.win_start.hour == 12]
     assert len(early) == 1 and early[0].n_turns == 5  # minutes 0-4
 
     # late arrival into the finalized minute-0 window
     late = spark.createDataFrame([_turn("c1", 7, 1)], TRANSCRIPTS)
     late.coalesce(1).write.mode("append").parquet(inp)
-    got2 = run_windowed_drain(spark, inp, ck, out)
+    got2 = run_windowed_drain(spark, inp, ck, out).collect()
     early2 = [r for r in got2 if r.win_start.minute == 0 and r.win_start.hour == 12]
     assert len(early2) == 1 and early2[0].n_turns == 5  # unchanged, no dup
 
@@ -267,7 +267,7 @@ def test_stateful_conv_stats_incremental_equals_batch(spark, tmp_path):
     spark.createDataFrame(a, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(inp)
     run_conv_stats_drain(spark, inp, ck, out)
     spark.createDataFrame(b, TRANSCRIPTS).coalesce(1).write.mode("append").parquet(inp)
-    got = run_conv_stats_drain(spark, inp, ck, out)
+    got = run_conv_stats_drain(spark, inp, ck, out).collect()
 
     latest = {}
     for r in got:
