@@ -63,7 +63,7 @@ def _engine_over(spark: SparkSession, sf_dir: str):
     if sf_dir not in _ENGINE_CACHE:
         # key includes a layout version so an index built by an older code
         # revision is never reused across layout changes
-        key = hashlib.md5(f"{sf_dir}|layout=4".encode()).hexdigest()[:10]
+        key = hashlib.md5(f"{sf_dir}|layout=5".encode()).hexdigest()[:10]
         idx = os.path.join(tempfile.gettempdir(), f"aptse_entry_{key}")
         if not os.path.exists(os.path.join(idx, "meta.json")):
             # build into a process-unique staging dir, then atomically

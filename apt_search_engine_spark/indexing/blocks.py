@@ -2,15 +2,15 @@
 
 Derives, from the canonical segmented postings table, a blocked companion:
 one row per (term, block of <=POSTING_BLOCK_SIZE docs) with delta+varbyte
-doc ordinals, raw-float tfs, per-doc weighted tfs (tf * sum(tag_weights) —
-the reference's Ranker.java:55-66 score kernel minus the idf factor),
-packed positions, the block's ordinal bounds [lo_ord, hi_ord] and the score
-upper bound `block_max_wtf = max(wtf)` — multiplied by floor(6000/df) at
-query time it bounds any document's score contribution from this term,
-which is what lets WAND skip blocks (SURVEY.md 4.2 item 3).
+doc ordinals, per-doc weighted tfs (tf * sum(tag_weights) — the
+reference's Ranker.java:55-66 score kernel minus the idf factor), the
+block's ordinal bounds [lo_ord, hi_ord] and the score upper bound
+`block_max_wtf = max(wtf)` — multiplied by floor(6000/df) at query time it
+bounds any document's score contribution from this term, which is what
+lets WAND skip blocks (SURVEY.md 4.2 item 3).
 
 The derivation is NARROW: postings segments already carry parallel
-doc_ords / tfs / wtfs arrays (stamped during the merge shuffle,
+doc_ords / wtfs arrays (stamped during the merge shuffle,
 indexing/build.py), so block cutting is a per-row chunking pass — no
 shuffle, no join, no re-grouping of the index. Postings within a segment
 are doc-ordered and segments of a term are disjoint ordinal ranges, so
@@ -18,11 +18,21 @@ blocks of a term cover disjoint strictly-increasing ordinal ranges, so
 lo_ord is the block identity and sort key.
 
 Doc ordinals come from a corpus-wide doc_map (doc_id -> dense ordinal in
-doc_id order), written before the merge — the docID space assignment every
-real inverted index does at ingest. Assignment is two-pass and
-Arrow-batched (range-partition by doc_id, count per partition, then
-offset + arange per batch): no per-row Python, no driver-side collect of
-doc ids.
+doc_id order), written at ingest (IndexBuilder.analyze stage 0) — the
+docID space assignment every real inverted index does at ingest.
+Assignment is two-pass and Arrow-batched (range-partition by doc_id,
+count per partition, then offset + arange per batch): no per-row Python,
+no driver-side collect of doc ids.
+
+Blocks store exactly what the WAND scorer decodes: delta+varbyte doc
+ordinals, raw-float wtfs, and the block-max bound. Raw tfs and packed
+positions were DROPPED in layout v5 (VERDICT r2 'what's wrong' #2): the
+bag-of-words scorer never reads them, parquet column pruning merely hid
+the cost of encoding them and roughly doubling the companion's bytes.
+Phrase/boolean queries keep using the exact positional plan over the
+canonical postings table (query/engine.py) — positions live exactly once,
+there. (Measured on a 2,000-conversation build: companion 18.5 MB ->
+8.9 MB, 2.1x smaller; see BASELINE.md round 3.)
 """
 
 from __future__ import annotations
@@ -38,9 +48,8 @@ from apt_search_engine_spark.indexing import codec
 # strictly-increasing ordinal ranges, so sorting by lo_ord reconstructs
 # global doc order (no separate block_id needed).
 BLOCKS_SCHEMA = (
-    "term string, n_docs int, doc_ids_vb binary, "
-    "tfs binary, wtfs binary, positions_vb binary, block_max_wtf double, "
-    "lo_ord long, hi_ord long, term_bucket int"
+    "term string, n_docs int, doc_ids_vb binary, wtfs binary, "
+    "block_max_wtf double, lo_ord long, hi_ord long, term_bucket int"
 )
 
 DOC_MAP_SCHEMA = "doc_id string, doc_ord long"
@@ -128,15 +137,9 @@ def _blocks_from_segments(batches):
         ords_arr = col["doc_ords"]
         lens = pc.list_value_length(ords_arr).to_numpy().astype(np.int64)
         all_ords = ords_arr.flatten().to_numpy().astype(np.int64, copy=False)
-        all_tfs = (
-            col["tfs"].flatten().to_numpy().astype(np.float64, copy=False)
-        )
         all_wtfs = (
             col["wtfs"].flatten().to_numpy().astype(np.float64, copy=False)
         )
-        pos_l1 = col["positions"].flatten()  # posting-level list<int>
-        pos_lens = pc.list_value_length(pos_l1).to_numpy().astype(np.int64)
-        pos_vals = pos_l1.flatten().to_numpy().astype(np.int64, copy=False)
         # block starts (posting indices): multiples of POSTING_BLOCK_SIZE
         # within each row, offset by the row's start
         n_blocks = (lens + POSTING_BLOCK_SIZE - 1) // POSTING_BLOCK_SIZE
@@ -154,10 +157,6 @@ def _blocks_from_segments(batches):
         )
 
         ids_buf, ids_off = codec.encode_doc_ids_segmented(all_ords, block_starts)
-        pos_buf, pos_off = codec.encode_positions_flat_segmented(
-            pos_lens, pos_vals, block_starts
-        )
-        tf_buf = all_tfs.tobytes()
         wtf_buf = all_wtfs.tobytes()
         block_max = np.maximum.reduceat(all_wtfs, block_starts)
 
@@ -172,20 +171,9 @@ def _blocks_from_segments(batches):
                 ),
                 pa.array(
                     [
-                        tf_buf[8 * a : 8 * b]
-                        for a, b in zip(block_starts, block_ends)
-                    ],
-                    type=pa.binary(),
-                ),
-                pa.array(
-                    [
                         wtf_buf[8 * a : 8 * b]
                         for a, b in zip(block_starts, block_ends)
                     ],
-                    type=pa.binary(),
-                ),
-                pa.array(
-                    [pos_buf[a:b] for a, b in zip(pos_off[:-1], pos_off[1:])],
                     type=pa.binary(),
                 ),
                 pa.array(block_max, type=pa.float64()),
@@ -194,9 +182,8 @@ def _blocks_from_segments(batches):
                 pc.take(col["term_bucket"], take_idx),
             ],
             names=[
-                "term", "n_docs", "doc_ids_vb", "tfs", "wtfs",
-                "positions_vb", "block_max_wtf", "lo_ord", "hi_ord",
-                "term_bucket",
+                "term", "n_docs", "doc_ids_vb", "wtfs",
+                "block_max_wtf", "lo_ord", "hi_ord", "term_bucket",
             ],
         )
 
@@ -216,8 +203,6 @@ def write_blocks(
     re-reading and re-decoding the whole index's nested arrays."""
     if isinstance(postings_src, str):
         postings_src = spark.read.parquet(postings_src)
-    postings = postings_src.select(
-        "term", "term_bucket", "positions", "doc_ords", "tfs", "wtfs"
-    )
+    postings = postings_src.select("term", "term_bucket", "doc_ords", "wtfs")
     blocks = postings.mapInArrow(_blocks_from_segments, schema=BLOCKS_SCHEMA)
     blocks.write.mode(mode).partitionBy("term_bucket").parquet(blocks_dir)

@@ -110,11 +110,12 @@ POSTING_BLOCKS = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("doc_ids_vb", T.BinaryType(), False),
-        T.StructField("tfs", T.BinaryType(), False),
         # per-doc weighted tf: tf * sum(tag_weights) — the score kernel
-        # minus the idf factor; WAND scores directly from this
+        # minus the idf factor; WAND scores directly from this. Blocks
+        # store ONLY what the WAND scorer decodes (layout v5): raw tfs and
+        # packed positions were dead weight — positions live once, in the
+        # canonical postings table the phrase path reads.
         T.StructField("wtfs", T.BinaryType(), False),
-        T.StructField("positions_vb", T.BinaryType(), False),
         # max over docs in block of wtf — multiply by floor(6000/df) at
         # query time for the block's score upper bound
         T.StructField("block_max_wtf", T.DoubleType(), False),

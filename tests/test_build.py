@@ -116,22 +116,23 @@ def test_blocks_roundtrip(spark, index_dir):
         segs = canonical[term]
         want_postings = [p for r in segs for p in r.postings]
         assert lexicon_dfs[term] == len(want_postings)
-        got_ids, got_tfs, got_pos = [], [], []
+        # layout v5: blocks store exactly what WAND decodes — doc ordinals
+        # + wtfs + block_max (tfs/positions dropped; positions live only in
+        # the canonical postings table, which the phrase path reads)
+        got_ids, got_wtfs = [], []
         for b in bs:
             ords = codec.decode_doc_ids(b.doc_ids_vb)
             got_ids.extend(doc_map[o] for o in ords)
-            got_tfs.extend(codec.decode_tfs(b.tfs).tolist())
-            got_pos.extend(p.tolist() for p in codec.decode_positions(b.positions_vb, b.n_docs))
+            got_wtfs.extend(codec.decode_tfs(b.wtfs).tolist())
         assert got_ids == [p.doc_id for p in want_postings], term
-        assert got_tfs == pytest.approx([p.tf for p in want_postings]), term
-        assert got_pos == [list(p.positions) for p in want_postings], term
-        # block-max invariant: ub >= any doc's weighted tf in the block
         from apt_search_engine_spark.analysis.analyzer import tag_weight
 
         wtfs = [
             p.tf * (sum(tag_weight(t) for t in p.tags) if p.tags else 0.5)
             for p in want_postings
         ]
+        assert got_wtfs == pytest.approx(wtfs), term
+        # block-max invariant: ub >= any doc's weighted tf in the block
         assert max(b.block_max_wtf for b in bs) == pytest.approx(max(wtfs)), term
 
 
