@@ -193,6 +193,7 @@ def write_blocks(
     postings_src,
     blocks_dir: str,
     mode: str = "overwrite",
+    dynamic: bool = False,
 ) -> None:
     """Narrow derivation: chunk each postings segment row into compressed
     blocks. No shuffle — the merge already ordered and ord-stamped it.
@@ -200,9 +201,14 @@ def write_blocks(
 
     `postings_src` is a directory path OR a (persisted) postings
     DataFrame — passing the in-flight frame from the merge avoids
-    re-reading and re-decoding the whole index's nested arrays."""
+    re-reading and re-decoding the whole index's nested arrays.
+    `dynamic` makes an overwrite replace only the term_bucket partitions
+    present in the input (recompaction rewrites just touched buckets)."""
     if isinstance(postings_src, str):
         postings_src = spark.read.parquet(postings_src)
     postings = postings_src.select("term", "term_bucket", "doc_ords", "wtfs")
     blocks = postings.mapInArrow(_blocks_from_segments, schema=BLOCKS_SCHEMA)
-    blocks.write.mode(mode).partitionBy("term_bucket").parquet(blocks_dir)
+    writer = blocks.write.mode(mode)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("term_bucket").parquet(blocks_dir)

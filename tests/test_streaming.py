@@ -292,3 +292,119 @@ def test_stateful_conv_stats_incremental_equals_batch(spark, tmp_path):
             w.n_chars,
             w.last_turn_idx,
         ), cid
+
+
+# ------------------------------------------------ compaction durability
+def _ranked(spark, index_dir, q="travel guide"):
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    return [
+        (r.doc_id, round(r.score, 9))
+        for r in SearchEngine(spark, index_dir=index_dir).search_df(q, k=10).collect()
+    ]
+
+
+@pytest.mark.parametrize("stage", ["staged", "promoted", "swapped"])
+def test_compact_crash_recovery(spark, tmp_path, stream_corpus, stage):
+    """A compaction killed at any commit stage must be fully undone by the
+    next run: re-running compact() yields exactly the index a never-crashed
+    incremental compaction produces (ADVICE r2: the old append-then-state
+    protocol duplicated postings and doc ordinals on re-run)."""
+    import json
+
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+    from apt_search_engine_spark.streaming.ingest import compact, stream_analyze
+
+    first, second, full = stream_corpus
+    inp = str(tmp_path / f"crash_in_{stage}")
+    sdir = str(tmp_path / f"crash_idx_{stage}")
+    bdir = str(tmp_path / f"crash_batch_{stage}")
+
+    first.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)  # bootstrap
+    second.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact(spark, sdir, fail_at=stage)
+    # the re-run recovers the partial increment and applies it cleanly
+    compact(spark, sdir)
+
+    IndexBuilder(spark, bdir, n_batches=1).build(full)
+    assert _postings_map(spark, sdir) == _postings_map(spark, bdir)
+    assert _ranked(spark, sdir) == _ranked(spark, bdir)
+    with open(os.path.join(sdir, "meta.json")) as f:
+        n_docs = json.load(f)["n_docs"]
+    assert n_docs == full.count()
+    # no stray undo artifacts remain
+    names = set(os.listdir(sdir))
+    assert not any(n.startswith("lexicon__") for n in names)
+    assert "_staging" not in names
+    # doc ordinals never duplicated
+    dm = spark.read.parquet(os.path.join(sdir, "doc_map"))
+    assert dm.count() == dm.select("doc_ord").distinct().count()
+
+
+def test_recompact_bounds_segments(spark, tmp_path, stream_corpus):
+    """After N incremental compactions a common term holds ~N delta
+    segments; recompact() folds them back to full segments, preserves the
+    exact postings content and ranked results (exact AND WAND paths), and
+    leaves lexicon/doc_map/meta untouched."""
+    from apt_search_engine_spark.query.engine import SearchEngine
+    from apt_search_engine_spark.streaming.ingest import (
+        compact,
+        recompact,
+        stream_analyze,
+    )
+
+    first, second, full = stream_corpus
+    inp = str(tmp_path / "rc_in")
+    sdir = str(tmp_path / "rc_idx")
+    first.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+    second.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+
+    def seg_counts():
+        from collections import Counter
+
+        c = Counter(
+            r.term
+            for r in spark.read.parquet(os.path.join(sdir, "postings"))
+            .select("term")
+            .collect()
+        )
+        return c
+
+    before = seg_counts()
+    assert max(before.values()) >= 2, "fixture produced no fragmentation"
+    content_before = _postings_map(spark, sdir)
+    ranked_before = _ranked(spark, sdir)
+
+    n = recompact(spark, sdir, max_segments_per_term=1)
+    assert n > 0
+
+    after = seg_counts()
+    # every posting survived, nothing duplicated, segments folded
+    assert _postings_map(spark, sdir) == content_before
+    assert max(after.values()) < max(before.values())
+    assert max(after.values()) <= 2  # ceil(df/cap)=1 + range-split slack
+    assert _ranked(spark, sdir) == ranked_before
+    eng = SearchEngine(spark, index_dir=sdir)
+    wand = [
+        (r.doc_id, round(r.score, 9))
+        for r in eng.search_df_wand("travel guide", k=10).collect()
+    ]
+    assert wand == ranked_before
+    # blocks were re-derived for the touched buckets: ordinal ranges of a
+    # term's blocks stay disjoint and ascending
+    bl = spark.read.parquet(os.path.join(sdir, "blocks")).collect()
+    by_term = {}
+    for b in bl:
+        by_term.setdefault(b.term, []).append(b)
+    for term, bs in by_term.items():
+        bs.sort(key=lambda b: b.lo_ord)
+        for x, y in zip(bs, bs[1:]):
+            assert x.hi_ord < y.lo_ord, term
