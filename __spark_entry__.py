@@ -141,6 +141,33 @@ def _snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prior_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/R3: ranked top-k under a NON-UNIFORM per-URL doc prior
+    (reference Ranker.java:196 pageRanks multiply, absent-key default
+    1/n). The prior table is a deterministic md5-derived function of the
+    url covering ~half the docs, so the hash compare exercises both the
+    prior join and the coalesce-default branch; identical formula in the
+    generated SQL (extras/search_oracle.py prior_topk_sql). The
+    pagerank-fed integration is parity-tested in tests/test_prior.py."""
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    base = _engine_over(spark, sf_dir)
+    urls = spark.read.parquet(base.doc_meta_path).select("url")
+    m1 = F.ascii(F.substring(F.md5("url"), 1, 1)) % 7
+    m2 = F.ascii(F.substring(F.md5("url"), 2, 1)) % 2
+    pri = urls.filter(m2 == 0).select(
+        "url",
+        (
+            (F.lit(1) + m1).cast("double") / F.lit(float(base.n_docs))
+        ).alias("prior"),
+    )
+    eng = SearchEngine(spark, index_dir=base.index_dir, doc_prior=pri)
+    return (
+        eng.search_df("table scan query", k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-bit SimHash (hex encoding) — hash-verified vs DuckDB; the
     xxhash64 int64 variant is the library op (regression-tested in
@@ -286,6 +313,21 @@ def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tuned(fn: Callable) -> Callable:
+    """Cap shuffle parallelism for the driver's correctness compare: the
+    gate runs at sf0.01 (~5k turns) where the session default (32+) spawns
+    32-570-task stages whose scheduling overhead dominated the round-2
+    suite (~25 min wall — VERDICT r2 item 1). 8 partitions is ample for
+    the gate's data volume; bench.py and the library are untouched (they
+    configure their own sessions)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
     from apt_search_engine_spark.extras.docops import SPARK_QUERIES
@@ -299,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_boolean_topk"] = _search_q('"table hash" AND merge')
     q["search_wand_topk"] = _wand_q
     q["search_snippets_topk"] = _snippets_q
+    q["search_prior_topk"] = _prior_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q
@@ -308,7 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank"] = _pagerank_q
     q["multimodal_features"] = _multimodal_q
     q["stream_windowed_counts"] = _stream_windowed_q
-    return q
+    return {name: _tuned(fn) for name, fn in q.items()}
 
 
 def _corpus_unreadable(exc: Exception) -> bool:

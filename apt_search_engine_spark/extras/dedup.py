@@ -123,11 +123,18 @@ def simhash64_md5_hex(
 
 
 def simhash_md5_candidates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from the md5-bit SimHash: docs sharing
     any 16-bit band (banded LSH join — one row per doc per band, never
-    all-pairs)."""
+    all-pairs). This is the SQL-portable oracle variant (defaults pinned
+    by the driver compare); `bucket_cap` drops stop-band buckets like
+    `simhash_candidates`, and the xxhash64 `simhash64` +
+    `simhash_candidates(n_bands=None)` pair is the corpus-size-scaled
+    library path."""
     bands = _simhash_md5_bandframe(docs, text_col, id_col)
     long_bands = bands.select(
         "doc_id",
@@ -136,6 +143,7 @@ def simhash_md5_candidates(
                    "struct(2 as b, b2 as bv), struct(3 as b, b3 as bv))")
         ).alias("e"),
     ).select("doc_id", F.col("e.b").alias("b"), F.col("e.bv").alias("bv"))
+    long_bands = _drop_hot_buckets(long_bands, bucket_cap)
     x, y = long_bands.alias("x"), long_bands.alias("y")
     return (
         x.join(
@@ -149,9 +157,49 @@ def simhash_md5_candidates(
     )
 
 
-def simhash_candidates(sigs: DataFrame, n_bands: int = 4) -> DataFrame:
-    """Near-dup candidate pairs: docs sharing any 16-bit band of the
-    simhash (Hamming-distance-bounded LSH)."""
+def auto_bands(n_docs: int, target_occupancy: int = 16) -> int:
+    """Band count for `simhash_candidates` scaled to corpus size (round-2
+    VERDICT: fixed 16-bit bands mean bucket occupancy grows ~n/65536, so
+    the within-bucket self-join turns quadratic at 10^9+ docs). Picks the
+    most bands (best recall) whose RANDOM-collision expected bucket
+    occupancy n / 2^(64/n_bands) stays <= target_occupancy:
+
+        n <= 2^20 (* target):  4 bands x 16 bits
+        larger:                2 bands x 32 bits  (occupancy < 1 up to
+                                                   ~4.3e9 * target docs)
+
+    Past that, SimHash's 64 bits are exhausted — shard the corpus or use
+    the MinHash family (its band value concatenates two 128-bit hashes,
+    so buckets only form on real signature agreement)."""
+    for n_bands in (4, 2):
+        if n_docs <= (1 << (64 // n_bands)) * target_occupancy:
+            return n_bands
+    return 2
+
+
+def simhash_candidates(
+    sigs: DataFrame,
+    n_bands: int | None = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any (64/n_bands)-bit band of
+    the simhash (Hamming-distance-bounded LSH).
+
+    Scale controls (either; both compose):
+      - `n_bands=None` sizes bands from the corpus via `auto_bands` (one
+        count() of the sig frame) — wider bands keep random-collision
+        bucket occupancy bounded as n grows.
+      - `bucket_cap` drops "stop bands" — buckets holding more than `cap`
+        docs (skew: boilerplate/empty docs collapse to few signatures,
+        and any shared band value with k docs costs k^2/2 join pairs).
+        A band shared by thousands of docs carries no near-dup signal
+        (same rationale as hot-shingle removal in the Jaccard verifier);
+        true near-dups still pair through their other, colder bands.
+        With a cap every surviving bucket emits <= cap*(cap-1)/2 pairs,
+        so worst-case join output is linear in the number of buckets
+        rather than quadratic in the hottest bucket."""
+    if n_bands is None:
+        n_bands = auto_bands(sigs.count())
     width = 64 // n_bands
     bands = sigs.select(
         "doc_id",
@@ -161,6 +209,7 @@ def simhash_candidates(sigs: DataFrame, n_bands: int = 4) -> DataFrame:
         "bv",
         F.expr(f"shiftright(simhash, b * {width}) & {(1 << width) - 1}L"),
     )
+    bands = _drop_hot_buckets(bands, bucket_cap)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -172,6 +221,22 @@ def simhash_candidates(sigs: DataFrame, n_bands: int = 4) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _drop_hot_buckets(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Anti-join band rows whose (b, bv) bucket exceeds `bucket_cap` docs.
+    One partial-aggregated count over the band frame + a broadcast-able
+    anti join (the hot set is tiny by construction — at most
+    n_rows/cap buckets qualify)."""
+    if bucket_cap is None:
+        return bands
+    hot = (
+        bands.groupBy("b", "bv")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("b", "bv")
+    )
+    return bands.join(hot, ["b", "bv"], "left_anti")
 
 
 def _sql_md5_votes() -> str:

@@ -156,13 +156,21 @@ w AS (
 
 
 def _score_sql(
-    filtered_cte: str, scoring_terms: list[str], gate: str | None, k: int = 10
+    filtered_cte: str,
+    scoring_terms: list[str],
+    gate: str | None,
+    k: int = 10,
+    with_prior: bool = False,
 ) -> str:
     """Score `fp` (the filtered postings CTE) exactly like
     SearchEngine._score: contrib = wtf * floor(idf_num/df) * multiplicity,
     df recounted from fp (quirk Q12 — callers override with a true-df fp
     for the normal path), optional first-word semi-join gate (quirk Q7),
-    per-doc fold in ascending term order, * uniform prior, top-k."""
+    per-doc fold in ascending term order, * prior, top-k. With
+    `with_prior` the caller must define a `pri(url, prior)` CTE and the
+    per-doc sum multiplies `coalesce(prior, 1/n_docs)` instead of the
+    uniform constant (engine `_apply_prior`, Ranker.java:196 absent-key
+    default; urls == doc_ids under the fixed adapter)."""
     mult: dict[str, int] = {}
     for t in scoring_terms:
         mult[t] = mult.get(t, 0) + 1
@@ -177,6 +185,24 @@ def _score_sql(
         if gate is not None
         else ""
     )
+    if with_prior:
+        scored = f"""scored AS (
+  SELECT c.doc_id,
+         list_sum(list(c.contrib ORDER BY c.term))
+           * coalesce(p.prior, 1.0::DOUBLE / (SELECT n_docs FROM nd)) AS score
+  FROM contribs c LEFT JOIN pri p ON p.url = c.doc_id
+  WHERE true{gate_sql}
+  GROUP BY c.doc_id, p.prior
+)"""
+    else:
+        scored = f"""scored AS (
+  SELECT c.doc_id,
+         list_sum(list(c.contrib ORDER BY c.term))
+           * (1.0::DOUBLE / (SELECT n_docs FROM nd)) AS score
+  FROM contribs c
+  WHERE true{gate_sql}
+  GROUP BY c.doc_id
+)"""
     return f"""{filtered_cte},
 dfs AS (SELECT term, count(*) AS df FROM fp GROUP BY term),
 contribs AS (
@@ -186,14 +212,7 @@ contribs AS (
   FROM fp JOIN dfs d USING (term) CROSS JOIN nd
   WHERE fp.term IN ({present})
 ),
-scored AS (
-  SELECT c.doc_id,
-         list_sum(list(c.contrib ORDER BY c.term))
-           * (1.0::DOUBLE / (SELECT n_docs FROM nd)) AS score
-  FROM contribs c
-  WHERE true{gate_sql}
-  GROUP BY c.doc_id
-),
+{scored},
 topk AS (
   SELECT doc_id, score FROM scored WHERE score <> 0.0
   ORDER BY score DESC, doc_id ASC LIMIT {k}
@@ -230,6 +249,38 @@ def normal_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
         + _postings_ctes(stem_values)
         + ",\n"
         + _score_sql(filtered, words, gate=None, k=k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def prior_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
+    """S10/R3 integrated: handleNormal + RankDocuments with a NON-UNIFORM
+    per-URL prior (Ranker.java:196 pageRanks.get(url), absent-key default
+    1/n). The prior table is a deterministic md5-derived function of the
+    doc_id covering ~half the docs — cheap to restate in SQL (unlike a
+    12-level pagerank CTE chain) while still exercising BOTH branches
+    (joined prior and coalesce default) of the engine's `_apply_prior`
+    on every query; the pagerank-fed integration itself is parity-tested
+    in tests/test_prior.py. Value and coverage formulas are computed
+    identically in Spark (`__spark_entry__._prior_q`)."""
+    p = parser.parse(query)
+    words = sorted({w for w in p.query_words if w.upper() not in parser.OPERATORS})
+    present = ", ".join(f"'{t}'" for t in words)
+    filtered = f"fp AS (SELECT * FROM w WHERE term IN ({present}))"
+    pri = """pri AS (
+  SELECT d.doc_id AS url,
+         (1 + ascii(substr(md5(d.doc_id), 1, 1)) % 7)::DOUBLE
+           / nd.n_docs::DOUBLE AS prior
+  FROM docs d CROSS JOIN nd
+  WHERE ascii(substr(md5(d.doc_id), 2, 1)) % 2 = 0
+)"""
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + pri
+        + ",\n"
+        + _score_sql(filtered, words, gate=None, k=k, with_prior=True)
         + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
     )
 
@@ -355,4 +406,5 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         # WAND is rank+score identical to the exact plan (tests/test_wand.py)
         "search_wand_topk": normal_topk_sql(sv, NORMAL_QUERY),
         "search_snippets_topk": snippets_topk_sql(sv, NORMAL_QUERY),
+        "search_prior_topk": prior_topk_sql(sv, NORMAL_QUERY),
     }

@@ -59,14 +59,22 @@ def _esc(term: str) -> str:
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str | None = None,
-                 postings_df: DataFrame | None = None, n_docs: int | None = None):
+                 postings_df: DataFrame | None = None, n_docs: int | None = None,
+                 doc_prior: DataFrame | None = None):
         """Disk-backed when `index_dir` is given (bucket-pruned scans);
         in-memory when a grouped `postings_df` (+ n_docs) is given —
-        used for ad-hoc corpora without a persisted index."""
+        used for ad-hoc corpora without a persisted index.
+
+        `doc_prior` is an optional (url, prior) DataFrame — the reference's
+        per-URL pagerank multiplier (Ranker.java:196,328; typically fed by
+        ranking/pagerank.py output). Docs absent from the table score with
+        the uniform default 1/n_docs, exactly the reference's absent-key
+        branch. Without it the prior is the uniform constant."""
         self.spark = spark
         self.index_dir = index_dir
         self._postings_df = postings_df
         self._lexicon_df = None
+        self.doc_prior = doc_prior
         if index_dir is not None:
             self.postings_path = os.path.join(index_dir, "postings")
             self.lexicon_path = os.path.join(index_dir, "lexicon")
@@ -266,6 +274,42 @@ class SearchEngine:
             filtered = filtered.unionByName(p.select(cols))
         return filtered.join(merged, "doc_id", "left_semi")
 
+    # ------------------------------------------------------------- R3/S10
+    def _apply_prior(self, raw_df: DataFrame, key: str) -> DataFrame:
+        """Multiply the per-doc raw sum by the doc prior. Uniform constant
+        when no `doc_prior` table is set; otherwise a left join against the
+        (url, prior) table with `coalesce(prior, 1/n_docs)` — the
+        reference's absent-URL default (Ranker.java:196,328).
+
+        Scale shape: `raw_df` is the query's candidate set (bounded by the
+        matched posting lists), so this is one join of candidates against
+        the prior table — AQE broadcasts small prior tables and falls back
+        to a shuffle join when the prior side is corpus-sized. The prior is
+        applied BEFORE top-k because it reorders results."""
+        if self.doc_prior is None:
+            return raw_df.withColumn("score", F.col("raw") * F.lit(self.prior))
+        pri = self.doc_prior.select(
+            "url", F.col("prior").cast("double").alias("prior")
+        )
+        if key == "doc_id":
+            # priors are keyed by URL (reference pageRanks map); map them
+            # into doc space through doc_meta when it exists, else urls
+            # default to doc_ids (write_doc_meta default) and join directly
+            if self.doc_meta_path is not None and os.path.isdir(
+                self.doc_meta_path
+            ):
+                urls = self.spark.read.parquet(self.doc_meta_path).select(
+                    "doc_id", "url"
+                )
+                pri = urls.join(pri, "url").select("doc_id", "prior")
+            else:
+                pri = pri.withColumnRenamed("url", "doc_id")
+        joined = raw_df.join(pri, key, "left")
+        return joined.withColumn(
+            "score",
+            F.col("raw") * F.coalesce(F.col("prior"), F.lit(self.prior)),
+        )
+
     # -------------------------------------------------------------- R1-R5
     def _score(
         self,
@@ -317,7 +361,7 @@ class SearchEngine:
             urls = self.spark.read.parquet(self.doc_meta_path).select(
                 "doc_id", "url"
             )
-            scored = (
+            raw_by_url = (
                 sp.join(urls, "doc_id")
                 .groupBy("url")
                 .agg(
@@ -327,21 +371,22 @@ class SearchEngine:
                         "0D, (acc, x) -> acc + x.contrib)"
                     ).alias("raw")
                 )
-                .withColumn("score", F.col("raw") * F.lit(self.prior))
+            )
+            scored = (
+                self._apply_prior(raw_by_url, key="url")
                 .filter(F.col("score") != 0.0)
                 .select("url", "score")
             )
             return scored.orderBy(F.desc("score"), F.asc("url")).limit(k)
 
+        raw_by_doc = sp.groupBy("doc_id").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                "0D, (acc, x) -> acc + x.contrib)"
+            ).alias("raw")
+        )
         scored = (
-            sp.groupBy("doc_id")
-            .agg(
-                F.expr(
-                    "aggregate(array_sort(collect_list(struct(term, contrib))), "
-                    "0D, (acc, x) -> acc + x.contrib)"
-                ).alias("raw")
-            )
-            .withColumn("score", F.col("raw") * F.lit(self.prior))
+            self._apply_prior(raw_by_doc, key="doc_id")
             .filter(F.col("score") != 0.0)
             .select("doc_id", "score")
         )
@@ -352,11 +397,16 @@ class SearchEngine:
         """Bag-of-words top-k via block-max WAND over the compressed blocks
         (the hot-path scorer, query/wand.py). Phrase/boolean queries need
         positions and fall back to the exact plan; results are identical
-        either way (parity asserted in tests/test_wand.py)."""
+        either way (parity asserted in tests/test_wand.py). A non-uniform
+        `doc_prior` also falls back: block-max upper bounds assume the
+        uniform-prior score, so per-doc priors would break the pruning
+        admissibility (a prior-aware WAND needs prior-scaled block maxima;
+        the exact plan is always correct)."""
         parsed = parser.parse(query)
         if (
             parsed.qtype not in ("normal", "normal+boolean")
             or self.index_dir is None
+            or self.doc_prior is not None
             or not os.path.isdir(os.path.join(self.index_dir, "blocks"))
         ):
             # no compressed companion (built with --no-blocks): exact plan

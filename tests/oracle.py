@@ -74,11 +74,14 @@ def _is_op(part: str) -> bool:
 class OracleEngine:
     """In-memory index + query engine over adapter documents."""
 
-    def __init__(self, docs: list[dict]):
+    def __init__(self, docs: list[dict], priors: dict[str, float] | None = None):
         """docs: [{doc_id, body, title, h1s: [..], ps: [..]}]
-        (FIXTURES.md section A adapter shape)."""
+        (FIXTURES.md section A adapter shape). `priors` is the optional
+        per-URL pagerank map (Ranker.java pageRanks); URLs == doc_ids in
+        the fixture shape. Absent keys default to the uniform 1/N."""
         self.docs = {d["doc_id"]: d for d in docs}
         self.n_docs = len(docs)
+        self.priors = priors or {}
         # inverted: term -> {doc_id: {tf, positions, tags}}
         self.inverted: dict[str, dict[str, dict]] = {}
         for d in docs:
@@ -91,9 +94,11 @@ class OracleEngine:
                     continue
                 self.inverted.setdefault(term, {})[d["doc_id"]] = info
 
-    # --- reference prior: uniform for transcripts (documented deviation) ---
-    def prior(self, _url: str) -> float:
-        return 1.0 / self.n_docs
+    # --- reference prior (Ranker.java:196): pageRanks.get(url) with the
+    # uniform 1/N default for absent URLs; uniform everywhere when no
+    # prior map is given (transcripts default, documented deviation) ---
+    def prior(self, url: str) -> float:
+        return self.priors.get(url, 1.0 / self.n_docs)
 
     # --- query-side term fetch (P2) ---
     def _docs_for_words(self, terms) -> dict[str, dict[str, dict]]:

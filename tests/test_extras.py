@@ -265,3 +265,77 @@ def test_multimodal_stub_raises_without_fake(spark):
 
     with pytest.raises(Exception, match="decode stub|NotImplementedError"):
         extract_features(synth_media(spark, 3), deterministic_fake=False).collect()
+
+
+def test_simhash_auto_bands_rule():
+    """Documented bucket-occupancy bound: auto_bands keeps expected
+    random-collision occupancy n / 2^(64/n_bands) <= target (16 default);
+    4x16-bit bands until ~2^24 docs, then 2x32-bit."""
+    from apt_search_engine_spark.extras.dedup import auto_bands
+
+    assert auto_bands(60_000) == 4
+    assert auto_bands((1 << 16) * 16) == 4          # boundary inclusive
+    assert auto_bands((1 << 16) * 16 + 1) == 2      # occupancy would exceed
+    assert auto_bands(10**9) == 2
+    assert auto_bands(10**12) == 2                   # capped: shard or minhash
+    for n in (10_000, 10**7, 10**10):
+        b = auto_bands(n)
+        assert n <= (1 << (64 // b)) * 16 or b == 2
+
+
+def test_simhash_bucket_cap_drops_stop_bands_keeps_true_dups(spark, docs):
+    """A band value shared by many unrelated docs (stop band) is dropped
+    under bucket_cap, while planted exact duplicates still pair through
+    their other bands; without a cap the hot bucket's quadratic pairs
+    dominate the output."""
+    from apt_search_engine_spark.extras.dedup import (
+        simhash64,
+        simhash_candidates,
+    )
+
+    base = docs.limit(20)
+    dup = base.limit(3).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    sigs = simhash64(base.union(dup))
+    # plant a hot band: 12 synthetic docs agreeing ONLY on band 0
+    # (low 16 bits) — pairwise hamming of the other bands is large,
+    # so these are pure stop-band noise
+    hot = spark.createDataFrame(
+        [(20_000_000 + i, (i << 17) | 0xBEEF) for i in range(12)],
+        "doc_id long, simhash long",
+    )
+    all_sigs = sigs.union(hot).cache()
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in simhash_candidates(all_sigs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidates(all_sigs, bucket_cap=8).collect()
+    }
+    planted = {
+        (i, i + 10_000_000)
+        for i in [r.doc_id for r in base.limit(3).select("doc_id").collect()]
+    }
+    hot_pairs = {
+        (a, b) for (a, b) in uncapped if a >= 20_000_000 and b >= 20_000_000
+    }
+    assert hot_pairs and hot_pairs <= uncapped      # 12*11/2 noise pairs exist
+    assert planted <= capped                        # true dups survive the cap
+    assert not (hot_pairs & capped)                 # stop band fully dropped
+    assert len(capped) < len(uncapped)
+
+
+def test_simhash_md5_candidates_cap_and_default_unchanged(spark, docs):
+    """bucket_cap on the md5 oracle variant composes without changing the
+    pinned default output (driver compare relies on the defaults)."""
+    from apt_search_engine_spark.extras.dedup import simhash_md5_candidates
+
+    sample = docs.limit(30)
+    default = {
+        (r.doc_a, r.doc_b) for r in simhash_md5_candidates(sample).collect()
+    }
+    relaxed = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_md5_candidates(sample, bucket_cap=10**6).collect()
+    }
+    assert default == relaxed  # a cap far above corpus size is a no-op

@@ -59,6 +59,7 @@ def _canon(pdf):
         "search_boolean_topk",
         "search_wand_topk",
         "search_snippets_topk",
+        "search_prior_topk",
     ],
 )
 def test_search_entry_matches_duckdb_oracle(spark, oracles, oracle_con, name):
