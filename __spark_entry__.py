@@ -63,7 +63,13 @@ def _engine_over(spark: SparkSession, sf_dir: str):
     if sf_dir not in _ENGINE_CACHE:
         # key includes a layout version so an index built by an older code
         # revision is never reused across layout changes
-        key = hashlib.md5(f"{sf_dir}|layout=5".encode()).hexdigest()[:10]
+        from apt_search_engine_spark.indexing.build import (
+            INDEX_LAYOUT_VERSION,
+        )
+
+        key = hashlib.md5(
+            f"{sf_dir}|layout={INDEX_LAYOUT_VERSION}".encode()
+        ).hexdigest()[:10]
         idx = os.path.join(tempfile.gettempdir(), f"aptse_entry_{key}")
         if not os.path.exists(os.path.join(idx, "meta.json")):
             # build into a process-unique staging dir, then atomically
@@ -164,6 +170,19 @@ def _prior_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = SearchEngine(spark, index_dir=base.index_dir, doc_prior=pri)
     return (
         eng.search_df("table scan query", k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k (engine.search_bm25_df): the standard scorer over
+    the same index — true lexicon df, raw occurrence counts, doc_len
+    table + meta avgdl. idf/avgdl constants are Python-computed doubles
+    shared verbatim with the generated SQL (search_oracle.bm25_topk_sql),
+    so scores hash bit-identically pre-rounding."""
+    return (
+        _engine_over(spark, sf_dir)
+        .search_bm25_df("table scan query", k=10)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
 
@@ -342,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_wand_topk"] = _wand_q
     q["search_snippets_topk"] = _snippets_q
     q["search_prior_topk"] = _prior_q
+    q["search_bm25_topk"] = _bm25_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

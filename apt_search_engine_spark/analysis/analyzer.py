@@ -203,7 +203,10 @@ def analyze_batch_flat(
     column per heading channel instead of materialized tag lists — the
     index build stores these ints per posting and reconstructs the tags
     array natively at merge time (array_repeat concat), which keeps the
-    analyze checkpoint small.
+    analyze checkpoint small — plus an `occ` int column (the RAW
+    occurrence count, == len(positions)): the BM25 doc-length table
+    aggregates sum(occ) per doc from a narrow (doc_id, occ) columnar
+    scan instead of re-reading the fat positions arrays.
     """
     n = len(bodies)
     base_cols = {
@@ -213,6 +216,7 @@ def analyze_batch_flat(
     if tags_as_counts:
         empty = pd.DataFrame(
             base_cols
+            | {"occ": np.empty(0, np.int32)}
             | {f"n_{c}": np.empty(0, np.int32) for c in HEADING_CHANNELS}
         )
     else:
@@ -306,6 +310,7 @@ def analyze_batch_flat(
             "term": term_uniq[g_term],
             "tf": tf,
             "positions": positions,
+            "occ": sizes.astype(np.int32),
         }
         for ch_name in HEADING_CHANNELS:
             out[f"n_{ch_name}"] = capped[ch_name].astype(np.int32)

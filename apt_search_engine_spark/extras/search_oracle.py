@@ -106,6 +106,24 @@ def _corpus_stem_values(sf_dir: str) -> str:
     return ", ".join(f"('{raw}', '{stem}')" for raw, stem in rows)
 
 
+def _agg_ctes(stem_values: str) -> str:
+    """Shared prefix: documents -> admitted tokens -> stemmed terms ->
+    per-(doc, term) raw occurrence count `occ` + ordered positions `ps`.
+    Exactly the rows the engine's analyzer emits (occ == len(positions),
+    analyzer.analyze_batch_flat)."""
+    return f"""stems(raw, stem) AS (VALUES {stem_values}),
+{_admitted_vocab_sql()},
+toks AS (
+  SELECT a.doc_id, s.stem AS term, a.pos
+  FROM admitted a JOIN stems s ON s.raw = a.tok
+  WHERE s.stem <> ''
+),
+agg AS (
+  SELECT doc_id, term, count(*) AS occ, list(pos ORDER BY pos) AS ps
+  FROM toks GROUP BY doc_id, term
+)"""
+
+
 def _postings_ctes(stem_values: str) -> str:
     """Shared CTE chain: documents -> per-(doc, stemmed term) postings
     with occ, ordered positions, tf (quirks Q1/Q2) and wtf (the stored
@@ -123,17 +141,7 @@ def _postings_ctes(stem_values: str) -> str:
         )
 
     return f"""
-stems(raw, stem) AS (VALUES {stem_values}),
-{_admitted_vocab_sql()},
-toks AS (
-  SELECT a.doc_id, s.stem AS term, a.pos
-  FROM admitted a JOIN stems s ON s.raw = a.tok
-  WHERE s.stem <> ''
-),
-agg AS (
-  SELECT doc_id, term, count(*) AS occ, list(pos ORDER BY pos) AS ps
-  FROM toks GROUP BY doc_id, term
-),
+{_agg_ctes(stem_values)},
 tot AS (SELECT doc_id, sum(occ + 1) AS total FROM agg GROUP BY doc_id),
 nd AS (SELECT count(*) AS n_docs FROM documents),
 tagged AS (
@@ -395,6 +403,99 @@ FROM topk t LEFT JOIN (SELECT doc_id, p FROM best WHERE rn = 1) b USING (doc_id)
     )
 
 
+def _bm25_stats(
+    sf_dir: str, stem_values: str, terms: list[str]
+) -> tuple[int, int, dict[str, int]]:
+    """(n_docs, total_len, {term: df}) for the corpus — the SAME corpus
+    statistics the engine reads from its index meta/lexicon (n_docs =
+    input row count, total_len = sum of admitted occurrence counts,
+    df = docs containing the term), computed here over the parquet so the
+    generator can bake the idf/avgdl-derived constants into the SQL as
+    the exact doubles the engine uses."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        path = os.path.join(sf_dir, "documents.parquet").replace("'", "''")
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+        )
+        n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        prefix = "WITH " + _agg_ctes(stem_values)
+        total_len = con.execute(
+            prefix + " SELECT coalesce(sum(occ), 0) FROM agg"
+        ).fetchone()[0]
+        present = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        dfs = dict(
+            con.execute(
+                prefix
+                + f" SELECT term, count(*) FROM agg WHERE term IN ({present})"
+                " GROUP BY term"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    return int(n_docs), int(total_len), {t: int(d) for t, d in dfs.items()}
+
+
+def bm25_topk_sql(
+    stem_values: str,
+    query: str,
+    sf_dir: str = CANONICAL_SF_DIR,
+    k: int = 10,
+) -> str:
+    """Okapi BM25 top-k oracle (engine.search_bm25_df, bag-of-words
+    path). idf per term and the K(dl) = c0 + c1*dl constants are
+    computed in PYTHON here (engine.bm25_idf — the same function the
+    engine calls) and embedded as double literals, so neither engine
+    evaluates ln() at runtime and every remaining operation is
+    fixed-association IEEE-754 arithmetic on identical doubles: scores
+    compare bit-identically pre-rounding."""
+    from apt_search_engine_spark.query.engine import (
+        BM25_B,
+        BM25_K1,
+        bm25_idf,
+    )
+
+    p = parser.parse(query)
+    words = sorted(
+        {w for w in p.query_words if w.upper() not in parser.OPERATORS}
+    )
+    n_docs, total_len, dfs = _bm25_stats(sf_dir, stem_values, words)
+    words = [w for w in words if dfs.get(w)]
+    if not words:
+        return "SELECT '' AS doc_id, 0.0::DOUBLE AS score WHERE false"
+    avgdl = total_len / n_docs
+    k1p1 = BM25_K1 + 1.0
+    c0 = BM25_K1 * (1.0 - BM25_B)
+    c1 = BM25_K1 * BM25_B / avgdl
+    idf_case = (
+        "CASE a.term "
+        + " ".join(
+            f"WHEN '{t}' THEN {bm25_idf(dfs[t], n_docs)!r}::DOUBLE"
+            for t in words
+        )
+        + " ELSE 0::DOUBLE END"
+    )
+    present = ", ".join(f"'{t}'" for t in words)
+    return f"""WITH {_agg_ctes(stem_values)},
+dlen AS (SELECT doc_id, sum(occ) AS dl FROM agg GROUP BY doc_id),
+contribs AS (
+  SELECT a.doc_id, a.term,
+         ({idf_case})
+         * ((a.occ::DOUBLE * {k1p1!r}::DOUBLE)
+            / (a.occ::DOUBLE + ({c0!r}::DOUBLE + {c1!r}::DOUBLE * d.dl::DOUBLE))) AS contrib
+  FROM agg a JOIN dlen d USING (doc_id)
+  WHERE a.term IN ({present})
+),
+scored AS (
+  SELECT doc_id, list_sum(list(contrib ORDER BY term)) AS score
+  FROM contribs GROUP BY doc_id
+),
+topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score, 6) AS score FROM topk"""
+
+
 def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
     """The 5 flagship oracle SQL strings for the given corpus. Raises if
     the corpus is unreadable (callers treat that as 'no oracle')."""
@@ -407,4 +508,5 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "search_wand_topk": normal_topk_sql(sv, NORMAL_QUERY),
         "search_snippets_topk": snippets_topk_sql(sv, NORMAL_QUERY),
         "search_prior_topk": prior_topk_sql(sv, NORMAL_QUERY),
+        "search_bm25_topk": bm25_topk_sql(sv, NORMAL_QUERY, sf_dir),
     }

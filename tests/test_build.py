@@ -148,6 +148,45 @@ def test_no_python_row_udfs_in_merge_plan(spark, index_dir):
     assert "PythonUDF" not in plan
 
 
+@pytest.mark.parametrize("cap", [3, 64, 32768])
+def test_arrow_assembler_equals_pandas(spark, corpus_df, cap):
+    """The Arrow-native segment assembler (merge hot path, zero-copy
+    slicing) emits the same per-term posting content as the pandas
+    reference implementation at every cap, including caps that force
+    carry-over between Arrow batches. Segment BOUNDARIES are compared
+    flattened: repartitionByRange samples its range bounds, so the split
+    of one term's postings across partitions (and hence across segments)
+    is legitimately not run-stable — content and per-segment invariants
+    are."""
+    from apt_search_engine_spark.indexing.build import (
+        analyze_transcripts,
+        merge_postings,
+    )
+
+    flat = analyze_transcripts(corpus_df.limit(400)).cache()
+
+    def flatten(df):
+        out: dict[str, list] = {}
+        seg_ok = True
+        for r in df.collect():
+            seg_ok &= len(r.doc_ids) <= cap
+            seg_ok &= list(r.doc_ids) == sorted(r.doc_ids)
+            out.setdefault(r.term, []).extend(
+                zip(
+                    r.doc_ids, r.tfs, (tuple(p) for p in r.positions),
+                    r.n_titles, r.n_h1s, r.n_h2s, r.n_h3s, r.n_h456s,
+                    r.wtfs,
+                )
+            )
+        assert seg_ok
+        return {t: sorted(v) for t, v in out.items()}
+
+    a = flatten(merge_postings(flat, max_per_row=cap, use_arrow=True))
+    p = flatten(merge_postings(flat, max_per_row=cap, use_arrow=False))
+    flat.unpersist()
+    assert a == p
+
+
 def test_h2_channel_weight_affects_ranking(spark):
     """End-to-end over the full heading channels: an h2-tagged query
     term must outscore the body-tagged one by exactly the reference

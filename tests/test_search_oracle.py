@@ -60,6 +60,7 @@ def _canon(pdf):
         "search_wand_topk",
         "search_snippets_topk",
         "search_prior_topk",
+        "search_bm25_topk",
     ],
 )
 def test_search_entry_matches_duckdb_oracle(spark, oracles, oracle_con, name):

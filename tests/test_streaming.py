@@ -116,6 +116,40 @@ def test_incremental_compaction_equals_full_rebuild(spark, tmp_path, stream_corp
         ]
         assert got == want, q
 
+    # BM25 doc-length bookkeeping across the incremental path: the
+    # appended doc_len rows and accumulated meta total_len must equal the
+    # one-shot build's (and BM25 results with them)
+    dl_s = {
+        (r.doc_id, r.dl)
+        for r in spark.read.parquet(os.path.join(sdir, "doc_len")).collect()
+    }
+    dl_b = {
+        (r.doc_id, r.dl)
+        for r in spark.read.parquet(os.path.join(bdir, "doc_len")).collect()
+    }
+    assert dl_s == dl_b
+    import json as _json
+
+    with open(os.path.join(sdir, "meta.json")) as f:
+        meta_s = _json.load(f)
+    with open(os.path.join(bdir, "meta.json")) as f:
+        meta_b = _json.load(f)
+    assert meta_s["total_len"] == meta_b["total_len"]
+    assert meta_s["n_docs"] == meta_b["n_docs"]
+    bm_s = [
+        (r.doc_id, r.score)
+        for r in SearchEngine(spark, index_dir=sdir)
+        .search_bm25_df("travel guide", k=10)
+        .collect()
+    ]
+    bm_b = [
+        (r.doc_id, r.score)
+        for r in SearchEngine(spark, index_dir=bdir)
+        .search_bm25_df("travel guide", k=10)
+        .collect()
+    ]
+    assert bm_s == bm_b
+
     # WAND over the APPENDED blocks companion must equal the exact plan
     eng_s = SearchEngine(spark, index_dir=sdir)
     wand = [
