@@ -187,6 +187,18 @@ def _bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 via block-max WAND (engine.search_bm25_wand_df) — the north
+    rule's scorer+pruning combination; bit-identical to the exact BM25
+    plan, so it shares the bm25 DuckDB oracle (like search_wand_topk
+    shares the normal one)."""
+    return (
+        _engine_over(spark, sf_dir)
+        .search_bm25_wand_df("table scan query", k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-bit SimHash (hex encoding) — hash-verified vs DuckDB; the
     xxhash64 int64 variant is the library op (regression-tested in
@@ -362,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_snippets_topk"] = _snippets_q
     q["search_prior_topk"] = _prior_q
     q["search_bm25_topk"] = _bm25_q
+    q["search_bm25_wand_topk"] = _bm25_wand_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

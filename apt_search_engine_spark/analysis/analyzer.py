@@ -216,7 +216,7 @@ def analyze_batch_flat(
     if tags_as_counts:
         empty = pd.DataFrame(
             base_cols
-            | {"occ": np.empty(0, np.int32)}
+            | {"occ": np.empty(0, np.int32), "dl": np.empty(0, np.int32)}
             | {f"n_{c}": np.empty(0, np.int32) for c in HEADING_CHANNELS}
         )
     else:
@@ -305,12 +305,19 @@ def analyze_batch_flat(
         capped[ch_name] = got
         remaining = remaining - got
     if tags_as_counts:
+        # per-doc BM25 length (sum of raw occurrence counts), stamped on
+        # every posting row AT ANALYZE TIME — the analyzer is the only
+        # place that sees the whole doc, so dl reaches the index (and the
+        # WAND blocks) with zero joins anywhere downstream
+        dl_per_doc = np.zeros(n, dtype=np.int64)
+        np.add.at(dl_per_doc, g_doc, sizes)
         out = {
             "doc": g_doc,
             "term": term_uniq[g_term],
             "tf": tf,
             "positions": positions,
             "occ": sizes.astype(np.int32),
+            "dl": dl_per_doc[g_doc].astype(np.int32),
         }
         for ch_name in HEADING_CHANNELS:
             out[f"n_{ch_name}"] = capped[ch_name].astype(np.int32)

@@ -500,6 +500,7 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
     """The 5 flagship oracle SQL strings for the given corpus. Raises if
     the corpus is unreadable (callers treat that as 'no oracle')."""
     sv = _corpus_stem_values(sf_dir)
+    bm25 = bm25_topk_sql(sv, NORMAL_QUERY, sf_dir)
     return {
         "search_normal_topk": normal_topk_sql(sv, NORMAL_QUERY),
         "search_phrase_topk": phrase_topk_sql(sv, PHRASE_QUERY),
@@ -508,5 +509,8 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "search_wand_topk": normal_topk_sql(sv, NORMAL_QUERY),
         "search_snippets_topk": snippets_topk_sql(sv, NORMAL_QUERY),
         "search_prior_topk": prior_topk_sql(sv, NORMAL_QUERY),
-        "search_bm25_topk": bm25_topk_sql(sv, NORMAL_QUERY, sf_dir),
+        "search_bm25_topk": bm25,
+        # block-max WAND BM25 is rank+score identical to the exact BM25
+        # plan (tests/test_bm25.py) — same oracle
+        "search_bm25_wand_topk": bm25,
     }

@@ -49,7 +49,15 @@ from apt_search_engine_spark.indexing import codec
 # global doc order (no separate block_id needed).
 BLOCKS_SCHEMA = (
     "term string, n_docs int, doc_ids_vb binary, wtfs binary, "
-    "block_max_wtf double, lo_ord long, hi_ord long, term_bucket int"
+    "block_max_wtf double, lo_ord long, hi_ord long, term_bucket int, "
+    # BM25 companion columns (layout v7): varbyte raw occurrence counts +
+    # analyzer-stamped doc lengths per posting, and the block stats that
+    # give an ADMISSIBLE query-time upper bound for the BM25 contribution
+    # (tfnorm is increasing in occ, decreasing in dl, so
+    # tfnorm(block_max_occ, block_min_dl) bounds every posting in the
+    # block under WHATEVER avgdl/k1/b the query uses — the bound composes
+    # at query time, surviving compaction-driven avgdl drift)
+    "occs_vb binary, dls_vb binary, block_max_occ int, block_min_dl int"
 )
 
 DOC_MAP_SCHEMA = "doc_id string, doc_ord long"
@@ -159,6 +167,16 @@ def _blocks_from_segments(batches):
         ids_buf, ids_off = codec.encode_doc_ids_segmented(all_ords, block_starts)
         wtf_buf = all_wtfs.tobytes()
         block_max = np.maximum.reduceat(all_wtfs, block_starts)
+        all_occs = (
+            col["occs"].flatten().to_numpy().astype(np.int64, copy=False)
+        )
+        all_dls = (
+            col["dls"].flatten().to_numpy().astype(np.int64, copy=False)
+        )
+        occ_buf, occ_off = codec.varbyte_encode_segmented(all_occs, block_starts)
+        dl_buf, dl_off = codec.varbyte_encode_segmented(all_dls, block_starts)
+        block_max_occ = np.maximum.reduceat(all_occs, block_starts)
+        block_min_dl = np.minimum.reduceat(all_dls, block_starts)
 
         take_idx = pa.array(block_row)
         yield pa.RecordBatch.from_arrays(
@@ -180,10 +198,21 @@ def _blocks_from_segments(batches):
                 pa.array(all_ords[block_starts], type=pa.int64()),
                 pa.array(all_ords[block_ends - 1], type=pa.int64()),
                 pc.take(col["term_bucket"], take_idx),
+                pa.array(
+                    [occ_buf[a:b] for a, b in zip(occ_off[:-1], occ_off[1:])],
+                    type=pa.binary(),
+                ),
+                pa.array(
+                    [dl_buf[a:b] for a, b in zip(dl_off[:-1], dl_off[1:])],
+                    type=pa.binary(),
+                ),
+                pa.array(block_max_occ.astype(np.int32)),
+                pa.array(block_min_dl.astype(np.int32)),
             ],
             names=[
                 "term", "n_docs", "doc_ids_vb", "wtfs",
                 "block_max_wtf", "lo_ord", "hi_ord", "term_bucket",
+                "occs_vb", "dls_vb", "block_max_occ", "block_min_dl",
             ],
         )
 
@@ -206,7 +235,9 @@ def write_blocks(
     present in the input (recompaction rewrites just touched buckets)."""
     if isinstance(postings_src, str):
         postings_src = spark.read.parquet(postings_src)
-    postings = postings_src.select("term", "term_bucket", "doc_ords", "wtfs")
+    postings = postings_src.select(
+        "term", "term_bucket", "doc_ords", "wtfs", "occs", "dls"
+    )
     blocks = postings.mapInArrow(_blocks_from_segments, schema=BLOCKS_SCHEMA)
     writer = blocks.write.mode(mode)
     if dynamic:

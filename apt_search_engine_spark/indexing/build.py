@@ -65,7 +65,8 @@ from apt_search_engine_spark.config import (
 # (array_repeat concat).
 _N_COLS = ("n_title", "n_h1", "n_h2", "n_h3", "n_h456")
 ANALYZED_SCHEMA = (
-    "doc_id string, term string, tf double, positions array<int>, occ int, "
+    "doc_id string, term string, tf double, positions array<int>, "
+    "occ int, dl int, "
     + ", ".join(f"{c} int" for c in _N_COLS)
 )
 
@@ -77,7 +78,13 @@ ANALYZED_SCHEMA = (
 # v6: analyzed rows carry `occ` (raw occurrence count) and the index gains
 # a doc_len table + meta total_len — the BM25 scoring path's per-doc
 # length statistics (engine.search_bm25_df).
-INDEX_LAYOUT_VERSION = 6
+# v7: analyzed rows also carry `dl` (the doc's total admitted occurrence
+# count, stamped by the analyzer — the only place that sees the whole
+# doc, so it reaches the index with zero joins); disk postings store
+# parallel occs/dls arrays and the blocks companion gains
+# occs_vb/dls_vb + block_max_occ/block_min_dl, enabling block-max WAND
+# for the BM25 scorer (query/wand.wand_bm25_topk).
+INDEX_LAYOUT_VERSION = 7
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -122,6 +129,7 @@ def _analyze_partition_factory(
                 "tf": flat["tf"],
                 "positions": flat["positions"],
                 "occ": flat["occ"],
+                "dl": flat["dl"],
             }
             for c in _N_COLS:
                 out[c] = flat[c]
@@ -173,7 +181,9 @@ _ASSEMBLED_SCHEMA = (
     + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
 )
 _ASSEMBLED_SCHEMA_ORD = (
-    _ASSEMBLED_SCHEMA + ", doc_ords array<long>, wtfs array<double>"
+    _ASSEMBLED_SCHEMA
+    + ", doc_ords array<long>, wtfs array<double>"
+    + ", occs array<int>, dls array<int>"
 )
 
 # per-posting weighted tf, natively: tf * sum of tag weights
@@ -189,7 +199,9 @@ _WTF_EXPR = (
 )
 
 _COLS = ("doc_id", "tf", "positions") + _N_COLS
-_COLS_ORD = _COLS + ("doc_ord", "wtf")
+# disk (ord-stamped) builds additionally store the BM25 inputs: raw
+# occurrence counts and the analyzer-stamped per-doc length
+_COLS_ORD = _COLS + ("doc_ord", "wtf", "occ", "dl")
 
 
 def _assemble_factory(cap: int, cols: tuple[str, ...]):
@@ -199,7 +211,7 @@ def _assemble_factory(cap: int, cols: tuple[str, ...]):
     only concatenated at emit time — no per-element Python."""
     _plural = {
         "doc_id": "doc_ids", "tf": "tfs", "positions": "positions",
-        "doc_ord": "doc_ords", "wtf": "wtfs",
+        "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
     } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
     out_cols = ["term"] + [_plural[c] for c in cols]
 
@@ -277,7 +289,7 @@ def _assemble_arrow_factory(cap: int, cols: tuple[str, ...]):
 
     _plural = {
         "doc_id": "doc_ids", "tf": "tfs", "positions": "positions",
-        "doc_ord": "doc_ords", "wtf": "wtfs",
+        "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
     } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
     out_names = ["term"] + [_plural[c] for c in cols]
 
@@ -531,7 +543,7 @@ def merge_postings(
     keep = ["term", "doc_ids", "tfs", "wtfs", "positions",
             *_N_PLURALS, "doc_lo", "doc_hi", "term_bucket"]
     if with_ord:
-        keep.append("doc_ords")
+        keep += ["doc_ords", "occs", "dls"]
     return merged.select(*keep)
 
 

@@ -6,8 +6,10 @@
 
 Default scorer is block-max WAND for bag-of-words queries (falls back to
 the exact plan for phrase/boolean automatically); --exact forces the
-uncompressed plan. Prints one JSON object per result row plus a timing
-line, mirroring the reference's SearchResult payload
+uncompressed plan; --scorer bm25 switches to the standard Okapi BM25
+formula (engine.search_bm25_df) instead of reference-parity scoring.
+Prints one JSON object per result row plus a timing line, mirroring the
+reference's SearchResult payload
 (server/src/main/java/com/example/demo/SearchController.java:19-41).
 """
 
@@ -26,6 +28,13 @@ def parse_args(argv=None):
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--exact", action="store_true")
     p.add_argument("--no-snippets", action="store_true")
+    p.add_argument(
+        "--scorer",
+        choices=("reference", "bm25"),
+        default="reference",
+        help="reference = the parity formula tf*floor(N/df)*prior; "
+        "bm25 = standard Okapi BM25 (no snippets path)",
+    )
     return p.parse_args(argv)
 
 
@@ -37,7 +46,10 @@ def main(argv=None) -> int:
     spark = get_spark("aptse-search")
     engine = SearchEngine(spark, index_dir=args.index_dir)
     t0 = time.time()
-    if args.no_snippets or args.exact:
+    if args.scorer == "bm25":
+        df = engine.search_bm25_df(args.query, k=args.k)
+        results = [{"doc_id": r.doc_id, "score": r.score} for r in df.collect()]
+    elif args.no_snippets or args.exact:
         df = (
             engine.search_df(args.query, k=args.k)
             if args.exact

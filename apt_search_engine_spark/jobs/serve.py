@@ -63,8 +63,22 @@ def make_handler(engine):
             # previously produced wrong slices or a negative k
             page = max(1, page)
             size = max(1, size)
+            scorer = (q.get("scorer") or ["reference"])[0]
+            if scorer not in ("reference", "bm25"):
+                self._json(400, {"error": "scorer must be reference|bm25"})
+                return
             t0 = time.time()
-            rows = engine.search(query, k=page * size, with_snippets=True)
+            if scorer == "bm25":
+                # standard Okapi BM25 (extension scorer; no snippet path —
+                # results carry doc_id/score only, url == doc_id shape)
+                got = engine.search_bm25_df(query, k=page * size).collect()
+                rows = [
+                    {"url": r.doc_id, "score": r.score, "title": "",
+                     "snippet": ""}
+                    for r in got
+                ]
+            else:
+                rows = engine.search(query, k=page * size, with_snippets=True)
             sliced = rows[(page - 1) * size : page * size]
             self._json(
                 200,

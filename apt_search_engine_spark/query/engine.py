@@ -587,6 +587,68 @@ class SearchEngine:
             .limit(k)
         )
 
+    def search_bm25_wand_df(
+        self,
+        query: str,
+        k: int = DEFAULT_TOP_K,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """Okapi BM25 top-k via block-max WAND over the compressed blocks
+        companion — the north rule's combination (BM25 scoring +
+        posting-list block-max pruning + bounded per-partition heap ->
+        global top-k). Results are bit-identical to the exact plan
+        (search_bm25_df; parity pinned in tests/test_bm25.py): both paths
+        evaluate the same Python-computed idf / K(dl) double literals in
+        the same IEEE order and fold per-doc contributions ascending by
+        term. Pruning uses the stored per-block stats (block_max_occ,
+        block_min_dl): the BM25 tf-norm is increasing in occ and
+        decreasing in dl, so idf * tfnorm(max_occ, min_dl) is an
+        admissible block bound under the QUERY-TIME k1/b/avgdl — nothing
+        scoring-related is baked into the blocks, so compaction-driven
+        avgdl drift never invalidates them. Phrase/boolean queries need
+        positions and fall back to the exact BM25 plan."""
+        parsed = parser.parse(query)
+        if (
+            parsed.qtype not in ("normal", "normal+boolean")
+            or self.index_dir is None
+            or not self.total_len
+            or not os.path.isdir(os.path.join(self.index_dir, "blocks"))
+        ):
+            return self.search_bm25_df(query, k, k1, b)
+        from apt_search_engine_spark.query.wand import wand_bm25_topk
+
+        words = sorted(
+            {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+        )
+        if not words:
+            return self._empty_results()
+        dfs = self.term_dfs(words)
+        words = [w for w in words if dfs.get(w)]
+        if not words:
+            return self._empty_results()
+        avgdl = self.total_len / self.n_docs
+        idfs = {w: bm25_idf(dfs[w], self.n_docs) for w in words}
+        buckets = sorted({self._bucket(t) for t in words})
+        blocks = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(words))
+        )
+        doc_map = self.spark.read.parquet(
+            os.path.join(self.index_dir, "doc_map")
+        )
+        return wand_bm25_topk(
+            self.spark,
+            blocks,
+            doc_map,
+            idfs,
+            k1 + 1.0,
+            k1 * (1.0 - b),
+            k1 * b / avgdl,
+            k,
+        )
+
     def search(
         self, query: str, k: int = DEFAULT_TOP_K, with_snippets: bool = True
     ) -> list[dict]:

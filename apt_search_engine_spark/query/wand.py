@@ -194,3 +194,162 @@ def wand_topk(
         .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+# -------------------------------------------------------------- BM25 mode
+def _score_partition_bm25_factory(
+    idfs: dict[str, float],
+    k: int,
+    k1p1: float,
+    c0: float,
+    c1: float,
+    slice_ords: int,
+):
+    """BM25 variant of the slice scorer. Per-posting contribution is
+    idf_t * (occ*k1p1) / (occ + (c0 + c1*dl)) — the SAME IEEE-754
+    expression order as engine.search_bm25_df, so WAND results are
+    bit-identical to the exact plan (tests/test_bm25.py). The slice
+    upper bound uses the stored block stats: tfnorm is increasing in occ
+    and decreasing in dl, so idf * tfnorm(block_max_occ, block_min_dl)
+    bounds every posting in a block under the query-time k1/b/avgdl —
+    the bound composes at query time, so compaction-driven avgdl drift
+    never invalidates stored blocks."""
+
+    terms_sorted = sorted(idfs)
+
+    def _tfn(occ: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        occ = occ.astype(np.float64)
+        return (occ * k1p1) / (occ + (c0 + c1 * dl.astype(np.float64)))
+
+    def score_partition(batches):
+        heap: list[tuple[float, int]] = []  # (score, -ord) min-heap
+        cur_slice = None
+        buf: list[pd.DataFrame] = []
+
+        def flush():
+            nonlocal cur_slice
+            if cur_slice is None or not buf:
+                cur_slice = None
+                return
+            rows = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf.clear()
+            s = cur_slice
+            cur_slice = None
+            lo, hi = s * slice_ords, (s + 1) * slice_ords
+            theta = heap[0][0] if len(heap) == k else -np.inf
+            by_term = {t: g for t, g in rows.groupby("term", sort=True)}
+            # ---- block-max prune ------------------------------------------
+            ub = 0.0
+            for t in terms_sorted:
+                g = by_term.get(t)
+                if g is not None:
+                    bounds = _tfn(
+                        g["block_max_occ"].to_numpy(),
+                        g["block_min_dl"].to_numpy(),
+                    )
+                    ub += float(bounds.max()) * idfs[t]
+            if ub <= theta:
+                return
+            # ---- exact scoring (ascending term order) --------------------
+            ord_parts: list[np.ndarray] = []
+            sc_parts: list[np.ndarray] = []
+            for t in terms_sorted:
+                g = by_term.get(t)
+                if g is None:
+                    continue
+                idf = idfs[t]
+                for dvb, ovb, lvb in zip(
+                    g["doc_ids_vb"], g["occs_vb"], g["dls_vb"]
+                ):
+                    ords = codec.decode_doc_ids(bytes(dvb))
+                    occs = codec.varbyte_decode(bytes(ovb))
+                    dls = codec.varbyte_decode(bytes(lvb))
+                    m = (ords >= lo) & (ords < hi)
+                    if not m.all():
+                        ords, occs, dls = ords[m], occs[m], dls[m]
+                    if ords.size:
+                        ord_parts.append(ords)
+                        sc_parts.append(idf * _tfn(occs, dls))
+            if not ord_parts:
+                return
+            all_ords = np.concatenate(ord_parts)
+            all_sc = np.concatenate(sc_parts)
+            uniq, inv = np.unique(all_ords, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sums, inv, all_sc)
+            cand = (
+                np.flatnonzero(sums > theta)
+                if len(heap) == k
+                else np.arange(uniq.size)
+            )
+            for i in cand:
+                sc = float(sums[i])
+                item = (sc, -int(uniq[i]))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for s, grp in pdf.groupby("slice", sort=True):
+                if cur_slice is not None and s != cur_slice:
+                    flush()
+                cur_slice = int(s)
+                buf.append(grp)
+        flush()
+        if heap:
+            yield pd.DataFrame(
+                {
+                    "doc_ord": np.array([-o for _, o in heap], dtype=np.int64),
+                    "score": np.array([s for s, _ in heap], dtype=np.float64),
+                }
+            )
+
+    return score_partition
+
+
+def wand_bm25_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    doc_map: DataFrame,
+    idfs: dict[str, float],
+    k1p1: float,
+    c0: float,
+    c1: float,
+    k: int,
+    slice_ords: int = SLICE_ORDS,
+) -> DataFrame:
+    """Top-k (doc_id, score) under Okapi BM25 via block-max WAND. `idfs`
+    and the K(dl) = c0 + c1*dl constants are the caller's Python-computed
+    doubles (engine.search_bm25_wand_df — identical to the exact plan's
+    literals, so scores match bit-for-bit)."""
+    if not idfs:
+        return spark.createDataFrame([], "doc_id string, score double")
+    sliced = blocks.filter(F.col("term").isin(list(idfs))).select(
+        "term",
+        "block_max_occ",
+        "block_min_dl",
+        "doc_ids_vb",
+        "occs_vb",
+        "dls_vb",
+        F.explode(
+            F.sequence(
+                (F.col("lo_ord") / slice_ords).cast("long"),
+                (F.col("hi_ord") / slice_ords).cast("long"),
+            )
+        ).alias("slice"),
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    partitioned = sliced.repartition(n_parts, "slice").sortWithinPartitions("slice")
+    survivors = partitioned.mapInPandas(
+        _score_partition_bm25_factory(idfs, k, k1p1, c0, c1, slice_ords),
+        _OUT_SCHEMA,
+    )
+    topk = survivors.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+    return (
+        topk.join(doc_map, "doc_ord")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -503,7 +503,10 @@ def recompact(
     if not buckets:
         return 0
 
-    arr_cols = ("doc_ids", "tfs", "wtfs", "positions", *_N_PLURALS, "doc_ords")
+    arr_cols = (
+        "doc_ids", "tfs", "wtfs", "positions", *_N_PLURALS,
+        "doc_ords", "occs", "dls",
+    )
     src = (
         spark.read.parquet(postings_dir)
         .filter(F.col("term_bucket").isin(buckets))
@@ -570,7 +573,7 @@ def recompact(
         "term string, doc_ids array<string>, tfs array<double>, "
         "wtfs array<double>, positions array<array<int>>, "
         + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
-        + ", doc_ords array<long>"
+        + ", doc_ords array<long>, occs array<int>, dls array<int>"
     )
     rewritten = (
         ranged.mapInPandas(rechunk, schema)
@@ -582,7 +585,7 @@ def recompact(
         .withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
         .select(
             "term", "doc_ids", "tfs", "wtfs", "positions", *_N_PLURALS,
-            "doc_lo", "doc_hi", "term_bucket", "doc_ords",
+            "doc_lo", "doc_hi", "term_bucket", "doc_ords", "occs", "dls",
         )
     )
     staging = os.path.join(index_dir, "_staging", f"recompact_{uuid.uuid4().hex[:8]}")

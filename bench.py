@@ -109,11 +109,22 @@ def main() -> None:
                 ),
                 3,
             )
-        # BM25 top-10 p50 (the BASELINE.json metric's named scorer)
+        # BM25 top-10 p50 (the BASELINE.json metric's named scorer):
+        # exact plan + the block-max WAND variant
         if hasattr(engine, "search_bm25_df"):
             queries["q_bm25"] = round(
                 _time(
                     lambda: engine.search_bm25_df("travel guide", k=10).collect(),
+                    repeat=3,
+                ),
+                3,
+            )
+        if hasattr(engine, "search_bm25_wand_df"):
+            queries["q_bm25_wand"] = round(
+                _time(
+                    lambda: engine.search_bm25_wand_df(
+                        "travel guide", k=10
+                    ).collect(),
                     repeat=3,
                 ),
                 3,

@@ -104,6 +104,31 @@ def test_bm25_requires_disk_index(spark, corpus_df):
         eng.search_bm25_df("travel")
 
 
+@pytest.mark.parametrize("query", ["travel guide", "the europe tips"])
+def test_bm25_wand_equals_exact(engine, query):
+    """Block-max WAND BM25 (stored occs/dls + admissible
+    tfnorm(block_max_occ, block_min_dl) bounds) returns the exact plan's
+    top-k bit-for-bit."""
+    wand = [
+        (r.doc_id, r.score)
+        for r in engine.search_bm25_wand_df(query, k=10).collect()
+    ]
+    exact = [
+        (r.doc_id, r.score)
+        for r in engine.search_bm25_df(query, k=10).collect()
+    ]
+    assert wand == exact
+
+
+def test_bm25_wand_fallback_paths(engine):
+    """Phrase queries need positions: the WAND entrypoint must fall back
+    to the exact BM25 plan and still match it."""
+    q = '"travel guide"'
+    wand = [(r.doc_id, r.score) for r in engine.search_bm25_wand_df(q).collect()]
+    exact = [(r.doc_id, r.score) for r in engine.search_bm25_df(q).collect()]
+    assert wand == exact
+
+
 def test_bm25_phrase_and_boolean_candidates(engine, oracle):
     """Phrase/boolean retrieval reuses the exact candidate operators; the
     BM25 scores restrict the bag scores to the filtered candidate set."""

@@ -38,6 +38,22 @@ def test_search_endpoint_contract(engine):
         urls1 = {r["url"] for r in body["results"]}
         urls2 = {r["url"] for r in body2["results"]}
         assert urls1.isdisjoint(urls2)
+        # bm25 scorer: same envelope, ranked by the standard formula
+        status, body3 = _get(
+            f"http://127.0.0.1:{port}/search?query=travel%20guide&size=5"
+            "&scorer=bm25"
+        )
+        assert status == 200 and 0 < len(body3["results"]) <= 5
+        scores = [r["score"] for r in body3["results"]]
+        assert scores == sorted(scores, reverse=True)
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query=x&scorer=nope",
+                timeout=60,
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
         # empty query is a 400, unknown path a 404
         try:
             urllib.request.urlopen(
