@@ -317,6 +317,108 @@ FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
 """
 
 
+# ------------------------- dedup: near-dup clusters (connected components)
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Min-label propagation over undirected candidate-pair edges:
+    returns (doc_id, component) for every doc appearing in `pairs`,
+    component = the lexicographically smallest doc_id reachable — the
+    canonical representative a dedup pipeline keeps. Pairwise LSH output
+    is NOT a dedup decision (near-dup similarity is transitive in
+    practice but pairs are not closed under it); clustering is the step
+    that turns candidate pairs into keep/drop sets.
+
+    Scale shape: each round is one shuffle join (edges x labels) + a
+    map-side-combined min aggregate; rounds = cluster diameter, and
+    near-dup clusters are small and dense (diameter 2-3), so the loop is
+    a handful of bounded jobs with cached frames (previous iteration
+    unpersisted). At extreme edge counts swap the body for the
+    alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    DataFrame surface, fewer rounds on high-diameter graphs."""
+    edges = pairs.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    edges = (
+        edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("x", "node")
+        )
+        new = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("old"), F.coalesce("nbr_min", F.col("old"))
+                ).alias("label"),
+                "old",
+            )
+            .cache()
+        )
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels.unpersist()
+        labels = new.select("node", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def q_neardup_components(spark, sf_dir):
+    return connected_components(q_minhash_pairs(spark, sf_dir))
+
+
+# transitive closure in SQL: component = min reachable node. The UNION
+# (not UNION ALL) dedups rows, so the recursion terminates on cycles;
+# candidate-pair graphs at the gate scale are tiny, so closure is cheap.
+SQL_NEARDUP_COMPONENTS = _SQL_SHINGLES.replace(
+    "WITH base", "WITH RECURSIVE base", 1
+) + f"""
+, salts AS (SELECT unnest(range(0, {_N_HASHES})) AS salt)
+, mh AS (
+  SELECT doc_id, salt, min(md5(salt::VARCHAR || '|' || shingle)) AS minh
+  FROM sh CROSS JOIN salts GROUP BY doc_id, salt
+)
+, sig AS (SELECT doc_id, list(minh ORDER BY salt) AS s FROM mh GROUP BY doc_id)
+, bands AS (
+  SELECT doc_id, b, s[2*b + 1] || s[2*b + 2] AS bv
+  FROM sig, LATERAL (SELECT unnest(range(0, {_N_BANDS})) AS b)
+)
+, pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+, edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+)
+, nodes AS (SELECT DISTINCT x AS node FROM edges)
+, reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.node
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
 # ------------------------------------------- dedup: n-gram Jaccard (on LSH)
 def q_ngram_jaccard(spark, sf_dir):
     pairs = q_minhash_pairs(spark, sf_dir)
@@ -959,6 +1061,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
+    "neardup_components": q_neardup_components,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_cosine": q_embedding_cosine,
     "stopword_ratio": q_stopword_ratio,
@@ -986,6 +1089,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "neardup_components": SQL_NEARDUP_COMPONENTS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_cosine": SQL_EMBEDDING_COSINE,
     "stopword_ratio": SQL_STOPWORD_RATIO,
