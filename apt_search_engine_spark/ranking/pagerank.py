@@ -82,9 +82,12 @@ def pagerank_fixed(
     quirky stop rule (Q9 + stale-map return) stays verified against the
     line-by-line Python oracle in tests/test_pagerank.py.
 
-    The whole computation is ONE lazy plan (dangling mass rides a
-    cross-joined aggregate instead of a per-iteration collect);
-    localCheckpoint every few rounds cuts lineage."""
+    Dangling mass rides a cross-joined aggregate instead of a
+    per-iteration collect. Each iteration eagerly localCheckpoints the new
+    ranks: the recurrence reads `ranks` TWICE (dangling mass +
+    contributions), so a lazy multi-iteration plan doubles per round —
+    2^k recomputation between checkpoints. Per-round truncation keeps the
+    work linear in n_iters (12 tiny jobs beat one exponential plan)."""
     adjacency = adjacency.select("url", "out_links")
     nodes = adjacency.select("url")
     n = nodes.count()
@@ -133,8 +136,7 @@ def pagerank_fixed(
                 ).alias("rank"),
             )
         )
-        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-            ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint()
     return ranks
 
 
