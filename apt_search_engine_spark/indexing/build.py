@@ -84,7 +84,7 @@ ANALYZED_SCHEMA = (
 # parallel occs/dls arrays and the blocks companion gains
 # occs_vb/dls_vb + block_max_occ/block_min_dl, enabling block-max WAND
 # for the BM25 scorer (query/wand.wand_bm25_topk).
-INDEX_LAYOUT_VERSION = 7
+INDEX_LAYOUT_VERSION = 8
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -180,10 +180,21 @@ _ASSEMBLED_SCHEMA = (
     "positions array<array<int>>, "
     + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
 )
+# Layout v8: disk postings store ONLY integer ordinals — no doc_id string
+# arrays. String keys live exactly once, in doc_map; consumers translate
+# ord -> doc_id on pruned reads (query engine) or the final top-k rows
+# (WAND). Rationale: doc_ids arrays were 40% of index bytes at the 1M-turn
+# profile (strings shuffled per posting, assembled per posting, written
+# per posting) — the dominant payload of the merge stage's shuffle, Arrow
+# assembly memcpy, and parquet encode, all of which are the bandwidth-
+# bound non-scaling parts of the build (BASELINE.md round-3 ladder
+# analysis). At 10^12 turns a per-posting string key is ~20 bytes against
+# ~1-2 bytes for a delta-coded ordinal.
 _ASSEMBLED_SCHEMA_ORD = (
-    _ASSEMBLED_SCHEMA
-    + ", doc_ords array<long>, wtfs array<double>"
-    + ", occs array<int>, dls array<int>"
+    "term string, doc_ords array<long>, tfs array<double>, "
+    "positions array<array<int>>, "
+    + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
+    + ", wtfs array<double>, occs array<int>, dls array<int>"
 )
 
 # per-posting weighted tf, natively: tf * sum of tag weights
@@ -199,9 +210,11 @@ _WTF_EXPR = (
 )
 
 _COLS = ("doc_id", "tf", "positions") + _N_COLS
-# disk (ord-stamped) builds additionally store the BM25 inputs: raw
-# occurrence counts and the analyzer-stamped per-doc length
-_COLS_ORD = _COLS + ("doc_ord", "wtf", "occ", "dl")
+# disk (ord-stamped) builds: the ordinal REPLACES the string doc_id (the
+# sort orders agree — write_doc_map assigns ordinals in global doc_id
+# order), plus the BM25 inputs: raw occurrence counts and the
+# analyzer-stamped per-doc length
+_COLS_ORD = ("doc_ord", "tf", "positions") + _N_COLS + ("wtf", "occ", "dl")
 
 
 def _assemble_factory(cap: int, cols: tuple[str, ...]):
@@ -513,9 +526,12 @@ def merge_postings(
         flat.sparkSession.sparkContext.defaultParallelism * 2,
         int(flat.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
     )
+    # ord builds range/sort on the ordinal (same order as doc_id, 8 bytes
+    # vs a string in every shuffle row + sort comparison)
+    sub_key = "doc_ord" if with_ord else "doc_id"
     ranged = flat.repartitionByRange(
-        n_parts, F.col("term"), F.col("doc_id")
-    ).sortWithinPartitions("term", "doc_id")
+        n_parts, F.col("term"), F.col(sub_key)
+    ).sortWithinPartitions("term", sub_key)
     # Arrow-native assembly by default (zero-copy slicing of the sorted
     # columns); the pandas path survives for the bit-equality regression
     # test and as an operational fallback (use_arrow=False)
@@ -532,18 +548,26 @@ def merge_postings(
     # unvectorized codegen loop per 32k-element row and multiplies index
     # bytes — consumers reconstruct lazily via with_postings_struct on
     # term-pruned reads (schema.py POSTINGS rationale)
-    merged = (
-        assembled.withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
-        )
-        .withColumn("doc_lo", F.expr("doc_ids[0]"))
-        .withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
+    merged = assembled.withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
     )
-    keep = ["term", "doc_ids", "tfs", "wtfs", "positions",
-            *_N_PLURALS, "doc_lo", "doc_hi", "term_bucket"]
     if with_ord:
-        keep += ["doc_ords", "occs", "dls"]
+        # scalar ordinal range per segment (lineage stats / range pruning
+        # without touching the nested arrays); doc_id strings appear
+        # nowhere — doc_map translates where a consumer needs them
+        merged = merged.withColumn(
+            "ord_lo", F.expr("doc_ords[0]")
+        ).withColumn("ord_hi", F.expr("element_at(doc_ords, -1)"))
+        keep = ["term", "doc_ords", "tfs", "wtfs", "positions",
+                *_N_PLURALS, "ord_lo", "ord_hi", "term_bucket",
+                "occs", "dls"]
+    else:
+        merged = merged.withColumn(
+            "doc_lo", F.expr("doc_ids[0]")
+        ).withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
+        keep = ["term", "doc_ids", "tfs", "wtfs", "positions",
+                *_N_PLURALS, "doc_lo", "doc_hi", "term_bucket"]
     return merged.select(*keep)
 
 
@@ -555,8 +579,9 @@ def build_lexicon(postings: DataFrame) -> DataFrame:
     posting data, no skew (schema.py LEXICON rationale). df = sum of
     segment sizes = the term's true document frequency (what the reference
     reads as postings-map size, Ranker.java:194)."""
+    seg_col = "doc_ords" if "doc_ords" in postings.columns else "doc_ids"
     return postings.groupBy("term_bucket", "term").agg(
-        F.sum(F.size("doc_ids")).cast("int").alias("df")
+        F.sum(F.size(seg_col)).cast("int").alias("df")
     ).select("term", "df", "term_bucket")
 
 
@@ -606,12 +631,47 @@ def _tags_from_counts(prefix: str, pos: str) -> str:
     return f"concat({reps}, array_repeat('body', {body_n}))"
 
 
-def with_postings_struct(df: DataFrame) -> DataFrame:
+def with_postings_struct(
+    df: DataFrame, doc_map: DataFrame | None = None
+) -> DataFrame:
     """Compatibility/API view: adds the `postings
     array<struct<doc_id,tf,positions,tags>>` column reconstructed from the
     compact parallel arrays. Use on term-pruned reads (tests, exports) —
-    NOT on the build hot path."""
+    NOT on the build hot path.
+
+    Ord-layout segments (v8: no doc_id strings on disk) need the index's
+    `doc_map` to translate: the arrays are exploded, joined, and regrouped
+    per segment — fine for pruned/test reads, never for the build path."""
     tags = _tags_from_counts("x.", "x.positions")
+    if "doc_ids" not in df.columns:
+        if doc_map is None:
+            raise ValueError(
+                "ord-layout postings need doc_map to reconstruct doc_ids"
+            )
+        seg = df.withColumn("_seg", F.monotonically_increasing_id())
+        ex = seg.select(
+            "_seg",
+            F.explode(F.arrays_zip("doc_ords", "tfs", "positions",
+                                   *_N_PLURALS)).alias("p"),
+        ).select(
+            "_seg",
+            F.col("p.doc_ords").alias("doc_ord"),
+            F.col("p.tfs").alias("_tf"),
+            F.col("p.positions").alias("_positions"),
+            *[F.col(f"p.{c}").alias(f"_{c}") for c in _N_PLURALS],
+        ).join(doc_map, "doc_ord")
+        rebuilt = ex.groupBy("_seg").agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    "doc_ord", "doc_id", "_tf", "_positions",
+                    *[f"_{c}" for c in _N_PLURALS],
+                ))
+            ).alias("_entries")
+        ).select(
+            "_seg",
+            F.expr("transform(_entries, x -> x.doc_id)").alias("doc_ids"),
+        )
+        df = seg.join(rebuilt, "_seg").drop("_seg")
     zipped = "arrays_zip(doc_ids, tfs, positions, " + ", ".join(_N_PLURALS) + ")"
     return df.withColumn(
         "postings",
@@ -635,6 +695,17 @@ class IndexBuilder:
         self.n_batches = n_batches
         self.max_per_row = max_per_row
         self.channels = channels
+        # wall seconds per build phase, filled by build()/merge_and_write()
+        # — scaling work needs to know WHICH job stops speeding up with
+        # cores, not just the total (BASELINE.md ladder analysis)
+        self.phase_sec: dict[str, float] = {}
+
+    def _phase(self, name: str, t0: float) -> float:
+        now = time.time()
+        self.phase_sec[name] = round(
+            self.phase_sec.get(name, 0.0) + (now - t0), 2
+        )
+        return now
 
     @property
     def layout_path(self):
@@ -730,6 +801,7 @@ class IndexBuilder:
         if not todo:
             return None
         t0 = time.time()
+        t_ph = t0
         from pyspark.sql import Observation
 
         # stage 0 — docID space assignment at ingest: dense ordinals for
@@ -751,6 +823,7 @@ class IndexBuilder:
                 transcripts.select(doc_id_expr().alias("doc_id")).distinct(),
                 self.doc_map_dir,
             )
+        t_ph = self._phase("doc_map", t_ph)
         doc_map = self.spark.read.parquet(self.doc_map_dir)
         with_batch = transcripts.withColumn(
             "batch", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_batches)).cast("int")
@@ -799,6 +872,7 @@ class IndexBuilder:
             .partitionBy("batch")
             .parquet(self.analyzed_dir)
         )
+        t_ph = self._phase("analyze", t_ph)
         # the single-pass job covers len(todo) batches at once; record the
         # per-batch SHARE so lineage timing keeps the per-batch semantics
         # consumers had under the old loop (ADVICE r2: the shared job wall
@@ -872,59 +946,130 @@ class IndexBuilder:
     def doc_len_dir(self):
         return os.path.join(self.index_dir, "doc_len")
 
-    def merge_and_write(self, build_id: str, with_blocks: bool = False) -> int:
+    def merge_and_write(
+        self,
+        build_id: str,
+        with_blocks: bool = False,
+        transcripts: DataFrame | None = None,
+    ) -> int:
+        """Stages 2+3. The merge shuffle is the critical path; the three
+        side tables that DON'T depend on it — lexicon + doc_len (both read
+        only narrow columns of the analyzed output) and doc_meta (reads
+        the input `transcripts` when given) — are submitted from threads
+        so their tasks fill executor slots the merge's narrow tail stages
+        and driver-side gaps (job setup, commit, footer listing) leave
+        idle. On a multi-executor cluster this is ordinary concurrent-job
+        scheduling; serializing ~4 small jobs behind the big one was pure
+        wall-clock loss that N->4N scaling paid for twice (the side jobs'
+        fixed costs don't shrink with cores — BASELINE.md round 3)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from apt_search_engine_spark.indexing.blocks import (
             write_blocks,
             write_doc_map,
         )
 
         t0 = time.time()
+        t_ph = t0
         flat = self.spark.read.parquet(self.analyzed_dir)
-        if "doc_ord" in flat.columns:
-            # batch-analyzed rows carry doc_ord (stamped at ingest; the
-            # doc_map was written by stage 0) — the merge shuffles the
-            # flat frame exactly once, no corpus-sized join
-            postings = merge_postings(flat, self.max_per_row)
-        else:
-            # stream-analyzed rows (compact bootstrap) can't know ordinals
-            # at arrival: assign now and join
-            write_doc_map(
-                self.spark, flat.select("doc_id").distinct(), self.doc_map_dir
-            )
-            doc_map = self.spark.read.parquet(self.doc_map_dir)
-            postings = merge_postings(flat, self.max_per_row, doc_map=doc_map)
-        postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            self.postings_dir
-        )
-        if with_blocks:
-            # derive from the freshly written parquet: a columnar re-read
-            # of the needed columns beats caching the wide nested frame
-            # (measured — the in-memory columnar cache of array-heavy rows
-            # costs more to build than the read it saves)
-            write_blocks(self.spark, self.postings_dir, self.blocks_dir)
-        # lexicon from flat (term column only — never re-scans the written
-        # nested arrays)
-        build_lexicon_from_flat(flat).write.mode("overwrite").partitionBy(
-            "term_bucket"
-        ).parquet(self.lexicon_dir)
-        # BM25 doc-length table from flat ((doc_id, occ) columns only);
-        # the corpus total rides the write as an Observation — avgdl is
-        # then meta-derived (total_len / n_docs) with no extra scan
-        from pyspark.sql import Observation
 
-        obs_dl = Observation("doc-len")
-        dl = build_doc_len_from_flat(flat).observe(
-            obs_dl, F.sum("dl").alias("total_len")
-        )
-        dl.write.mode("overwrite").parquet(self.doc_len_dir)
-        total_len = int(obs_dl.get["total_len"] or 0)
+        def _lexicon_job():
+            # lexicon from flat (term column only — never re-scans the
+            # written nested arrays)
+            tp = time.time()
+            build_lexicon_from_flat(flat).write.mode("overwrite").partitionBy(
+                "term_bucket"
+            ).parquet(self.lexicon_dir)
+            self._phase("lexicon", tp)
+
+        def _doc_len_job() -> int:
+            # BM25 doc-length table from flat ((doc_id, occ) columns
+            # only); the corpus total rides the write as an Observation —
+            # avgdl is then meta-derived (total_len / n_docs), no extra
+            # scan
+            from pyspark.sql import Observation
+
+            tp = time.time()
+            obs_dl = Observation(f"doc-len-{build_id}")
+            dl = build_doc_len_from_flat(flat).observe(
+                obs_dl, F.sum("dl").alias("total_len")
+            )
+            dl.write.mode("overwrite").parquet(self.doc_len_dir)
+            total = int(obs_dl.get["total_len"] or 0)
+            self._phase("doc_len", tp)
+            return total
+
+        def _doc_meta_job():
+            tp = time.time()
+            self.write_doc_meta(transcripts)
+            self._phase("doc_meta", tp)
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        try:
+            fut_lex = pool.submit(_lexicon_job)
+            fut_dl = pool.submit(_doc_len_job)
+            fut_meta = (
+                pool.submit(_doc_meta_job) if transcripts is not None else None
+            )
+            if "doc_ord" in flat.columns:
+                # batch-analyzed rows carry doc_ord (stamped at ingest; the
+                # doc_map was written by stage 0) — the merge shuffles the
+                # flat frame exactly once, no corpus-sized join
+                postings = merge_postings(flat, self.max_per_row)
+            else:
+                # stream-analyzed rows (compact bootstrap) can't know
+                # ordinals at arrival: assign now and join
+                write_doc_map(
+                    self.spark,
+                    flat.select("doc_id").distinct(),
+                    self.doc_map_dir,
+                )
+                doc_map = self.spark.read.parquet(self.doc_map_dir)
+                postings = merge_postings(
+                    flat, self.max_per_row, doc_map=doc_map
+                )
+            postings.write.mode("overwrite").partitionBy(
+                "term_bucket"
+            ).parquet(self.postings_dir)
+            t_ph = self._phase("merge", t_ph)
+            if with_blocks:
+                # derive from the freshly written parquet: a columnar
+                # re-read of the needed columns beats caching the wide
+                # nested frame (measured — the in-memory columnar cache of
+                # array-heavy rows costs more to build than the read it
+                # saves)
+                write_blocks(self.spark, self.postings_dir, self.blocks_dir)
+                t_ph = self._phase("blocks", t_ph)
+            total_len = fut_dl.result()
+            fut_lex.result()
+            if fut_meta is not None:
+                fut_meta.result()
+        finally:
+            pool.shutdown(wait=False)
+        t_ph = time.time()
         # per-bucket lineage metrics: term ranges + exact posting counts
         # from the lexicon, doc ranges from the postings scalar columns
         lex = self.spark.read.parquet(self.lexicon_dir)
+        # per-bucket ordinal range from the scalar segment columns, then
+        # two tiny joins against doc_map recover the doc_id STRINGS the
+        # lineage contract records (postings themselves no longer carry
+        # string keys — layout v8)
+        dm = self.spark.read.parquet(self.doc_map_dir)
         ranges = (
             self.spark.read.parquet(self.postings_dir)
             .groupBy("term_bucket")
-            .agg(F.min("doc_lo").alias("dlo"), F.max("doc_hi").alias("dhi"))
+            .agg(F.min("ord_lo").alias("olo"), F.max("ord_hi").alias("ohi"))
+            .join(
+                dm.select(F.col("doc_ord").alias("olo"),
+                          F.col("doc_id").alias("dlo")),
+                "olo",
+            )
+            .join(
+                dm.select(F.col("doc_ord").alias("ohi"),
+                          F.col("doc_id").alias("dhi")),
+                "ohi",
+            )
+            .select("term_bucket", "dlo", "dhi")
         )
         stats = (
             lex.groupBy("term_bucket")
@@ -937,6 +1082,7 @@ class IndexBuilder:
             .join(ranges, "term_bucket")
             .collect()
         )
+        self._phase("lineage_stats", t_ph)
         ms = int((time.time() - t0) * 1000)
         self._append_lineage(
             [
@@ -988,8 +1134,9 @@ class IndexBuilder:
         n_docs = self.analyze(transcripts, build_id)
         if n_docs is None:
             n_docs = transcripts.count()
-        total_len = self.merge_and_write(build_id, with_blocks=with_blocks)
-        self.write_doc_meta(transcripts)
+        total_len = self.merge_and_write(
+            build_id, with_blocks=with_blocks, transcripts=transcripts
+        )
         with open(self.meta_path, "w") as f:
             json.dump({"build_id": build_id, "n_docs": n_docs,
                        "total_len": total_len,

@@ -154,22 +154,40 @@ class SearchEngine:
             src = self.spark.read.parquet(self.postings_path).filter(
                 F.col("term_bucket").isin(buckets)
             )
-        df = (
-            src.filter(F.col("term").isin(distinct))
-            .select(
+        src = src.filter(F.col("term").isin(distinct))
+        if "doc_ids" in src.columns:
+            # in-memory/ad-hoc layout: string keys stored inline
+            df = src.select(
                 "term",
                 F.explode(
                     F.arrays_zip("doc_ids", "tfs", "wtfs", "positions")
                 ).alias("p"),
-            )
-            .select(
+            ).select(
                 "term",
                 F.col("p.doc_ids").alias("doc_id"),
                 F.col("p.tfs").alias("tf"),
                 F.col("p.wtfs").alias("wtf"),
                 F.col("p.positions").alias("positions"),
             )
-        )
+        else:
+            # disk layout v8: postings carry ordinals only (string keys
+            # would be ~40% of index bytes); the pruned explode — a few
+            # terms' postings, not the index — joins doc_map to recover
+            # doc_id. This is the classic forward-map lookup every real
+            # engine does; the flagship WAND path defers it to the final
+            # k rows instead.
+            df = src.select(
+                "term",
+                F.explode(
+                    F.arrays_zip("doc_ords", "tfs", "wtfs", "positions")
+                ).alias("p"),
+            ).select(
+                "term",
+                F.col("p.doc_ords").alias("doc_ord"),
+                F.col("p.tfs").alias("tf"),
+                F.col("p.wtfs").alias("wtf"),
+                F.col("p.positions").alias("positions"),
+            ).join(self._doc_map(), "doc_ord").drop("doc_ord")
         if with_df:
             # lexicon lookup is a driver-side read of a few pruned rows;
             # stamping df as a literal CASE map keeps the distributed plan
@@ -201,6 +219,14 @@ class SearchEngine:
             "term", "df"
         ).collect()
         return {r.term: int(r.df) for r in rows}
+
+    def _doc_map(self) -> DataFrame:
+        """(doc_ord, doc_id) forward map of the disk index (lazy frame;
+        reread per plan — the parquet footer cache makes this cheap and
+        keeps the engine stateless across compactions)."""
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "doc_map")
+        ).select("doc_ord", "doc_id")
 
     def _bucket(self, term: str) -> int:
         # must match F.pmod(F.xxhash64(term), N) used at build time; the

@@ -55,20 +55,27 @@ POSTING_ENTRY = T.StructType(
 
 # Canonical index (FIXTURES.md section P): one row per (term, segment of
 # <= MAX_POSTINGS_PER_ROW docs) — segmenting bounds row size on Zipfian
-# head terms — postings sorted by doc_id within and across a term's
-# segments, directory-partitioned by term_bucket for lookup pruning.
+# head terms — postings sorted by doc ordinal (== doc_id order; the
+# doc_map assigns ordinals in global doc_id order) within and across a
+# term's segments, directory-partitioned by term_bucket for lookup
+# pruning.
 #
 # Storage is COLUMNAR-IN-ROW: parallel arrays instead of array<struct>.
 # Tags are stored as prefix COUNTS (n_titles/n_h1s per posting; analyzer
 # emits tags ordered title..h1..body), not per-position strings — at
 # 10^12 turns, materialized tag strings would dominate index bytes, and
 # building array<struct> rows costs an unvectorized per-element codegen
-# loop at merge time. Consumers reconstruct the struct/tags view lazily
-# on (term-pruned) reads: indexing.build.with_postings_struct.
+# loop at merge time. Layout v8 drops per-posting doc_id STRINGS for the
+# same reason: string keys were ~40% of index bytes and the dominant
+# payload of the merge shuffle/assembly/write; the doc_map table holds
+# each string exactly once and consumers translate on pruned reads.
+# Consumers reconstruct the struct/tags view lazily on (term-pruned)
+# reads: indexing.build.with_postings_struct(df, doc_map).
 POSTINGS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
-        T.StructField("doc_ids", T.ArrayType(T.StringType()), False),
+        # dense doc ordinals, sorted — the only per-posting doc key
+        T.StructField("doc_ords", T.ArrayType(T.LongType()), False),
         T.StructField("tfs", T.ArrayType(T.DoubleType()), False),
         # weighted tf = tf * sum(tag weights): the score kernel minus the
         # idf factor — both exact and WAND paths score from this
@@ -76,14 +83,13 @@ POSTINGS = T.StructType(
         T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType())), False),
         T.StructField("n_titles", T.ArrayType(T.IntegerType()), False),
         T.StructField("n_h1s", T.ArrayType(T.IntegerType()), False),
-        # scalar doc-range of the sorted postings arrays, so lineage stats
-        # and range pruning never touch the nested columns
-        T.StructField("doc_lo", T.StringType(), False),
-        T.StructField("doc_hi", T.StringType(), False),
+        # scalar ordinal range of the sorted postings arrays, so lineage
+        # stats and range pruning never touch the nested columns
+        T.StructField("ord_lo", T.LongType(), False),
+        T.StructField("ord_hi", T.LongType(), False),
         T.StructField("term_bucket", T.IntegerType(), False),
-        # dense doc ordinals (disk builds) so the block-max companion
-        # derives narrowly (no re-shuffle)
-        T.StructField("doc_ords", T.ArrayType(T.LongType()), True),
+        T.StructField("occs", T.ArrayType(T.IntegerType()), True),
+        T.StructField("dls", T.ArrayType(T.IntegerType()), True),
     ]
 )
 

@@ -504,8 +504,8 @@ def recompact(
         return 0
 
     arr_cols = (
-        "doc_ids", "tfs", "wtfs", "positions", *_N_PLURALS,
-        "doc_ords", "occs", "dls",
+        "doc_ords", "tfs", "wtfs", "positions", *_N_PLURALS,
+        "occs", "dls",
     )
     src = (
         spark.read.parquet(postings_dir)
@@ -557,7 +557,7 @@ def recompact(
                 for c in arr_cols:
                     v = np.asarray(pdf[c].iat[k])
                     bufs[c].append(v)
-                    if c == "doc_ids":
+                    if c == "doc_ords":
                         seg_len = len(v)
                 buffered += seg_len
                 emit(final=False)
@@ -570,10 +570,10 @@ def recompact(
             yield pd.DataFrame(rows, columns=["term", *arr_cols])
 
     schema = (
-        "term string, doc_ids array<string>, tfs array<double>, "
+        "term string, doc_ords array<long>, tfs array<double>, "
         "wtfs array<double>, positions array<array<int>>, "
         + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
-        + ", doc_ords array<long>, occs array<int>, dls array<int>"
+        + ", occs array<int>, dls array<int>"
     )
     rewritten = (
         ranged.mapInPandas(rechunk, schema)
@@ -581,11 +581,11 @@ def recompact(
             "term_bucket",
             F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
         )
-        .withColumn("doc_lo", F.expr("doc_ids[0]"))
-        .withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
+        .withColumn("ord_lo", F.expr("doc_ords[0]"))
+        .withColumn("ord_hi", F.expr("element_at(doc_ords, -1)"))
         .select(
-            "term", "doc_ids", "tfs", "wtfs", "positions", *_N_PLURALS,
-            "doc_lo", "doc_hi", "term_bucket", "doc_ords", "occs", "dls",
+            "term", "doc_ords", "tfs", "wtfs", "positions", *_N_PLURALS,
+            "ord_lo", "ord_hi", "term_bucket", "occs", "dls",
         )
     )
     staging = os.path.join(index_dir, "_staging", f"recompact_{uuid.uuid4().hex[:8]}")

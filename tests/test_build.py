@@ -26,11 +26,14 @@ def _postings_signature(spark, index_dir):
         r.term: r.df
         for r in spark.read.parquet(f"{index_dir}/lexicon").collect()
     }
-    for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect():
+    for r in with_postings_struct(
+        spark.read.parquet(f"{index_dir}/postings"),
+        spark.read.parquet(f"{index_dir}/doc_map"),
+    ).collect():
         by_term.setdefault(r.term, []).append(r)
     out = {}
     for term, segs in by_term.items():
-        segs.sort(key=lambda r: r.doc_lo)
+        segs.sort(key=lambda r: r.ord_lo)
         out[term] = (
             dfs[term],
             tuple(
@@ -99,10 +102,13 @@ def test_blocks_roundtrip(spark, index_dir):
     }
     # postings may be segmented: several rows per term, ordered by doc_lo
     canonical: dict[str, list] = {}
-    for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect():
+    for r in with_postings_struct(
+        spark.read.parquet(f"{index_dir}/postings"),
+        spark.read.parquet(f"{index_dir}/doc_map"),
+    ).collect():
         canonical.setdefault(r.term, []).append(r)
     for segs in canonical.values():
-        segs.sort(key=lambda r: r.doc_lo)
+        segs.sort(key=lambda r: r.ord_lo)
     assert {b.term for b in blocks} == set(canonical)
     lexicon_dfs = {
         r.term: r.df

@@ -73,7 +73,10 @@ def test_index_postings_match_oracle(spark, index_dir, oracle):
     """Every (term, doc) posting matches the oracle's inverted index:
     tf exact, positions exact, tags exact, df exact."""
     by_term: dict[str, list] = {}
-    for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect():
+    for r in with_postings_struct(
+        spark.read.parquet(f"{index_dir}/postings"),
+        spark.read.parquet(f"{index_dir}/doc_map"),
+    ).collect():
         by_term.setdefault(r.term, []).append(r)
     lexicon_dfs = {
         r.term: r.df
@@ -83,7 +86,7 @@ def test_index_postings_match_oracle(spark, index_dir, oracle):
     assert set(by_term) == set(inv)
     assert set(lexicon_dfs) == set(inv)
     for term, segs in by_term.items():
-        segs.sort(key=lambda r: r.doc_lo)
+        segs.sort(key=lambda r: r.ord_lo)
         odocs = inv[term]
         assert lexicon_dfs[term] == len(odocs), term
         postings = [p for r in segs for p in r.postings]

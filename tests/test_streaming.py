@@ -29,7 +29,8 @@ def _postings_map(spark, index_dir):
     from apt_search_engine_spark.indexing.build import with_postings_struct
 
     rows = with_postings_struct(
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        spark.read.parquet(os.path.join(index_dir, "postings")),
+        spark.read.parquet(os.path.join(index_dir, "doc_map")),
     ).collect()
     out = {}
     for r in rows:

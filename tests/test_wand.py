@@ -110,7 +110,11 @@ def test_wtfs_decode_matches_reference_kernel(spark, index_dir):
 
     blocks = spark.read.parquet(f"{index_dir}/blocks").collect()
     canonical = {
-        r.term: r for r in with_postings_struct(spark.read.parquet(f"{index_dir}/postings")).collect()
+        r.term: r
+        for r in with_postings_struct(
+            spark.read.parquet(f"{index_dir}/postings"),
+            spark.read.parquet(f"{index_dir}/doc_map"),
+        ).collect()
     }
     for term in list(canonical)[:50]:
         bs = sorted([b for b in blocks if b.term == term], key=lambda b: b.lo_ord)
