@@ -621,6 +621,61 @@ SELECT (SELECT count(*) FROM raw WHERE tok <> '') AS total_raw_tokens,
 """
 
 
+# window/stride in whitespace tokens for the sliding chunker — typical
+# training-data pre-tokenizer chunk shape (fixed context budget with
+# overlap so no span is split across chunk boundaries unseen)
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_sliding(spark, sf_dir):
+    """Sliding-window text chunking for training-data pipelines: each doc
+    becomes ceil(n/stride) overlapping chunks of <= CHUNK_WINDOW
+    whitespace tokens (stride CHUNK_STRIDE, overlap 16). All native
+    array expressions — sequence/transform/slice/array_join run inside
+    whole-stage codegen on the raw token array, no shuffle at all until
+    a downstream consumer groups; at 100 TB this is a pure map job. The
+    reference has no chunker (its unit is the whole page); this is part
+    of the LLM-pipeline extension family."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(_raw_arr(), lambda x: x != "").alias("arr"),
+    )
+    sized = docs.withColumn("n", F.size("arr")).filter(F.col("n") > 0)
+    chunks = sized.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, n - 1, {CHUNK_STRIDE}), s -> "
+                f"struct(cast(s / {CHUNK_STRIDE} as int) as chunk_idx, "
+                f"cast(least({CHUNK_WINDOW}, n - s) as int) as n_tokens, "
+                f"array_join(slice(arr, s + 1, {CHUNK_WINDOW}), ' ') "
+                f"as chunk_text))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_text")
+
+
+SQL_CHUNK_SLIDING = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text),
+                     '[^a-z0-9]', ' ', 'g'), '\\s+'), x -> x <> '') AS arr
+  FROM documents
+), sized AS (
+  SELECT doc_id, arr, len(arr) AS n FROM base WHERE len(arr) > 0
+), starts AS (
+  SELECT doc_id, arr, n, unnest(range(0, n, {CHUNK_STRIDE})) AS s FROM sized
+)
+SELECT doc_id,
+       (s / {CHUNK_STRIDE})::INT AS chunk_idx,
+       least({CHUNK_WINDOW}, n - s)::INT AS n_tokens,
+       array_to_string(arr[s + 1 : s + {CHUNK_WINDOW}], ' ') AS chunk_text
+FROM starts
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return (
         _toks(_docs(spark, sf_dir))
@@ -1067,6 +1122,7 @@ SPARK_QUERIES = {
     "stopword_ratio": q_stopword_ratio,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "chunk_sliding": q_chunk_sliding,
     "doc_fingerprint": q_doc_fingerprint,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
@@ -1095,6 +1151,7 @@ ORACLE_SQL = {
     "stopword_ratio": SQL_STOPWORD_RATIO,
     "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,
+    "chunk_sliding": SQL_CHUNK_SLIDING,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
