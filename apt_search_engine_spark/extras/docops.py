@@ -247,6 +247,79 @@ WITH base AS (
 """
 
 
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination — the training-data op that removes docs
+    sharing verbatim n-grams with an evaluation set (the reason eval
+    scores stay honest). Eval set here: the deterministic 1-in-20 slice
+    of documents by md5(doc_id); a real pipeline passes its benchmark
+    table instead. A doc is contaminated when ANY of its word 3-gram
+    shingles appears in the eval set's shingles.
+
+    Plan shape at 100 TB: the eval shingle set is benchmark-sized (small)
+    — distinct + broadcast semi-join against the training shingle stream,
+    then a groupBy(doc_id) for the per-doc verdict; no self-join, no
+    skew (the semi-join probe side never amplifies)."""
+    docs = _docs(spark, sf_dir)
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 20 == 0
+    )
+    tagged = docs.withColumn("is_eval", is_eval)
+    eval_sh = (
+        _shingles(tagged.filter("is_eval"))
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = _shingles(tagged.filter(~F.col("is_eval"))).select(
+        "doc_id", "shingle"
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").cast("int").alias("n_shared_ngrams"))
+    )
+    return (
+        tagged.filter(~F.col("is_eval"))
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE_NGRAM = """
+WITH tagged AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 20 = 0) AS is_eval
+  FROM documents
+), base AS (
+  SELECT doc_id, is_eval,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM tagged
+), sh AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(1, len(arr) - 1),
+                i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+  FROM base WHERE len(arr) >= 3
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE is_eval
+), hits AS (
+  SELECT s.doc_id, count(DISTINCT s.shingle)::INT AS n_shared_ngrams
+  FROM sh s JOIN eval_sh e USING (shingle)
+  WHERE NOT s.is_eval
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
+FROM tagged t LEFT JOIN hits h USING (doc_id)
+WHERE NOT t.is_eval
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     sh = _shingles(_docs(spark, sf_dir))
     salted = sh.select(
@@ -1116,6 +1189,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "neardup_components": q_neardup_components,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_cosine": q_embedding_cosine,
@@ -1145,6 +1219,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_cosine": SQL_EMBEDDING_COSINE,
