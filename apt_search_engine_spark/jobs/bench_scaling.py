@@ -23,6 +23,16 @@ is reported alongside (informational; the target binds the build).
 
 from __future__ import annotations
 
+import os
+import sys
+
+# spark-submit / direct-path invocation puts THIS directory on sys.path,
+# not the repo root — bootstrap the package like every entry script must
+# when run without --py-files packaging
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
 import argparse
 import json
 import os
