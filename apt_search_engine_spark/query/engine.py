@@ -700,7 +700,10 @@ class SearchEngine:
             m = meta.get(r.doc_id)
             d = {
                 "doc_id": r.doc_id,
-                "url": r.doc_id,
+                # the stored URL (doc_meta carries url_expr overrides —
+                # reference RankedDocument.java:3-14 returns the document's
+                # URL); doc_id is only the fallback when no metadata exists
+                "url": m.url if m else r.doc_id,
                 "score": r.score,
                 "title": m.title if m else None,
             }
