@@ -24,8 +24,14 @@ independently:
      scored exactly with vectorized numpy in ascending-term order (the
      determinism contract, SURVEY.md 7.4);
   4. the per-partition top-k survivors reduce to the global top-k via
-     orderBy(score desc).limit(k) — Spark's TakeOrderedAndProject — and a
-     join back to doc_map recovers doc_ids.
+     orderBy(score desc).limit(k) — Spark's TakeOrderedAndProject — and
+     the <=k surviving ordinals are translated to doc_ids by a POINT
+     LOOKUP: collect the k (ord, score) pairs, filter doc_map with
+     isin(ords) (parquet min/max row-group skipping on the
+     ordinal-ordered doc_map files) and stamp scores from a literal map.
+     At 10^12 docs the map is corpus-sized — the earlier join-based
+     translation broadcast the k rows but still SCANNED the map side
+     (VERDICT r3 'what's wrong' #3).
 
 Pruning never changes results: a skipped slice's upper bound is below the
 partition's current kth score, so none of its docs can reach the partition
@@ -50,6 +56,36 @@ from apt_search_engine_spark.indexing import codec
 SLICE_ORDS = 8192
 
 _OUT_SCHEMA = "doc_ord long, score double"
+
+
+def translate_topk(spark, topk_ords: DataFrame, doc_map: DataFrame, k: int) -> DataFrame:
+    """ord -> doc_id for a top-k result: MATERIALIZE the <=k (doc_ord,
+    score) rows (driver-side, bounded by k), then point-look-up doc_map
+    with isin — the ordinal-ordered doc_map files give parquet min/max
+    row-group skipping, so this reads a handful of row groups instead of
+    scanning the corpus-sized map (a join keyed by 10 ordinals still
+    scans the map side in full). Scores ride back as a literal map, so
+    the returned plan is join-free. Final order re-keys the tiebreak on
+    doc_id — identical to ord order (doc_map assigns ordinals in global
+    doc_id order) but explicit for readers of the plan."""
+    rows = topk_ords.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k).collect()
+    if not rows:
+        return spark.createDataFrame([], "doc_id string, score double")
+    smap = F.create_map(
+        *[
+            x
+            for r in rows
+            for x in (
+                F.lit(int(r.doc_ord)).cast("bigint"),
+                F.lit(float(r.score)),
+            )
+        ]
+    )
+    return (
+        doc_map.filter(F.col("doc_ord").isin([int(r.doc_ord) for r in rows]))
+        .select("doc_id", smap[F.col("doc_ord")].alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def _score_partition_factory(
@@ -188,12 +224,7 @@ def wand_topk(
     survivors = partitioned.mapInPandas(
         _score_partition_factory(weights, k, prior, slice_ords), _OUT_SCHEMA
     )
-    topk = survivors.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
-    return (
-        topk.join(doc_map, "doc_ord")
-        .select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    return translate_topk(spark, survivors, doc_map, k)
 
 
 # -------------------------------------------------------------- BM25 mode
@@ -347,9 +378,4 @@ def wand_bm25_topk(
         _score_partition_bm25_factory(idfs, k, k1p1, c0, c1, slice_ords),
         _OUT_SCHEMA,
     )
-    topk = survivors.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
-    return (
-        topk.join(doc_map, "doc_ord")
-        .select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    return translate_topk(spark, survivors, doc_map, k)
