@@ -204,23 +204,34 @@ def analyze_batch_flat(
     index build stores these ints per posting and reconstructs the tags
     array natively at merge time (array_repeat concat), which keeps the
     analyze checkpoint small — plus an `occ` int column (the RAW
-    occurrence count, == len(positions)): the BM25 doc-length table
+    occurrence count, == number of positions): the BM25 doc-length table
     aggregates sum(occ) per doc from a narrow (doc_id, occ) columnar
-    scan instead of re-reading the fat positions arrays.
+    scan instead of re-reading the fat positions arrays. Positions are
+    emitted DELTA+VARBYTE-ENCODED as a `positions_vb` binary column
+    (layout v9): per-posting int arrays were the fattest column of the
+    merge shuffle after the v8 ordinal move (44% of build time is data
+    movement on this box — BASELINE.md ladder analysis), and varbyte
+    shrinks a typical position to ~1 byte. Encoding is ONE vectorized
+    codec pass over the whole batch (codec.encode_doc_ids_segmented —
+    delta chains restart per posting, so each slice decodes standalone);
+    consumers decode only where positions are consumed (the phrase
+    adjacency check, the reconstructed API view).
     """
+    from apt_search_engine_spark.indexing import codec
+
     n = len(bodies)
     base_cols = {
         "doc": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.float64),
-        "positions": [],
     }
     if tags_as_counts:
         empty = pd.DataFrame(
             base_cols
+            | {"positions_vb": []}
             | {"occ": np.empty(0, np.int32), "dl": np.empty(0, np.int32)}
             | {f"n_{c}": np.empty(0, np.int32) for c in HEADING_CHANNELS}
         )
     else:
-        empty = pd.DataFrame(base_cols | {"tags": []})
+        empty = pd.DataFrame(base_cols | {"positions": [], "tags": []})
     stemmer = MemoStemmer()
     b = bodies.fillna("").astype(str)
     nonblank = b.str.strip().str.len() > 0  # T7
@@ -284,7 +295,15 @@ def analyze_batch_flat(
     totals = np.zeros(n, dtype=np.int64)
     np.add.at(totals, g_doc, counts)  # quirk Q2 denominator
     tf = counts.astype(np.float64) / totals[g_doc]
-    positions = np.split(p.astype(np.int32), gstarts[1:])
+    if tags_as_counts:
+        # one segmented delta+varbyte pass over every kept position;
+        # per-posting slices of the shared buffer (zero re-encoding)
+        buf, off = codec.encode_doc_ids_segmented(p, gstarts)
+        positions_vb = [
+            buf[a:b] for a, b in zip(off[:-1].tolist(), off[1:].tolist())
+        ]
+    else:
+        positions = np.split(p.astype(np.int32), gstarts[1:])
 
     # T6 tags: substring-count tables over the tiny heading vocabularies,
     # consumed channel by channel in the reference's order with the
@@ -315,7 +334,7 @@ def analyze_batch_flat(
             "doc": g_doc,
             "term": term_uniq[g_term],
             "tf": tf,
-            "positions": positions,
+            "positions_vb": positions_vb,
             "occ": sizes.astype(np.int32),
             "dl": dl_per_doc[g_doc].astype(np.int32),
         }

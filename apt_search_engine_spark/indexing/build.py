@@ -65,7 +65,7 @@ from apt_search_engine_spark.config import (
 # (array_repeat concat).
 _N_COLS = ("n_title", "n_h1", "n_h2", "n_h3", "n_h456")
 ANALYZED_SCHEMA = (
-    "doc_id string, term string, tf double, positions array<int>, "
+    "doc_id string, term string, tf double, positions_vb binary, "
     "occ int, dl int, "
     + ", ".join(f"{c} int" for c in _N_COLS)
 )
@@ -84,7 +84,16 @@ ANALYZED_SCHEMA = (
 # parallel occs/dls arrays and the blocks companion gains
 # occs_vb/dls_vb + block_max_occ/block_min_dl, enabling block-max WAND
 # for the BM25 scorer (query/wand.wand_bm25_topk).
-INDEX_LAYOUT_VERSION = 8
+# v9: positions are delta+varbyte-encoded AT ANALYZE TIME (one segmented
+# codec pass inside the analyzer UDF) and travel as a `positions_vb`
+# binary column through the analyze checkpoint, the merge shuffle and
+# the stored postings (array<binary> per segment). After v8 removed
+# doc_id strings, the per-posting int position arrays were the fattest
+# payload of the merge exchange — the measured data-movement share
+# (m = 0.44) that bounds scaling on this box (BASELINE.md round 3).
+# Decoding happens only where positions are consumed: the phrase
+# adjacency check and the reconstructed API view.
+INDEX_LAYOUT_VERSION = 9
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -127,7 +136,7 @@ def _analyze_partition_factory(
                 else np.empty(0, dtype=object),
                 "term": flat["term"],
                 "tf": flat["tf"],
-                "positions": flat["positions"],
+                "positions_vb": flat["positions_vb"],
                 "occ": flat["occ"],
                 "dl": flat["dl"],
             }
@@ -177,8 +186,9 @@ def analyze_transcripts(
 _N_PLURALS = tuple(f"{c}s" for c in _N_COLS)
 _ASSEMBLED_SCHEMA = (
     "term string, doc_ids array<string>, tfs array<double>, "
-    "positions array<array<int>>, "
+    "positions_vb array<binary>, "
     + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
+    + ", occs array<int>"
 )
 # Layout v8: disk postings store ONLY integer ordinals — no doc_id string
 # arrays. String keys live exactly once, in doc_map; consumers translate
@@ -192,7 +202,7 @@ _ASSEMBLED_SCHEMA = (
 # ~1-2 bytes for a delta-coded ordinal.
 _ASSEMBLED_SCHEMA_ORD = (
     "term string, doc_ords array<long>, tfs array<double>, "
-    "positions array<array<int>>, "
+    "positions_vb array<binary>, "
     + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
     + ", wtfs array<double>, occs array<int>, dls array<int>"
 )
@@ -206,15 +216,17 @@ _ASSEMBLED_SCHEMA_ORD = (
 # is bit-identical to the fold (analyzer.tag_weight).
 _WTF_EXPR = (
     "((4.0D * n_title + 2.5D * n_h1 + 2.0D * n_h2 + 1.5D * n_h3) + "
-    "0.5D * (size(positions) - n_title - n_h1 - n_h2 - n_h3)) * tf"
+    "0.5D * (occ - n_title - n_h1 - n_h2 - n_h3)) * tf"
 )
 
-_COLS = ("doc_id", "tf", "positions") + _N_COLS
+_COLS = ("doc_id", "tf", "positions_vb") + _N_COLS + ("occ",)
 # disk (ord-stamped) builds: the ordinal REPLACES the string doc_id (the
 # sort orders agree — write_doc_map assigns ordinals in global doc_id
 # order), plus the BM25 inputs: raw occurrence counts and the
 # analyzer-stamped per-doc length
-_COLS_ORD = ("doc_ord", "tf", "positions") + _N_COLS + ("wtf", "occ", "dl")
+_COLS_ORD = (
+    ("doc_ord", "tf", "positions_vb") + _N_COLS + ("wtf", "occ", "dl")
+)
 
 
 def _assemble_factory(cap: int, cols: tuple[str, ...]):
@@ -223,7 +235,7 @@ def _assemble_factory(cap: int, cols: tuple[str, ...]):
     most cap postings are ever buffered. Buffers hold numpy SLICES and are
     only concatenated at emit time — no per-element Python."""
     _plural = {
-        "doc_id": "doc_ids", "tf": "tfs", "positions": "positions",
+        "doc_id": "doc_ids", "tf": "tfs", "positions_vb": "positions_vb",
         "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
     } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
     out_cols = ["term"] + [_plural[c] for c in cols]
@@ -301,7 +313,7 @@ def _assemble_arrow_factory(cap: int, cols: tuple[str, ...]):
     import pyarrow.compute as pc
 
     _plural = {
-        "doc_id": "doc_ids", "tf": "tfs", "positions": "positions",
+        "doc_id": "doc_ids", "tf": "tfs", "positions_vb": "positions_vb",
         "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
     } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
     out_names = ["term"] + [_plural[c] for c in cols]
@@ -478,6 +490,49 @@ def _assemble_arrow_factory(cap: int, cols: tuple[str, ...]):
     return assemble
 
 
+def _flatten_segments_arrow_factory(cols: tuple[str, ...]):
+    """mapInArrow pass that explodes SEGMENT rows (plural array columns)
+    back to flat posting rows (singular columns) with zero-copy child
+    buffers: each list column's values are taken via ListArray.flatten()
+    (offset-aware, no per-element Python) and the term column is repeated
+    with one vectorized take. Composes with _assemble_arrow_factory to
+    re-chunk segments at a new cap — the LSM recompaction hot path
+    (streaming/ingest.recompact): input segments sorted by
+    (term, first ordinal) yield flat rows sorted by (term, doc_ord),
+    exactly the assembler's input contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _plural = {
+        "doc_id": "doc_ids", "tf": "tfs", "positions_vb": "positions_vb",
+        "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
+    } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
+
+    def flatten(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            col = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            lens = (
+                pc.list_value_length(col[_plural[cols[0]]])
+                .to_numpy()
+                .astype(np.int64)
+            )
+            idx = pa.array(np.repeat(np.arange(n), lens))
+            arrays = [pc.take(col["term"], idx)]
+            for c in cols:
+                arrays.append(col[_plural[c]].flatten())
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["term", *cols]
+            )
+
+    return flatten
+
+
 def merge_postings(
     flat: DataFrame,
     max_per_row: int = MAX_POSTINGS_PER_ROW,
@@ -559,15 +614,15 @@ def merge_postings(
         merged = merged.withColumn(
             "ord_lo", F.expr("doc_ords[0]")
         ).withColumn("ord_hi", F.expr("element_at(doc_ords, -1)"))
-        keep = ["term", "doc_ords", "tfs", "wtfs", "positions",
+        keep = ["term", "doc_ords", "tfs", "wtfs", "positions_vb",
                 *_N_PLURALS, "ord_lo", "ord_hi", "term_bucket",
                 "occs", "dls"]
     else:
         merged = merged.withColumn(
             "doc_lo", F.expr("doc_ids[0]")
         ).withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
-        keep = ["term", "doc_ids", "tfs", "wtfs", "positions",
-                *_N_PLURALS, "doc_lo", "doc_hi", "term_bucket"]
+        keep = ["term", "doc_ids", "tfs", "wtfs", "positions_vb",
+                *_N_PLURALS, "doc_lo", "doc_hi", "term_bucket", "occs"]
     return merged.select(*keep)
 
 
@@ -631,17 +686,39 @@ def _tags_from_counts(prefix: str, pos: str) -> str:
     return f"concat({reps}, array_repeat('body', {body_n}))"
 
 
+def decode_positions_list_udf():
+    """Arrow-batched decoder: per-segment `positions_vb array<binary>`
+    (layout v9) -> `array<array<int>>`. For pruned/API reads only — the
+    scoring paths never decode positions; the phrase adjacency path
+    decodes per exploded posting (query/engine)."""
+    from apt_search_engine_spark.indexing import codec
+
+    @F.pandas_udf("array<array<int>>")
+    def _d(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda lst: [
+                codec.decode_doc_ids(bytes(b)).astype("int32") for b in lst
+            ]
+        )
+
+    return _d
+
+
 def with_postings_struct(
     df: DataFrame, doc_map: DataFrame | None = None
 ) -> DataFrame:
     """Compatibility/API view: adds the `postings
     array<struct<doc_id,tf,positions,tags>>` column reconstructed from the
-    compact parallel arrays. Use on term-pruned reads (tests, exports) —
-    NOT on the build hot path.
+    compact parallel arrays (varbyte positions decoded). Use on
+    term-pruned reads (tests, exports) — NOT on the build hot path.
 
     Ord-layout segments (v8: no doc_id strings on disk) need the index's
     `doc_map` to translate: the arrays are exploded, joined, and regrouped
     per segment — fine for pruned/test reads, never for the build path."""
+    if "positions_vb" in df.columns and "positions" not in df.columns:
+        df = df.withColumn(
+            "positions", decode_positions_list_udf()(F.col("positions_vb"))
+        )
     tags = _tags_from_counts("x.", "x.positions")
     if "doc_ids" not in df.columns:
         if doc_map is None:

@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from apt_search_engine_spark.config import (
@@ -55,6 +56,22 @@ from apt_search_engine_spark.query.snippets import generate_snippet
 
 def _esc(term: str) -> str:
     return term.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _decode_positions_udf():
+    """Arrow-batched per-posting decoder: `positions_vb binary` (layout
+    v9 delta+varbyte) -> array<int>. Only the phrase adjacency path
+    decodes, and only AFTER the rarest-term semi-join bounded the
+    candidate rows — scoring paths never touch positions at all."""
+    from apt_search_engine_spark.indexing import codec
+
+    @F.pandas_udf("array<int>")
+    def _d(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: codec.decode_doc_ids(bytes(b)).astype("int32")
+        )
+
+    return _d
 
 
 # -- BM25 (the standard scorer offered alongside reference parity) --------
@@ -155,20 +172,27 @@ class SearchEngine:
         terms: list[str],
         with_df: bool = False,
         with_occ_dl: bool = False,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Bucket-pruned scan of the distinct `terms`, exploded to
-        (term, <key>, tf, wtf, positions[, occ, dl][, df]) rows — <key>
-        per self._key(). `with_df` carries the build-time document
-        frequency stamped on every segment row — for the normal path this
-        replaces a query-time Exchange+Sort+Window recount (same value:
-        the filtered-df quirk Q12 only diverges on phrase/boolean paths,
-        which recount). `with_occ_dl` additionally explodes the stored
-        per-posting raw occurrence count and analyzer-stamped doc length
-        (disk layout v7+) — the BM25 inputs, read straight off the pruned
-        segments so the exact BM25 plan needs NO doc_len join."""
+        (term, <key>, wtf[, positions_vb][, occ, dl][, df]) rows — <key>
+        per self._key(). Only what the caller's plan consumes is zipped
+        and exploded, so parquet column pruning reaches the scan: the
+        normal scoring path reads (term, key, wtf) and nothing else.
+        `with_df` carries the build-time document frequency stamped on
+        every segment row — for the normal path this replaces a
+        query-time Exchange+Sort+Window recount (same value: the
+        filtered-df quirk Q12 only diverges on phrase/boolean paths,
+        which recount). `with_occ_dl` adds the stored per-posting raw
+        occurrence count and analyzer-stamped doc length (the BM25
+        inputs, read straight off the pruned segments — NO doc_len
+        join). `with_positions` adds the varbyte-encoded positions_vb
+        (the phrase path decodes it after candidate bounding)."""
         distinct = sorted(set(terms))
         if not distinct:
-            return self._empty_postings()
+            return self._empty_postings(
+                with_positions=with_positions, with_occ_dl=with_occ_dl
+            )
         if self._postings_df is not None:
             src = self._postings_df
         else:
@@ -177,43 +201,25 @@ class SearchEngine:
                 F.col("term_bucket").isin(buckets)
             )
         src = src.filter(F.col("term").isin(distinct))
-        if "doc_ids" in src.columns:
-            # in-memory/ad-hoc layout: string keys stored inline
-            df = src.select(
-                "term",
-                F.explode(
-                    F.arrays_zip("doc_ids", "tfs", "wtfs", "positions")
-                ).alias("p"),
-            ).select(
-                "term",
-                F.col("p.doc_ids").alias("doc_id"),
-                F.col("p.tfs").alias("tf"),
-                F.col("p.wtfs").alias("wtf"),
-                F.col("p.positions").alias("positions"),
-            )
-        else:
-            # disk layout v8: postings carry ordinals only (string keys
-            # would be ~40% of index bytes); candidates stay in ordinal
-            # space all the way to the final top-k — no doc_map join here.
-            zip_cols = ["doc_ords", "tfs", "wtfs", "positions"]
-            extra = []
-            if with_occ_dl:
-                zip_cols += ["occs", "dls"]
-                extra = [
-                    F.col("p.occs").alias("occ"),
-                    F.col("p.dls").alias("dl"),
-                ]
-            df = src.select(
-                "term",
-                F.explode(F.arrays_zip(*zip_cols)).alias("p"),
-            ).select(
-                "term",
-                F.col("p.doc_ords").alias("doc_ord"),
-                F.col("p.tfs").alias("tf"),
-                F.col("p.wtfs").alias("wtf"),
-                F.col("p.positions").alias("positions"),
-                *extra,
-            )
+        key = self._key()
+        key_plural = "doc_ids" if key == "doc_id" else "doc_ords"
+        zip_cols = [key_plural, "wtfs"]
+        out_cols = [
+            F.col(f"p.{key_plural}").alias(key),
+            F.col("p.wtfs").alias("wtf"),
+        ]
+        if with_positions:
+            zip_cols.append("positions_vb")
+            out_cols.append(F.col("p.positions_vb").alias("positions_vb"))
+        if with_occ_dl:
+            zip_cols += ["occs", "dls"]
+            out_cols += [
+                F.col("p.occs").alias("occ"),
+                F.col("p.dls").alias("dl"),
+            ]
+        df = src.select(
+            "term", F.explode(F.arrays_zip(*zip_cols)).alias("p")
+        ).select("term", *out_cols)
         if with_df:
             # lexicon lookup is a driver-side read of a few pruned rows;
             # stamping df as a literal CASE map keeps the distributed plan
@@ -262,17 +268,18 @@ class SearchEngine:
 
         return term_bucket(term, N_TERM_BUCKETS)
 
-    def _empty_postings(self, with_occ_dl: bool = False) -> DataFrame:
+    def _empty_postings(
+        self, with_positions: bool = False, with_occ_dl: bool = False
+    ) -> DataFrame:
         key = (
             "doc_id string"
             if self._postings_df is not None
             else "doc_ord long"
         )
+        pos = ", positions_vb binary" if with_positions else ""
         occ_dl = ", occ int, dl int" if with_occ_dl else ""
         return self.spark.createDataFrame(
-            [],
-            f"term string, {key}, tf double, wtf double, "
-            f"positions array<int>{occ_dl}",
+            [], f"term string, {key}, wtf double{pos}{occ_dl}"
         )
 
     # -------------------------------------------------------------- P4+P5
@@ -294,18 +301,26 @@ class SearchEngine:
         no doc can contain all terms)."""
         distinct = sorted(set(terms))
         if not terms:
-            return self._empty_postings(with_occ_dl)
+            return self._empty_postings(with_occ_dl=with_occ_dl)
         key = self._key()
         dfs = self.term_dfs(distinct)
         if any(t not in dfs for t in distinct):
-            return self._empty_postings(with_occ_dl)
-        ex = self._exploded(distinct, with_occ_dl=with_occ_dl)
+            return self._empty_postings(with_occ_dl=with_occ_dl)
+        ex = self._exploded(
+            distinct, with_occ_dl=with_occ_dl, with_positions=True
+        )
         if len(distinct) > 1:
             rarest = min(distinct, key=lambda t: (dfs[t], t))
             rare_docs = ex.filter(F.col("term") == rarest).select(key)
             ex = ex.join(rare_docs, key, "left_semi")
+        # decode varbyte positions ONLY on the candidate-bounded rows
+        dec = ex.select(
+            key,
+            "term",
+            _decode_positions_udf()(F.col("positions_vb")).alias("positions"),
+        )
         per_doc = (
-            ex.groupBy(key)
+            dec.groupBy(key)
             .agg(
                 F.map_from_entries(
                     F.collect_list(F.struct("term", "positions"))
@@ -322,7 +337,7 @@ class SearchEngine:
                 f"transform(m['{_esc(t)}'], x -> x - {i}))"
             )
         matched = per_doc.filter(F.expr(f"size({base}) > 0")).select(key)
-        return ex.join(matched, key, "left_semi")
+        return ex.drop("positions_vb").join(matched, key, "left_semi")
 
     # ----------------------------------------------------------------- P7
     def _boolean_filtered(
@@ -353,7 +368,7 @@ class SearchEngine:
                 seg_terms.append([term])
 
         if not seg_postings:
-            return self._empty_postings(with_occ_dl)
+            return self._empty_postings(with_occ_dl=with_occ_dl)
 
         doc_sets = [sp.select(key).distinct() for sp in seg_postings]
         merged = doc_sets[0]
@@ -376,7 +391,7 @@ class SearchEngine:
             mine = [t for t, o in owner.items() if o == i and t in seg_terms[i]]
             if mine:
                 parts.append(sp.filter(F.col("term").isin(mine)))
-        cols = ["term", key, "tf", "wtf", "positions"]
+        cols = ["term", key, "wtf"]
         if with_occ_dl:
             cols += ["occ", "dl"]
         filtered = parts[0].select(cols)

@@ -80,7 +80,10 @@ POSTINGS = T.StructType(
         # weighted tf = tf * sum(tag weights): the score kernel minus the
         # idf factor — both exact and WAND paths score from this
         T.StructField("wtfs", T.ArrayType(T.DoubleType()), False),
-        T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType())), False),
+        # delta+varbyte-encoded per-posting positions (layout v9): one
+        # binary per posting; decode via indexing.codec.decode_doc_ids
+        # (consumers: phrase adjacency, reconstructed API view)
+        T.StructField("positions_vb", T.ArrayType(T.BinaryType()), False),
         T.StructField("n_titles", T.ArrayType(T.IntegerType()), False),
         T.StructField("n_h1s", T.ArrayType(T.IntegerType()), False),
         # scalar ordinal range of the sorted postings arrays, so lineage

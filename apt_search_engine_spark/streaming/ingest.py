@@ -504,7 +504,7 @@ def recompact(
         return 0
 
     arr_cols = (
-        "doc_ords", "tfs", "wtfs", "positions", *_N_PLURALS,
+        "doc_ords", "tfs", "wtfs", "positions_vb", *_N_PLURALS,
         "occs", "dls",
     )
     src = (
@@ -571,7 +571,7 @@ def recompact(
 
     schema = (
         "term string, doc_ords array<long>, tfs array<double>, "
-        "wtfs array<double>, positions array<array<int>>, "
+        "wtfs array<double>, positions_vb array<binary>, "
         + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
         + ", occs array<int>, dls array<int>"
     )
@@ -584,7 +584,7 @@ def recompact(
         .withColumn("ord_lo", F.expr("doc_ords[0]"))
         .withColumn("ord_hi", F.expr("element_at(doc_ords, -1)"))
         .select(
-            "term", "doc_ords", "tfs", "wtfs", "positions", *_N_PLURALS,
+            "term", "doc_ords", "tfs", "wtfs", "positions_vb", *_N_PLURALS,
             "ord_lo", "ord_hi", "term_bucket", "occs", "dls",
         )
     )
