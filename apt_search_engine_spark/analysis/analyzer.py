@@ -220,18 +220,25 @@ def analyze_batch_flat(
     from apt_search_engine_spark.indexing import codec
 
     n = len(bodies)
-    base_cols = {
-        "doc": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.float64),
-    }
     if tags_as_counts:
         empty = pd.DataFrame(
-            base_cols
-            | {"positions_vb": []}
-            | {"occ": np.empty(0, np.int32), "dl": np.empty(0, np.int32)}
+            {"doc": np.empty(0, np.int64), "term": [], "positions_vb": []}
+            | {
+                c: np.empty(0, np.int32)
+                for c in ("occ", "dl", "xtra")
+            }
             | {f"n_{c}": np.empty(0, np.int32) for c in HEADING_CHANNELS}
         )
     else:
-        empty = pd.DataFrame(base_cols | {"positions": [], "tags": []})
+        empty = pd.DataFrame(
+            {
+                "doc": np.empty(0, np.int64),
+                "term": [],
+                "tf": np.empty(0, np.float64),
+                "positions": [],
+                "tags": [],
+            }
+        )
     stemmer = MemoStemmer()
     b = bodies.fillna("").astype(str)
     nonblank = b.str.strip().str.len() > 0  # T7
@@ -330,13 +337,24 @@ def analyze_batch_flat(
         # WAND blocks) with zero joins anywhere downstream
         dl_per_doc = np.zeros(n, dtype=np.int64)
         np.add.at(dl_per_doc, g_doc, sizes)
+        # layout v10: tf and wtf are NOT emitted — they are exact
+        # functions of small ints already on the row and would be 16
+        # bytes/row of incompressible doubles through the analyze
+        # checkpoint and the merge exchange (the measured data-movement
+        # bottleneck). tf = (occ+1)/tt with tt = dl + xtra (quirk Q2
+        # denominator: kept positions + distinct terms); consumers
+        # recompute it as CAST(occ+1 AS DOUBLE)/CAST(dl+xtra AS DOUBLE)
+        # — one IEEE division, bit-identical to the float64 division
+        # here. xtra (per-doc distinct-term count) is the only new
+        # column: a tiny low-entropy int.
+        xtra = (totals - dl_per_doc)[g_doc].astype(np.int32)
         out = {
             "doc": g_doc,
             "term": term_uniq[g_term],
-            "tf": tf,
             "positions_vb": positions_vb,
             "occ": sizes.astype(np.int32),
             "dl": dl_per_doc[g_doc].astype(np.int32),
+            "xtra": xtra,
         }
         for ch_name in HEADING_CHANNELS:
             out[f"n_{ch_name}"] = capped[ch_name].astype(np.int32)

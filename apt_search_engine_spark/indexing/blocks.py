@@ -145,9 +145,34 @@ def _blocks_from_segments(batches):
         ords_arr = col["doc_ords"]
         lens = pc.list_value_length(ords_arr).to_numpy().astype(np.int64)
         all_ords = ords_arr.flatten().to_numpy().astype(np.int64, copy=False)
-        all_wtfs = (
-            col["wtfs"].flatten().to_numpy().astype(np.float64, copy=False)
+        # layout v10: wtf is derived, not stored. Recompute here with the
+        # exact float64 arithmetic of the analyzer/query expressions:
+        # tagsum is exact in binary (all channel weights are multiples of
+        # 0.5 and the counts are small ints), tf is a single IEEE
+        # division, the product a single multiply — bit-identical to the
+        # SQL wtf_expr and to the analyzer (tests/test_wand.py pins the
+        # decode against the reference kernel).
+        all_occs = (
+            col["occs"].flatten().to_numpy().astype(np.int64, copy=False)
         )
+        all_dls = (
+            col["dls"].flatten().to_numpy().astype(np.int64, copy=False)
+        )
+        all_xtras = (
+            col["xtras"].flatten().to_numpy().astype(np.int64, copy=False)
+        )
+        nt, nh1, nh2, nh3 = (
+            col[c].flatten().to_numpy().astype(np.float64, copy=False)
+            for c in ("n_titles", "n_h1s", "n_h2s", "n_h3s")
+        )
+        occ_f = all_occs.astype(np.float64)
+        tagsum = (4.0 * nt + 2.5 * nh1 + 2.0 * nh2 + 1.5 * nh3) + 0.5 * (
+            occ_f - nt - nh1 - nh2 - nh3
+        )
+        tf = (all_occs + 1).astype(np.float64) / (
+            all_dls + all_xtras
+        ).astype(np.float64)
+        all_wtfs = tagsum * tf
         # block starts (posting indices): multiples of POSTING_BLOCK_SIZE
         # within each row, offset by the row's start
         n_blocks = (lens + POSTING_BLOCK_SIZE - 1) // POSTING_BLOCK_SIZE
@@ -167,12 +192,6 @@ def _blocks_from_segments(batches):
         ids_buf, ids_off = codec.encode_doc_ids_segmented(all_ords, block_starts)
         wtf_buf = all_wtfs.tobytes()
         block_max = np.maximum.reduceat(all_wtfs, block_starts)
-        all_occs = (
-            col["occs"].flatten().to_numpy().astype(np.int64, copy=False)
-        )
-        all_dls = (
-            col["dls"].flatten().to_numpy().astype(np.int64, copy=False)
-        )
         occ_buf, occ_off = codec.varbyte_encode_segmented(all_occs, block_starts)
         dl_buf, dl_off = codec.varbyte_encode_segmented(all_dls, block_starts)
         block_max_occ = np.maximum.reduceat(all_occs, block_starts)
@@ -236,7 +255,8 @@ def write_blocks(
     if isinstance(postings_src, str):
         postings_src = spark.read.parquet(postings_src)
     postings = postings_src.select(
-        "term", "term_bucket", "doc_ords", "wtfs", "occs", "dls"
+        "term", "term_bucket", "doc_ords", "occs", "dls", "xtras",
+        "n_titles", "n_h1s", "n_h2s", "n_h3s",
     )
     blocks = postings.mapInArrow(_blocks_from_segments, schema=BLOCKS_SCHEMA)
     writer = blocks.write.mode(mode)

@@ -65,8 +65,8 @@ from apt_search_engine_spark.config import (
 # (array_repeat concat).
 _N_COLS = ("n_title", "n_h1", "n_h2", "n_h3", "n_h456")
 ANALYZED_SCHEMA = (
-    "doc_id string, term string, tf double, positions_vb binary, "
-    "occ int, dl int, "
+    "doc_id string, term string, positions_vb binary, "
+    "occ int, dl int, xtra int, "
     + ", ".join(f"{c} int" for c in _N_COLS)
 )
 
@@ -93,7 +93,16 @@ ANALYZED_SCHEMA = (
 # (m = 0.44) that bounds scaling on this box (BASELINE.md round 3).
 # Decoding happens only where positions are consumed: the phrase
 # adjacency check and the reconstructed API view.
-INDEX_LAYOUT_VERSION = 9
+# v10: tf and wtf are no longer shuffled OR stored — 16 bytes/posting of
+# incompressible doubles (the dominant payload left after v9; measured
+# via tools/ab_build_bytes.py). Both are exact functions of small ints
+# already on the row: tf = (occ+1)/(dl+xtra) (quirk Q2 denominator
+# tt = kept positions + distinct terms, carried as xtra = tt - dl) and
+# wtf = tagsum * tf with tagsum exact in binary (all channel weights
+# are multiples of 0.5), so recomputation anywhere — SQL expr on pruned
+# query reads, numpy in the blocks writer — is bit-identical to the
+# analyzer's float64 arithmetic.
+INDEX_LAYOUT_VERSION = 10
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -135,10 +144,10 @@ def _analyze_partition_factory(
                 if len(flat)
                 else np.empty(0, dtype=object),
                 "term": flat["term"],
-                "tf": flat["tf"],
                 "positions_vb": flat["positions_vb"],
                 "occ": flat["occ"],
                 "dl": flat["dl"],
+                "xtra": flat["xtra"],
             }
             for c in _N_COLS:
                 out[c] = flat[c]
@@ -185,10 +194,9 @@ def analyze_transcripts(
 # companion derives from postings with NO further shuffle
 _N_PLURALS = tuple(f"{c}s" for c in _N_COLS)
 _ASSEMBLED_SCHEMA = (
-    "term string, doc_ids array<string>, tfs array<double>, "
-    "positions_vb array<binary>, "
+    "term string, doc_ids array<string>, positions_vb array<binary>, "
     + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
-    + ", occs array<int>"
+    + ", occs array<int>, dls array<int>, xtras array<int>"
 )
 # Layout v8: disk postings store ONLY integer ordinals — no doc_id string
 # arrays. String keys live exactly once, in doc_map; consumers translate
@@ -201,31 +209,53 @@ _ASSEMBLED_SCHEMA = (
 # analysis). At 10^12 turns a per-posting string key is ~20 bytes against
 # ~1-2 bytes for a delta-coded ordinal.
 _ASSEMBLED_SCHEMA_ORD = (
-    "term string, doc_ords array<long>, tfs array<double>, "
-    "positions_vb array<binary>, "
+    "term string, doc_ords array<long>, positions_vb array<binary>, "
     + ", ".join(f"{c} array<int>" for c in _N_PLURALS)
-    + ", wtfs array<double>, occs array<int>, dls array<int>"
+    + ", occs array<int>, dls array<int>, xtras array<int>"
 )
 
-# per-posting weighted tf, natively: tf * sum of tag weights
-# (Ranker.java:43-52 switch: title 4.0, h1 2.5, h2 2.0, h3 1.5 — and the
-# stored 'h456' tag falls through to the DEFAULT 0.5 arm because the
-# switch has no 'h456' case, so h456 positions score like body). The
-# Python left fold adds channel weights in tag order; all weights and
-# their integer multiples are exact binary fractions, so the closed form
-# is bit-identical to the fold (analyzer.tag_weight).
-_WTF_EXPR = (
-    "((4.0D * n_title + 2.5D * n_h1 + 2.0D * n_h2 + 1.5D * n_h3) + "
-    "0.5D * (occ - n_title - n_h1 - n_h2 - n_h3)) * tf"
+# tf and the per-posting weighted tf are DERIVED, never stored/shuffled
+# (layout v10). tf = (occ+1)/tt, tt = dl + xtra (quirk Q2). wtf =
+# tagsum * tf where tagsum is the closed form of the reference's tag
+# fold (Ranker.java:43-52 switch: title 4.0, h1 2.5, h2 2.0, h3 1.5;
+# the stored 'h456' tag falls through to the DEFAULT 0.5 arm). All
+# weights and their integer multiples are exact binary fractions, so
+# tagsum is EXACT regardless of evaluation order and the single
+# division + single multiply make every recomputation bit-identical to
+# the analyzer's float64 arithmetic (pinned by the oracle gate and
+# tests/test_parity.py).
+def tf_expr(prefix: str = "") -> str:
+    return (
+        f"(CAST({prefix}occ + 1 AS DOUBLE) / "
+        f"CAST({prefix}dl + {prefix}xtra AS DOUBLE))"
+    )
+
+
+def wtf_expr(prefix: str = "") -> str:
+    p = prefix
+    return (
+        f"(((4.0D * {p}n_title + 2.5D * {p}n_h1 + 2.0D * {p}n_h2 + "
+        f"1.5D * {p}n_h3) + 0.5D * ({p}occ - {p}n_title - {p}n_h1 - "
+        f"{p}n_h2 - {p}n_h3)) * {tf_expr(p)})"
+    )
+
+
+# per-SEGMENT derivation over the stored parallel arrays (pruned query
+# reads; JVM codegen, no Python)
+WTFS_FROM_SEGMENT_EXPR = (
+    "transform(arrays_zip(occs, dls, xtras, n_titles, n_h1s, n_h2s, "
+    "n_h3s), x -> ((4.0D * x.n_titles + 2.5D * x.n_h1s + 2.0D * x.n_h2s"
+    " + 1.5D * x.n_h3s) + 0.5D * (x.occs - x.n_titles - x.n_h1s - "
+    "x.n_h2s - x.n_h3s)) * (CAST(x.occs + 1 AS DOUBLE) / "
+    "CAST(x.dls + x.xtras AS DOUBLE)))"
 )
 
-_COLS = ("doc_id", "tf", "positions_vb") + _N_COLS + ("occ",)
+_COLS = ("doc_id", "positions_vb") + _N_COLS + ("occ", "dl", "xtra")
 # disk (ord-stamped) builds: the ordinal REPLACES the string doc_id (the
 # sort orders agree — write_doc_map assigns ordinals in global doc_id
-# order), plus the BM25 inputs: raw occurrence counts and the
-# analyzer-stamped per-doc length
+# order); occ/dl are also the BM25 inputs
 _COLS_ORD = (
-    ("doc_ord", "tf", "positions_vb") + _N_COLS + ("wtf", "occ", "dl")
+    ("doc_ord", "positions_vb") + _N_COLS + ("occ", "dl", "xtra")
 )
 
 
@@ -235,8 +265,8 @@ def _assemble_factory(cap: int, cols: tuple[str, ...]):
     most cap postings are ever buffered. Buffers hold numpy SLICES and are
     only concatenated at emit time — no per-element Python."""
     _plural = {
-        "doc_id": "doc_ids", "tf": "tfs", "positions_vb": "positions_vb",
-        "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
+        "doc_id": "doc_ids", "positions_vb": "positions_vb",
+        "doc_ord": "doc_ords", "occ": "occs", "dl": "dls", "xtra": "xtras",
     } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
     out_cols = ["term"] + [_plural[c] for c in cols]
 
@@ -313,8 +343,8 @@ def _assemble_arrow_factory(cap: int, cols: tuple[str, ...]):
     import pyarrow.compute as pc
 
     _plural = {
-        "doc_id": "doc_ids", "tf": "tfs", "positions_vb": "positions_vb",
-        "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
+        "doc_id": "doc_ids", "positions_vb": "positions_vb",
+        "doc_ord": "doc_ords", "occ": "occs", "dl": "dls", "xtra": "xtras",
     } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
     out_names = ["term"] + [_plural[c] for c in cols]
 
@@ -504,8 +534,8 @@ def _flatten_segments_arrow_factory(cols: tuple[str, ...]):
     import pyarrow.compute as pc
 
     _plural = {
-        "doc_id": "doc_ids", "tf": "tfs", "positions_vb": "positions_vb",
-        "doc_ord": "doc_ords", "wtf": "wtfs", "occ": "occs", "dl": "dls",
+        "doc_id": "doc_ids", "positions_vb": "positions_vb",
+        "doc_ord": "doc_ords", "occ": "occs", "dl": "dls", "xtra": "xtras",
     } | {c: p for c, p in zip(_N_COLS, _N_PLURALS)}
 
     def flatten(batches):
@@ -561,15 +591,14 @@ def merge_postings(
     With neither (ad-hoc in-memory corpora) the ord/wtf-array columns
     are omitted and no blocks companion can be derived."""
     with_ord = doc_map is not None or "doc_ord" in flat.columns
-    flat = flat.withColumn("wtf", F.expr(_WTF_EXPR))
     if doc_map is not None:
         # an explicit map always wins: compaction deltas re-assign above
         # the existing ordinal space, so any stamped value is stale here
         if "doc_ord" in flat.columns:
             flat = flat.drop("doc_ord")
         flat = flat.join(doc_map, "doc_id")
-    cols = _COLS_ORD if with_ord else _COLS + ("wtf",)
-    schema = _ASSEMBLED_SCHEMA_ORD if with_ord else _ASSEMBLED_SCHEMA + ", wtfs array<double>"
+    cols = _COLS_ORD if with_ord else _COLS
+    schema = _ASSEMBLED_SCHEMA_ORD if with_ord else _ASSEMBLED_SCHEMA
     # shuffle ONLY what the assembler consumes: carried-through input
     # columns (the batch partition id, the occ scalar) would otherwise
     # ride the biggest exchange of the build for nothing
@@ -614,15 +643,14 @@ def merge_postings(
         merged = merged.withColumn(
             "ord_lo", F.expr("doc_ords[0]")
         ).withColumn("ord_hi", F.expr("element_at(doc_ords, -1)"))
-        keep = ["term", "doc_ords", "tfs", "wtfs", "positions_vb",
-                *_N_PLURALS, "ord_lo", "ord_hi", "term_bucket",
-                "occs", "dls"]
+        keep = ["term", "doc_ords", "positions_vb", *_N_PLURALS,
+                "ord_lo", "ord_hi", "term_bucket", "occs", "dls", "xtras"]
     else:
         merged = merged.withColumn(
             "doc_lo", F.expr("doc_ids[0]")
         ).withColumn("doc_hi", F.expr("element_at(doc_ids, -1)"))
-        keep = ["term", "doc_ids", "tfs", "wtfs", "positions_vb",
-                *_N_PLURALS, "doc_lo", "doc_hi", "term_bucket", "occs"]
+        keep = ["term", "doc_ids", "positions_vb", *_N_PLURALS,
+                "doc_lo", "doc_hi", "term_bucket", "occs", "dls", "xtras"]
     return merged.select(*keep)
 
 
@@ -720,6 +748,11 @@ def with_postings_struct(
             "positions", decode_positions_list_udf()(F.col("positions_vb"))
         )
     tags = _tags_from_counts("x.", "x.positions")
+    # tf derived per entry (layout v10: not stored) — same float64
+    # division the analyzer performed
+    tf = (
+        "(CAST(x.occs + 1 AS DOUBLE) / CAST(x.dls + x.xtras AS DOUBLE))"
+    )
     if "doc_ids" not in df.columns:
         if doc_map is None:
             raise ValueError(
@@ -728,33 +761,27 @@ def with_postings_struct(
         seg = df.withColumn("_seg", F.monotonically_increasing_id())
         ex = seg.select(
             "_seg",
-            F.explode(F.arrays_zip("doc_ords", "tfs", "positions",
-                                   *_N_PLURALS)).alias("p"),
-        ).select(
-            "_seg",
-            F.col("p.doc_ords").alias("doc_ord"),
-            F.col("p.tfs").alias("_tf"),
-            F.col("p.positions").alias("_positions"),
-            *[F.col(f"p.{c}").alias(f"_{c}") for c in _N_PLURALS],
+            F.explode(F.col("doc_ords")).alias("doc_ord"),
         ).join(doc_map, "doc_ord")
         rebuilt = ex.groupBy("_seg").agg(
             F.array_sort(
-                F.collect_list(F.struct(
-                    "doc_ord", "doc_id", "_tf", "_positions",
-                    *[f"_{c}" for c in _N_PLURALS],
-                ))
+                F.collect_list(F.struct("doc_ord", "doc_id"))
             ).alias("_entries")
         ).select(
             "_seg",
             F.expr("transform(_entries, x -> x.doc_id)").alias("doc_ids"),
         )
         df = seg.join(rebuilt, "_seg").drop("_seg")
-    zipped = "arrays_zip(doc_ids, tfs, positions, " + ", ".join(_N_PLURALS) + ")"
+    zipped = (
+        "arrays_zip(doc_ids, positions, occs, dls, xtras, "
+        + ", ".join(_N_PLURALS)
+        + ")"
+    )
     return df.withColumn(
         "postings",
         F.expr(
             f"transform({zipped}, "
-            f"x -> struct(x.doc_ids as doc_id, x.tfs as tf, "
+            f"x -> struct(x.doc_ids as doc_id, {tf} as tf, "
             f"x.positions as positions, {tags} as tags))"
         ),
     )

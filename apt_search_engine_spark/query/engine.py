@@ -201,6 +201,15 @@ class SearchEngine:
                 F.col("term_bucket").isin(buckets)
             )
         src = src.filter(F.col("term").isin(distinct))
+        # wtf is derived, not stored (layout v10): one JVM transform over
+        # the zipped small-int arrays of the pruned segments — identical
+        # float64 arithmetic to the analyzer (build.WTFS_FROM_SEGMENT_EXPR
+        # rationale), still inside whole-stage codegen
+        from apt_search_engine_spark.indexing.build import (
+            WTFS_FROM_SEGMENT_EXPR,
+        )
+
+        src = src.withColumn("wtfs", F.expr(WTFS_FROM_SEGMENT_EXPR))
         key = self._key()
         key_plural = "doc_ids" if key == "doc_id" else "doc_ords"
         zip_cols = [key_plural, "wtfs"]

@@ -76,10 +76,11 @@ POSTINGS = T.StructType(
         T.StructField("term", T.StringType(), False),
         # dense doc ordinals, sorted — the only per-posting doc key
         T.StructField("doc_ords", T.ArrayType(T.LongType()), False),
-        T.StructField("tfs", T.ArrayType(T.DoubleType()), False),
-        # weighted tf = tf * sum(tag weights): the score kernel minus the
-        # idf factor — both exact and WAND paths score from this
-        T.StructField("wtfs", T.ArrayType(T.DoubleType()), False),
+        # tf and wtf (the score kernel minus the idf factor) are NOT
+        # stored (layout v10): both are exact closed forms of the small
+        # ints below — tf = (occ+1)/(dl+xtra), wtf = tagsum * tf — and
+        # consumers derive them on pruned reads (build.wtf_expr /
+        # WTFS_FROM_SEGMENT_EXPR), bit-identical to the analyzer
         # delta+varbyte-encoded per-posting positions (layout v9): one
         # binary per posting; decode via indexing.codec.decode_doc_ids
         # (consumers: phrase adjacency, reconstructed API view)
@@ -93,6 +94,8 @@ POSTINGS = T.StructType(
         T.StructField("term_bucket", T.IntegerType(), False),
         T.StructField("occs", T.ArrayType(T.IntegerType()), True),
         T.StructField("dls", T.ArrayType(T.IntegerType()), True),
+        # per-posting quirk-Q2 remainder: tt (tf denominator) = dl + xtra
+        T.StructField("xtras", T.ArrayType(T.IntegerType()), True),
     ]
 )
 

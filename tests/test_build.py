@@ -179,9 +179,9 @@ def test_arrow_assembler_equals_pandas(spark, corpus_df, cap):
             seg_ok &= list(r.doc_ids) == sorted(r.doc_ids)
             out.setdefault(r.term, []).extend(
                 zip(
-                    r.doc_ids, r.tfs, (bytes(p) for p in r.positions_vb),
+                    r.doc_ids, (bytes(p) for p in r.positions_vb),
                     r.n_titles, r.n_h1s, r.n_h2s, r.n_h3s, r.n_h456s,
-                    r.wtfs, r.occs,
+                    r.occs, r.dls, r.xtras,
                 )
             )
         assert seg_ok
