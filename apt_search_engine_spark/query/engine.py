@@ -425,7 +425,12 @@ class SearchEngine:
         pri = self.doc_prior.select(
             "url", F.col("prior").cast("double").alias("prior")
         )
-        if key in ("doc_id", "doc_ord"):
+        if key == "doc_ord":
+            # candidates live in ordinal space (layout v8): the prior maps
+            # through doc_meta + doc_map ON THE PRIOR SIDE (metadata-table
+            # joins, never the postings), so candidate rows join once
+            pri = self._prior_by_ord()
+        elif key == "doc_id":
             # priors are keyed by URL (reference pageRanks map); map them
             # into doc space through doc_meta when it exists, else urls
             # default to doc_ids (write_doc_meta default) and join directly
@@ -438,14 +443,6 @@ class SearchEngine:
                 pri = urls.join(pri, "url").select("doc_id", "prior")
             else:
                 pri = pri.withColumnRenamed("url", "doc_id")
-            if key == "doc_ord":
-                # candidates live in ordinal space (layout v8): one more
-                # map-sized join ON THE PRIOR SIDE (prior x doc_map — both
-                # corpus metadata tables, never the postings), so the
-                # candidate rows still join exactly once
-                pri = pri.join(self._doc_map(), "doc_id").select(
-                    "doc_ord", "prior"
-                )
         joined = raw_df.join(pri, key, "left")
         return joined.withColumn(
             "score",
@@ -548,21 +545,41 @@ class SearchEngine:
 
         return translate_topk(self.spark, topk, self._doc_map(), k)
 
+    def _prior_by_ord(self) -> DataFrame | None:
+        """The url-keyed doc_prior mapped into ordinal space:
+        (url, prior) -> doc_meta (url -> doc_id) -> doc_map -> (doc_ord,
+        prior). Metadata-table-sized joins only — never touches postings."""
+        if self.doc_prior is None:
+            return None
+        pri = self.doc_prior.select(
+            "url", F.col("prior").cast("double").alias("prior")
+        )
+        if self.doc_meta_path is not None and os.path.isdir(
+            self.doc_meta_path
+        ):
+            urls = self.spark.read.parquet(self.doc_meta_path).select(
+                "doc_id", "url"
+            )
+            pri = urls.join(pri, "url").select("doc_id", "prior")
+        else:
+            pri = pri.withColumnRenamed("url", "doc_id")
+        return pri.join(self._doc_map(), "doc_id").select("doc_ord", "prior")
+
     # ---------------------------------------------------------------- WAND
     def search_df_wand(self, query: str, k: int = DEFAULT_TOP_K) -> DataFrame:
         """Bag-of-words top-k via block-max WAND over the compressed blocks
         (the hot-path scorer, query/wand.py). Phrase/boolean queries need
         positions and fall back to the exact plan; results are identical
         either way (parity asserted in tests/test_wand.py). A non-uniform
-        `doc_prior` also falls back: block-max upper bounds assume the
-        uniform-prior score, so per-doc priors would break the pruning
-        admissibility (a prior-aware WAND needs prior-scaled block maxima;
-        the exact plan is always correct)."""
+        `doc_prior` keeps the pruned path (prior-aware WAND): prior rows
+        are co-partitioned with the blocks by ordinal slice, the scorer
+        multiplies per-doc priors exactly and prunes with per-slice max
+        priors — admissible, rank-identical to the exact prior plan
+        (tests/test_prior.py)."""
         parsed = parser.parse(query)
         if (
             parsed.qtype not in ("normal", "normal+boolean")
             or self.index_dir is None
-            or self.doc_prior is not None
             or not os.path.isdir(os.path.join(self.index_dir, "blocks"))
         ):
             # no compressed companion (built with --no-blocks): exact plan
@@ -595,6 +612,7 @@ class SearchEngine:
             self.n_docs,
             k,
             idf_num=self.idf_numerator,
+            prior_by_ord=self._prior_by_ord(),
         )
 
     # ------------------------------------------------------------- public

@@ -93,9 +93,9 @@ def test_prior_actually_reorders(engine, prior_engine):
     raise AssertionError("prior never changed any ranking")
 
 
-def test_prior_wand_falls_back_to_exact(prior_engine):
-    """Block-max pruning assumes uniform-prior bounds; with doc_prior the
-    WAND surface must return the exact plan's results."""
+def test_prior_wand_matches_exact(prior_engine):
+    """Prior-aware WAND (per-slice max-prior bounds + exact per-doc
+    multiply) must be rank- and score-identical to the exact prior plan."""
     a = [
         (r.doc_id, round(r.score, 9))
         for r in prior_engine.search_df_wand("travel guide", k=10).collect()
@@ -105,6 +105,46 @@ def test_prior_wand_falls_back_to_exact(prior_engine):
         for r in prior_engine.search_df("travel guide", k=10).collect()
     ]
     assert a == b
+
+
+def test_prior_wand_small_slices_pruning(spark, index_dir, prior_engine):
+    """Force many ordinal slices (width 64) so the per-slice max-prior
+    prune actually fires across slices, and verify rank+score parity
+    with the exact prior plan — pruning admissibility under a
+    non-uniform prior."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apt_search_engine_spark.query.wand import wand_topk
+
+    term_mult = {"travel": 1, "guid": 1}
+    buckets = sorted({prior_engine._bucket(t) for t in term_mult})
+    blocks = (
+        spark.read.parquet(os.path.join(index_dir, "blocks"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(list(term_mult)))
+    )
+    doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+    wand = [
+        (r.doc_id, round(r.score, 9))
+        for r in wand_topk(
+            spark,
+            blocks,
+            doc_map,
+            term_mult,
+            prior_engine.term_dfs(list(term_mult)),
+            prior_engine.n_docs,
+            10,
+            slice_ords=64,
+            prior_by_ord=prior_engine._prior_by_ord(),
+        ).collect()
+    ]
+    exact = [
+        (r.doc_id, round(r.score, 9))
+        for r in prior_engine.search_df("travel guide", k=10).collect()
+    ]
+    assert wand == exact
 
 
 def test_prior_dedup_by_url(prior_engine, prior_oracle):
