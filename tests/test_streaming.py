@@ -463,8 +463,19 @@ def test_recompact_bounds_segments(spark, tmp_path, stream_corpus):
     content_before = _postings_map(spark, sdir)
     ranked_before = _ranked(spark, sdir)
 
+    # Arrow rechunk (the default) == pandas rechunk, segment for segment:
+    # run the pandas path on a copy of the fragmented index and compare
+    # the full per-term content maps after both rewrites
+    import shutil as _shutil
+
+    pdir = sdir + "_pandas"
+    _shutil.copytree(sdir, pdir)
+    n_p = recompact(spark, pdir, max_segments_per_term=1, use_arrow=False)
+    assert n_p > 0
+
     n = recompact(spark, sdir, max_segments_per_term=1)
     assert n > 0
+    assert _postings_map(spark, sdir) == _postings_map(spark, pdir)
 
     after = seg_counts()
     # every posting survived, nothing duplicated, segments folded
