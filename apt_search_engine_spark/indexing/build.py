@@ -723,11 +723,16 @@ def decode_positions_list_udf():
 
     @F.pandas_udf("array<array<int>>")
     def _d(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda lst: [
-                codec.decode_doc_ids(bytes(b)).astype("int32") for b in lst
-            ]
+        # one vectorized codec pass over the whole batch's blobs
+        lens = [len(lst) for lst in s]
+        flat = codec.decode_doc_ids_many(
+            [bytes(b) for lst in s for b in lst]
         )
+        out, i = [], 0
+        for ln in lens:
+            out.append([a.astype(np.int32, copy=False) for a in flat[i : i + ln]])
+            i += ln
+        return pd.Series(out)
 
     return _d
 
@@ -758,7 +763,20 @@ def with_postings_struct(
             raise ValueError(
                 "ord-layout postings need doc_map to reconstruct doc_ids"
             )
-        seg = df.withColumn("_seg", F.monotonically_increasing_id())
+        # Content-derived segment key: segments partition each term's
+        # ordinal space, so (term, first ordinal) is unique — unlike
+        # monotonically_increasing_id(), it is stable when the two
+        # branches of this fork-join recompute the scan independently
+        # (m.i.id is partition-layout-dependent and silently zipped
+        # wrong doc_ids onto segments when task placement differed).
+        seg = df.withColumn(
+            "_seg",
+            F.concat_ws(
+                "\x00",
+                F.col("term"),
+                F.element_at("doc_ords", 1).cast("string"),
+            ),
+        )
         ex = seg.select(
             "_seg",
             F.explode(F.col("doc_ords")).alias("doc_ord"),

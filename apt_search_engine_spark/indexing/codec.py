@@ -222,6 +222,41 @@ def encode_positions_flat_segmented(
     return varbyte_encode_segmented(flat, head_idx[seg_doc_starts])
 
 
+def decode_doc_ids_many(blobs) -> list[np.ndarray]:
+    """Decode MANY independent delta+varbyte buffers (one per posting) in
+    one vectorized pass: the buffers are concatenated (varbyte is
+    self-delimiting — the high bit marks each value's last byte, so
+    concatenated streams decode to concatenated values), decoded with a
+    single varbyte pass, and the per-buffer delta chains are restored by
+    a segmented cumsum (global cumsum minus each segment's preceding
+    prefix). Returns one int64 array per input buffer — bit-identical to
+    [decode_doc_ids(b) for b in blobs] with no per-value Python. This is
+    the phrase path's batch decoder (a per-row lambda over 10^5 postings
+    was the round-4 q_phrase regression)."""
+    n = len(blobs)
+    if n == 0:
+        return []
+    byte_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    buf = b"".join(blobs)
+    deltas = varbyte_decode(buf)
+    if deltas.size == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(n)]
+    # values per buffer = count of last-value bytes (high bit set) in it
+    all_bytes = np.frombuffer(buf, dtype=np.uint8)
+    last_prefix = np.concatenate(
+        ([0], np.cumsum((all_bytes & 0x80) != 0, dtype=np.int64))
+    )
+    byte_ends = np.cumsum(byte_lens)
+    counts = last_prefix[byte_ends] - last_prefix[byte_ends - byte_lens]
+    starts = np.cumsum(counts) - counts
+    # global cumsum, then subtract the prefix that leaked across each
+    # buffer boundary — restores the per-buffer delta chains
+    cs = np.cumsum(deltas)
+    corr = np.where(starts > 0, cs[np.maximum(starts, 1) - 1], 0)
+    vals = cs - np.repeat(corr, counts)
+    return np.split(vals, starts[1:])
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     return np.asarray(tfs, dtype=np.float64).tobytes()
 

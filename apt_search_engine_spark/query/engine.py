@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -62,14 +63,16 @@ def _decode_positions_udf():
     """Arrow-batched per-posting decoder: `positions_vb binary` (layout
     v9 delta+varbyte) -> array<int>. Only the phrase adjacency path
     decodes, and only AFTER the rarest-term semi-join bounded the
-    candidate rows — scoring paths never touch positions at all."""
+    candidate rows — scoring paths never touch positions at all. The
+    whole Arrow batch decodes in ONE vectorized codec pass
+    (codec.decode_doc_ids_many) — a per-row lambda here tripled
+    q_phrase/q_boolean latency on head-term phrases."""
     from apt_search_engine_spark.indexing import codec
 
     @F.pandas_udf("array<int>")
     def _d(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: codec.decode_doc_ids(bytes(b)).astype("int32")
-        )
+        arrs = codec.decode_doc_ids_many([bytes(b) for b in s])
+        return pd.Series([a.astype(np.int32, copy=False) for a in arrs])
 
     return _d
 

@@ -61,3 +61,34 @@ def test_compression_wins_on_dense_postings():
     ids = np.arange(10_000, dtype=np.int64) * 3
     enc = codec.encode_doc_ids(ids)
     assert len(enc) < 10_000 * 2
+
+
+def test_decode_doc_ids_many_matches_single():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apt_search_engine_spark.indexing import codec
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 2**40), min_size=0, max_size=20),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    def check(lists):
+        blobs = [
+            codec.varbyte_encode(
+                codec.delta_encode(np.sort(np.array(v, dtype=np.int64)))
+            )
+            for v in lists
+        ]
+        got = codec.decode_doc_ids_many(blobs)
+        want = [codec.decode_doc_ids(b) for b in blobs]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.tolist() == w.tolist()
+
+    check()

@@ -149,19 +149,23 @@ def test_wtfs_decode_matches_reference_kernel(spark, index_dir):
     from apt_search_engine_spark.indexing import codec
 
     blocks = spark.read.parquet(f"{index_dir}/blocks").collect()
-    canonical = {
-        r.term: r
-        for r in with_postings_struct(
-            spark.read.parquet(f"{index_dir}/postings"),
-            spark.read.parquet(f"{index_dir}/doc_map"),
-        ).collect()
-    }
+    # group segment rows per term, ordinal-ordered (a term may span
+    # several segment rows — a dict would silently keep only one)
+    canonical: dict[str, list] = {}
+    for r in with_postings_struct(
+        spark.read.parquet(f"{index_dir}/postings"),
+        spark.read.parquet(f"{index_dir}/doc_map"),
+    ).collect():
+        canonical.setdefault(r.term, []).append(r)
+    for segs in canonical.values():
+        segs.sort(key=lambda r: r.doc_ords[0])
     for term in list(canonical)[:50]:
         bs = sorted([b for b in blocks if b.term == term], key=lambda b: b.lo_ord)
         got = np.concatenate([codec.decode_tfs(b.wtfs) for b in bs])
         want = [
             p.tf * (sum(tag_weight(t) for t in p.tags) if p.tags else 0.5)
-            for p in canonical[term].postings
+            for seg in canonical[term]
+            for p in seg.postings
         ]
         assert got.tolist() == pytest.approx(want), term
         for b in bs:
