@@ -294,6 +294,24 @@ class SearchEngine:
             [], f"term string, {key}, wtf double{pos}{occ_dl}"
         )
 
+    def _term_doc_set(self, term: str) -> DataFrame:
+        """Narrow doc-key set of ONE term: reads only (term, doc ords)
+        off the pruned segments — no wtf derivation, no positions — so
+        the rare-doc probe side of the phrase semi-join costs a two-
+        column parquet read instead of the full posting payload."""
+        key = self._key()
+        plural = "doc_ids" if key == "doc_id" else "doc_ords"
+        if self._postings_df is not None:
+            src = self._postings_df
+        else:
+            src = self.spark.read.parquet(self.postings_path).filter(
+                F.col("term_bucket") == self._bucket(term)
+            )
+        return (
+            src.filter(F.col("term") == term)
+            .select(F.explode(F.col(plural)).alias(key))
+        )
+
     # -------------------------------------------------------------- P4+P5
     def _phrase_filtered(
         self, terms: list[str], with_occ_dl: bool = False
@@ -301,14 +319,20 @@ class SearchEngine:
         """handlePhrase (QueryProcessor.java:130-173): returns the exploded
         postings of `terms` restricted to docs containing the exact phrase.
 
-        Scale shape (VERDICT r3 'what's wrong' #2): the positions
-        aggregate only sees docs that contain the RAREST phrase term —
-        the lexicon dfs (a driver-side pruned read the scorer needs
-        anyway) pick it, and every other term's postings are semi-joined
-        against its doc set BEFORE the groupBy, so a head term's full
+        Scale shape (VERDICT r3 'what's wrong' #2 + the r4 single-scan
+        restructure): the positions aggregate only sees docs that contain
+        the RAREST phrase term — the lexicon dfs (a driver-side pruned
+        read the scorer needs anyway) pick it, and every term's postings
+        are semi-joined against its NARROW doc set (_term_doc_set: a
+        two-column read) BEFORE the groupBy, so a head term's full
         posting list never crosses the aggregate shuffle just because it
-        appears in a phrase with a rare term. AQE broadcasts the rare doc
-        set, turning the semi-join into a map-side filter. A term absent
+        appears in a phrase with a rare term. The fat pruned scan
+        (positions + wtf inputs) appears in the plan exactly ONCE: all
+        payload columns ride THROUGH the per-doc aggregate as collected
+        structs, the P4/P5 filters run on the aggregated rows, and the
+        survivors re-explode — the previous shape referenced the scan
+        subtree three times (rare-doc probe, adjacency aggregate, final
+        semi-join) and Spark recomputed it each time. A term absent
         from the lexicon empties the intersection outright (P4 semantics:
         no doc can contain all terms)."""
         distinct = sorted(set(terms))
@@ -323,23 +347,28 @@ class SearchEngine:
         )
         if len(distinct) > 1:
             rarest = min(distinct, key=lambda t: (dfs[t], t))
-            rare_docs = ex.filter(F.col("term") == rarest).select(key)
-            ex = ex.join(rare_docs, key, "left_semi")
+            ex = ex.join(self._term_doc_set(rarest), key, "left_semi")
         # decode varbyte positions ONLY on the candidate-bounded rows
-        dec = ex.select(
-            key,
-            "term",
-            _decode_positions_udf()(F.col("positions_vb")).alias("positions"),
+        dec = ex.withColumn(
+            "positions", _decode_positions_udf()(F.col("positions_vb"))
+        ).drop("positions_vb")
+        payload = ["term", "positions", "wtf"] + (
+            ["occ", "dl"] if with_occ_dl else []
         )
         per_doc = (
             dec.groupBy(key)
             .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("m"),
+                F.collect_list(F.struct(*payload)).alias("ps"),
                 F.countDistinct("term").alias("nt"),
             )
             .filter(F.col("nt") == len(distinct))  # P4 intersection
+            .withColumn(
+                "m",
+                F.expr(
+                    "map_from_entries("
+                    "transform(ps, x -> struct(x.term, x.positions)))"
+                ),
+            )
         )
         # P5: fold array_intersect over index-shifted position arrays
         base = f"m['{_esc(terms[0])}']"
@@ -348,8 +377,20 @@ class SearchEngine:
                 f"array_intersect({base}, "
                 f"transform(m['{_esc(t)}'], x -> x - {i}))"
             )
-        matched = per_doc.filter(F.expr(f"size({base}) > 0")).select(key)
-        return ex.drop("positions_vb").join(matched, key, "left_semi")
+        matched = per_doc.filter(F.expr(f"size({base}) > 0"))
+        out_cols = [
+            F.col("p.term").alias("term"),
+            F.col(key),
+            F.col("p.wtf").alias("wtf"),
+        ]
+        if with_occ_dl:
+            out_cols += [
+                F.col("p.occ").alias("occ"),
+                F.col("p.dl").alias("dl"),
+            ]
+        return matched.select(key, F.explode("ps").alias("p")).select(
+            *out_cols
+        )
 
     # ----------------------------------------------------------------- P7
     def _boolean_filtered(
@@ -382,34 +423,75 @@ class SearchEngine:
         if not seg_postings:
             return self._empty_postings(with_occ_dl=with_occ_dl)
 
-        doc_sets = [sp.select(key).distinct() for sp in seg_postings]
-        merged = doc_sets[0]
-        for i in range(1, len(doc_sets)):
+        # Single-pass fold (r4): aggregate each segment ONCE by doc key,
+        # multi-way full-outer join the (few) segments, and evaluate the
+        # reference's left-fold set algebra as a boolean expression over
+        # presence flags — set membership after the fold is a pure
+        # function of which segments contain the doc (AND=&&, OR=||,
+        # NOT=&&!). The previous shape referenced every segment subtree
+        # twice (doc-set fold + final posting filter) and Spark
+        # recomputed each — for phrase segments that doubled the
+        # adjacency plan. Segment aggregates are candidate-bounded and
+        # hash-partitioned by key, so the outer joins add no exchange.
+        payload = ["term", "wtf"] + (["occ", "dl"] if with_occ_dl else [])
+        joined: DataFrame | None = None
+        for i, sp in enumerate(seg_postings):
+            agg = sp.groupBy(key).agg(
+                F.collect_list(F.struct(*payload)).alias(f"ps{i}")
+            )
+            joined = agg if joined is None else joined.join(
+                agg, key, "full_outer"
+            )
+        pres = [
+            F.col(f"ps{i}").isNotNull() for i in range(len(seg_postings))
+        ]
+        keep = pres[0]
+        for i in range(1, len(seg_postings)):
             op = operators[i - 1] if i - 1 < len(operators) else None
             if op == "AND":
-                merged = merged.join(doc_sets[i], key, "left_semi")
+                keep = keep & pres[i]
             elif op == "OR":
-                merged = merged.union(doc_sets[i]).distinct()
+                keep = keep | pres[i]
             elif op == "NOT":
-                merged = merged.join(doc_sets[i], key, "left_anti")
+                keep = keep & ~pres[i]
+        joined = joined.filter(keep)
 
-        # later segments overwrite same-term entries
+        # later segments overwrite same-term entries (reference map-put
+        # order): keep each term's rows only from its owning segment
         owner: dict[str, int] = {}
         for i, terms in enumerate(seg_terms):
             for t in terms:
                 owner[t] = i
-        parts = []
-        for i, sp in enumerate(seg_postings):
-            mine = [t for t, o in owner.items() if o == i and t in seg_terms[i]]
+        part_exprs = []
+        for i, terms in enumerate(seg_terms):
+            mine = sorted(t for t in terms if owner[t] == i)
             if mine:
-                parts.append(sp.filter(F.col("term").isin(mine)))
-        cols = ["term", key, "wtf"]
+                in_list = ", ".join(f"'{_esc(t)}'" for t in mine)
+                # filter() propagates a NULL input array (doc absent from
+                # this segment); the outer filter drops those before
+                # flatten so absent segments contribute zero rows
+                part_exprs.append(
+                    f"filter(ps{i}, x -> x.term IN ({in_list}))"
+                )
+        if not part_exprs:
+            return self._empty_postings(with_occ_dl=with_occ_dl)
+        combined = (
+            "flatten(filter(array(" + ", ".join(part_exprs)
+            + "), a -> a IS NOT NULL))"
+        )
+        out_cols = [
+            F.col("p.term").alias("term"),
+            F.col(key),
+            F.col("p.wtf").alias("wtf"),
+        ]
         if with_occ_dl:
-            cols += ["occ", "dl"]
-        filtered = parts[0].select(cols)
-        for p in parts[1:]:
-            filtered = filtered.unionByName(p.select(cols))
-        return filtered.join(merged, key, "left_semi")
+            out_cols += [
+                F.col("p.occ").alias("occ"),
+                F.col("p.dl").alias("dl"),
+            ]
+        return joined.select(
+            key, F.explode(F.expr(combined)).alias("p")
+        ).select(*out_cols)
 
     # ------------------------------------------------------------- R3/S10
     def _apply_prior(self, raw_df: DataFrame, key: str) -> DataFrame:
@@ -490,8 +572,17 @@ class SearchEngine:
         sp = sp.withColumn("contrib", contrib * F.expr(mult_expr))
 
         if gate_word is not None:
-            gate = sp.filter(F.col("term") == gate_word).select(key)
-            sp = sp.join(gate, key, "left_semi")
+            # Q7 first-word gate: keep docs that contain gate_word. A
+            # window flag over the doc key instead of a self-semi-join —
+            # the join shape referenced the (expensive) filtered subtree
+            # twice and Spark recomputed it; the window rides the same
+            # per-key exchange the groupBy below needs anyway.
+            sp = sp.withColumn(
+                "has_gate",
+                F.max(
+                    (F.col("term") == gate_word).cast("int")
+                ).over(Window.partitionBy(key)),
+            ).filter(F.col("has_gate") == 1).drop("has_gate")
 
         if dedup_by_url:
             # R10 (Ranker.java:201-214): scoreTracker is keyed by URL, so
