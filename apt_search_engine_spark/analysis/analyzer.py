@@ -48,6 +48,13 @@ _DIGITS_RE = re.compile(r"\d+")
 # DEFAULT arm of the weight switch; see TAG_WEIGHTS below.
 HEADING_CHANNELS = ("title", "h1", "h2", "h3", "h456")
 
+# Canonical pack order of the per-posting small ints inside the layout-v11
+# `meta_vb` varbyte blob (one blob per posting row; encoder below, decoder
+# indexing.build._expand_meta_*). Keep encoder and decoder on THIS tuple.
+META_VB_COLS = ("occ", "dl", "xtra") + tuple(
+    f"n_{c}" for c in HEADING_CHANNELS
+)
+
 TAG_WEIGHTS = {
     "title": 4.0,
     "h1": 2.5,
@@ -222,12 +229,13 @@ def analyze_batch_flat(
     n = len(bodies)
     if tags_as_counts:
         empty = pd.DataFrame(
-            {"doc": np.empty(0, np.int64), "term": [], "positions_vb": []}
-            | {
-                c: np.empty(0, np.int32)
-                for c in ("occ", "dl", "xtra")
+            {
+                "doc": np.empty(0, np.int64),
+                "term": [],
+                "positions_vb": [],
+                "meta_vb": [],
             }
-            | {f"n_{c}": np.empty(0, np.int32) for c in HEADING_CHANNELS}
+            | {c: np.empty(0, np.int32) for c in ("occ", "dl")}
         )
     else:
         empty = pd.DataFrame(
@@ -348,17 +356,45 @@ def analyze_batch_flat(
         # here. xtra (per-doc distinct-term count) is the only new
         # column: a tiny low-entropy int.
         xtra = (totals - dl_per_doc)[g_doc].astype(np.int32)
-        out = {
-            "doc": g_doc,
-            "term": term_uniq[g_term],
-            "positions_vb": positions_vb,
-            "occ": sizes.astype(np.int32),
-            "dl": dl_per_doc[g_doc].astype(np.int32),
-            "xtra": xtra,
-        }
-        for ch_name in HEADING_CHANNELS:
-            out[f"n_{ch_name}"] = capped[ch_name].astype(np.int32)
-        return pd.DataFrame(out)
+        # layout v11: the eight per-posting small ints (occ, dl, xtra +
+        # five tag counts) are packed into ONE varbyte binary per row
+        # (META_VB_COLS order) for the checkpoint and the merge exchange.
+        # Spark's UnsafeRow charges 8 bytes of fixed slot per FIELD
+        # regardless of value, so 8 int fields were ~64 bytes/posting of
+        # row structure through the range-shuffle sorter — the measured
+        # memcpy-bound stage — against ~8-10 varbyte bytes. The assembler
+        # unpacks in one vectorized codec pass; the STORED segment layout
+        # (plural int arrays) and every query path are unchanged. Plain
+        # occ/dl columns are still emitted for the narrow columnar
+        # side-table scans (doc_len, lineage) — they parquet-RLE to
+        # almost nothing and are never selected into the exchange.
+        occ32 = sizes.astype(np.int32)
+        dl32 = dl_per_doc[g_doc].astype(np.int32)
+        meta_mat = np.empty((g_doc.size, 3 + len(HEADING_CHANNELS)),
+                            dtype=np.int64)
+        meta_mat[:, 0] = occ32
+        meta_mat[:, 1] = dl32
+        meta_mat[:, 2] = xtra
+        for j, ch_name in enumerate(HEADING_CHANNELS):
+            meta_mat[:, 3 + j] = capped[ch_name]
+        width = meta_mat.shape[1]
+        mbuf, moff = codec.varbyte_encode_segmented(
+            meta_mat.ravel(),
+            np.arange(g_doc.size, dtype=np.int64) * width,
+        )
+        meta_vb = [
+            mbuf[a:b] for a, b in zip(moff[:-1].tolist(), moff[1:].tolist())
+        ]
+        return pd.DataFrame(
+            {
+                "doc": g_doc,
+                "term": term_uniq[g_term],
+                "positions_vb": positions_vb,
+                "meta_vb": meta_vb,
+                "occ": occ32,
+                "dl": dl32,
+            }
+        )
     counts_lists = [capped[c].tolist() for c in HEADING_CHANNELS]
     tags = [
         [c for c, k in zip(HEADING_CHANNELS, ks) for _ in range(k)]

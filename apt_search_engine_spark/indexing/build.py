@@ -50,7 +50,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from apt_search_engine_spark.analysis.analyzer import analyze_batch_flat
+from apt_search_engine_spark.analysis.analyzer import (
+    META_VB_COLS,
+    analyze_batch_flat,
+)
 from apt_search_engine_spark.config import (
     MAX_POSTINGS_PER_ROW,
     N_TERM_BUCKETS,
@@ -64,10 +67,20 @@ from apt_search_engine_spark.config import (
 # posting; merge_postings reconstructs the full array natively
 # (array_repeat concat).
 _N_COLS = ("n_title", "n_h1", "n_h2", "n_h3", "n_h456")
+# Layout v11: the eight per-posting small ints travel as ONE varbyte
+# binary (meta_vb, pack order analyzer.META_VB_COLS) — UnsafeRow charges
+# 8 bytes of fixed slot per field, so 8 int fields were ~64 bytes/posting
+# of pure row structure through the merge exchange and its sort buffers
+# (the measured memcpy-bound stage) against ~8-10 varbyte bytes. The
+# assembler expands meta_vb back to the v10 plural arrays in one
+# vectorized codec pass (_expand_meta_*); the STORED postings layout and
+# every query path are unchanged. Plain occ/dl stay on the analyzed rows
+# for the narrow side-table scans (doc_len, BM25 totals) — parquet RLE
+# makes them nearly free at rest and they are never selected into the
+# exchange.
 ANALYZED_SCHEMA = (
-    "doc_id string, term string, positions_vb binary, "
-    "occ int, dl int, xtra int, "
-    + ", ".join(f"{c} int" for c in _N_COLS)
+    "doc_id string, term string, positions_vb binary, meta_vb binary, "
+    "occ int, dl int"
 )
 
 # Bump whenever the analyzed/postings layout changes (columns, encoding,
@@ -102,7 +115,13 @@ ANALYZED_SCHEMA = (
 # are multiples of 0.5), so recomputation anywhere — SQL expr on pruned
 # query reads, numpy in the blocks writer — is bit-identical to the
 # analyzer's float64 arithmetic.
-INDEX_LAYOUT_VERSION = 10
+# v11: the remaining eight per-posting small ints cross the analyze
+# checkpoint and the merge exchange as ONE varbyte blob (meta_vb) — the
+# exchange row drops from 11 UnsafeRow fields (8 B of fixed slot each)
+# to 4; the assembler expands the blob back in one vectorized codec
+# pass, so the STORED segment layout is identical to v10 (bump needed
+# only because the analyzed/ checkpoint schema changed).
+INDEX_LAYOUT_VERSION = 11
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -145,12 +164,10 @@ def _analyze_partition_factory(
                 else np.empty(0, dtype=object),
                 "term": flat["term"],
                 "positions_vb": flat["positions_vb"],
+                "meta_vb": flat["meta_vb"],
                 "occ": flat["occ"],
                 "dl": flat["dl"],
-                "xtra": flat["xtra"],
             }
-            for c in _N_COLS:
-                out[c] = flat[c]
             for c in extra_cols:
                 vals = pdf[c].to_numpy()
                 out[c] = vals[doc_ilocs] if len(flat) else vals[:0]
@@ -259,6 +276,62 @@ _COLS_ORD = (
 )
 
 
+def _decode_meta_np(n_rows: int, region: bytes) -> dict[str, np.ndarray]:
+    """One vectorized varbyte pass over a batch's concatenated meta_vb
+    bytes -> int32 numpy columns in META_VB_COLS order. Every posting row
+    encodes exactly len(META_VB_COLS) values (analyzer contract), so the
+    flat decode reshapes without consulting per-row offsets."""
+    from apt_search_engine_spark.indexing import codec
+
+    w = len(META_VB_COLS)
+    if n_rows == 0:
+        return {c: np.empty(0, np.int32) for c in META_VB_COLS}
+    vals = codec.varbyte_decode(region).reshape(n_rows, w)
+    return {
+        c: vals[:, j].astype(np.int32) for j, c in enumerate(META_VB_COLS)
+    }
+
+
+def _expand_meta_arrow(col: dict) -> dict:
+    """If the incoming Arrow batch carries the packed `meta_vb` column
+    (layout v11 exchange format), expand it IN PLACE into the singular
+    int columns the assembler emits as plural arrays. Rows from the
+    recompaction flatten pass arrive already expanded and skip this."""
+    import pyarrow as pa
+
+    arr = col.pop("meta_vb", None)
+    if arr is None:
+        return col
+    n = len(arr)
+    if n:
+        # value-buffer slice of the (possibly sliced) BinaryArray: the
+        # offsets buffer is shared, so index it at the array's offset
+        off_t = (
+            np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        )
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_t)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        region = data[offs[0] : offs[-1]].tobytes()
+    else:
+        region = b""
+    for name, vals in _decode_meta_np(n, region).items():
+        col[name] = pa.array(vals, type=pa.int32())
+    return col
+
+
+def _expand_meta_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pandas-path equivalent of _expand_meta_arrow."""
+    if "meta_vb" not in pdf.columns:
+        return pdf
+    region = b"".join(bytes(b) for b in pdf["meta_vb"])
+    pdf = pdf.drop(columns=["meta_vb"])
+    for name, vals in _decode_meta_np(len(pdf), region).items():
+        pdf[name] = vals
+    return pdf
+
+
 def _assemble_factory(cap: int, cols: tuple[str, ...]):
     """mapInPandas pass over (term, doc_id)-sorted partitions: emit one
     output row per run of <= cap postings of one term. Bounded memory: at
@@ -300,6 +373,7 @@ def _assemble_factory(cap: int, cols: tuple[str, ...]):
         for pdf in batches:
             if not len(pdf):
                 continue
+            pdf = _expand_meta_pandas(pdf)
             terms = pdf["term"].to_numpy()
             col_arrs = {c: pdf[c].to_numpy() for c in cols}
             bnd = np.flatnonzero(
@@ -443,10 +517,12 @@ def _assemble_arrow_factory(cap: int, cols: tuple[str, ...]):
             n = batch.num_rows
             if not n:
                 continue
-            col = {
-                name: batch.column(i)
-                for i, name in enumerate(batch.schema.names)
-            }
+            col = _expand_meta_arrow(
+                {
+                    name: batch.column(i)
+                    for i, name in enumerate(batch.schema.names)
+                }
+            )
             terms = col["term"]
             term_type[0] = terms.type
             if n > 1:
@@ -600,9 +676,20 @@ def merge_postings(
     cols = _COLS_ORD if with_ord else _COLS
     schema = _ASSEMBLED_SCHEMA_ORD if with_ord else _ASSEMBLED_SCHEMA
     # shuffle ONLY what the assembler consumes: carried-through input
-    # columns (the batch partition id, the occ scalar) would otherwise
-    # ride the biggest exchange of the build for nothing
-    flat = flat.select("term", *cols)
+    # columns (the batch partition id, the occ/dl side-table scalars)
+    # would otherwise ride the biggest exchange of the build for nothing.
+    # Layout-v11 flat rows keep the eight per-posting ints packed in
+    # meta_vb across the exchange (4 UnsafeRow fields instead of 11);
+    # the assembler expands them. Pre-v11 flat frames (recompaction
+    # flatten output, tests building flat rows directly) still ship the
+    # expanded columns.
+    if "meta_vb" in flat.columns:
+        shuffle_cols = [
+            c for c in cols if c not in META_VB_COLS
+        ] + ["meta_vb"]
+    else:
+        shuffle_cols = list(cols)
+    flat = flat.select("term", *shuffle_cols)
     # explicit partition count: the stage downstream of this exchange is
     # Arrow->pandas assembly, so size it by cores (2 waves), not by the
     # 64MB-per-partition heuristic AQE would coalesce to
