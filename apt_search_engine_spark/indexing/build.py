@@ -121,7 +121,12 @@ ANALYZED_SCHEMA = (
 # to 4; the assembler expands the blob back in one vectorized codec
 # pass, so the STORED segment layout is identical to v10 (bump needed
 # only because the analyzed/ checkpoint schema changed).
-INDEX_LAYOUT_VERSION = 11
+# v12: grouped-run merge exchange — one shuffle row per (term, ordinal
+# stripe) run instead of one per posting (GROUPED_SCHEMA rationale
+# below). On-disk bytes (analyzed checkpoint AND postings) are
+# bit-compatible with v11; the bump names the exchange format so bench
+# A/Bs can refer to it.
+INDEX_LAYOUT_VERSION = 12
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -330,6 +335,409 @@ def _expand_meta_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     for name, vals in _decode_meta_np(len(pdf), region).items():
         pdf[name] = vals
     return pdf
+
+
+# -- layout v12: grouped-run merge exchange --------------------------------
+# The north-star merge shape (BASELINE.json north_star: "per-partition
+# sorted posting lists ... merged via salted repartition-by-term
+# shuffles"): each analyze partition emits ONE exchange row per
+# (term, ordinal stripe) holding that run's delta+varbyte-packed
+# postings, instead of one row per posting. ~10-100x fewer rows cross
+# the exchange, and the per-posting ordering work happens as vectorized
+# numpy lexsorts inside the Python stages (map-side per flush,
+# reduce-side per group) instead of JVM UnsafeRow comparisons in the
+# shuffle sorter — the measured memory-bound stage of the build
+# (BASELINE.md hardware-ceiling analysis).
+#
+# The salt is a FIXED global ordinal stripe (stripe = doc_ord //
+# stripe_width): runs of different stripes are ord-disjoint BY
+# CONSTRUCTION, and Spark's RangePartitioner never splits equal keys,
+# so a partition boundary can only fall BETWEEN stripes — per-term
+# segments remain disjoint, strictly-increasing ordinal ranges, the
+# invariant the blocks/WAND companion keys on (indexing/blocks.py:16-18).
+# Head-term skew: a head term spreads over n_docs/stripe_width
+# independent stripes, each its own unit of shuffle and assembly.
+
+GROUPED_SCHEMA = (
+    "term string, stripe int, n int, doc_ords_vb binary, "
+    "positions_vb binary, meta_vb binary"
+)
+
+# map-side flush threshold (posting rows): bigger flushes amortize more
+# runs; bounded so per-task numpy state stays ~100 MB at worst
+_FLUSH_POSTINGS = 1 << 21
+# stripe width bounds: at least one full segment per stripe (rare/mid
+# terms don't fragment), at most 2^20 ordinals (bounds the reduce-side
+# per-group buffer regardless of corpus size)
+_MIN_STRIPE = MAX_POSTINGS_PER_ROW
+_MAX_STRIPE = 1 << 20
+
+
+def stripe_width_for(n_docs: int, n_parts: int) -> int:
+    """Stripe width for the grouped merge: aim for ~4 stripes per
+    shuffle partition across the ordinal space, clamped to
+    [_MIN_STRIPE, _MAX_STRIPE]."""
+    target = -(-max(1, n_docs) // max(1, n_parts * 4))
+    return max(_MIN_STRIPE, min(_MAX_STRIPE, target))
+
+
+def _binary_from_offsets(n: int, offsets: np.ndarray, data: np.ndarray):
+    """Zero-copy pa.BinaryArray over `data` (uint8) cut at `offsets`
+    (int64, len n+1, ascending, offsets[0] == 0)."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [
+            None,
+            pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
+            pa.py_buffer(data),
+        ],
+    )
+
+
+def _runs_binary(arr, run_bounds: np.ndarray):
+    """Per-run concatenations of a BinaryArray whose rows are already in
+    run order: run i = bytes of rows run_bounds[i]:run_bounds[i+1].
+    Zero-copy — new offsets over the array's own value buffer."""
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        return _binary_from_offsets(
+            len(run_bounds) - 1,
+            np.zeros(len(run_bounds), dtype=np.int64),
+            np.empty(0, dtype=np.uint8),
+        )
+    off_t = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_t)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    bounds = offs[run_bounds]
+    base = int(bounds[0])
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        base : int(bounds[-1])
+    ]
+    return _binary_from_offsets(len(run_bounds) - 1, bounds - base, data)
+
+
+def _group_runs_arrow_factory(stripe_width: int):
+    """mapInArrow factory over analyzed per-posting rows (term, doc_ord,
+    positions_vb, meta_vb): emits GROUPED_SCHEMA rows — one per
+    (term, stripe) run of this task's accumulated input, postings
+    ord-sorted and delta+varbyte-packed within the run. Accumulates
+    ~_FLUSH_POSTINGS rows before grouping so runs amortize over far more
+    than one incoming 10k-row Arrow batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apt_search_engine_spark.indexing import codec
+
+    def _flush(term_chunks, ord_chunks, pos_chunks, meta_chunks):
+        terms = (
+            pa.concat_arrays(term_chunks)
+            if len(term_chunks) > 1
+            else term_chunks[0]
+        )
+        denc = pc.dictionary_encode(terms)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        ords = (
+            np.concatenate(ord_chunks) if len(ord_chunks) > 1 else ord_chunks[0]
+        )
+        m = codes.size
+        if m == 0:
+            return None
+        # stripe = ord // width is monotone in ord, so sorting by
+        # (code, ord) already orders by (code, stripe, ord)
+        order = np.lexsort((ords, codes))
+        codes_s = codes[order]
+        ords_s = ords[order]
+        stripes_s = ords_s // stripe_width
+        change = (
+            np.flatnonzero(
+                (codes_s[1:] != codes_s[:-1])
+                | (stripes_s[1:] != stripes_s[:-1])
+            )
+            + 1
+        )
+        run_starts = np.concatenate((np.zeros(1, dtype=np.int64), change))
+        run_bounds = np.concatenate((run_starts, [m]))
+        take_idx = pa.array(order)
+        pos_taken = pc.take(
+            pa.concat_arrays(pos_chunks)
+            if len(pos_chunks) > 1
+            else pos_chunks[0],
+            take_idx,
+        )
+        meta_taken = pc.take(
+            pa.concat_arrays(meta_chunks)
+            if len(meta_chunks) > 1
+            else meta_chunks[0],
+            take_idx,
+        )
+        ords_buf, ords_offs = codec.encode_doc_ids_segmented(
+            ords_s, run_starts
+        )
+        doc_ords_vb = _binary_from_offsets(
+            len(run_starts), ords_offs, np.frombuffer(ords_buf, np.uint8)
+        )
+        term_col = pc.take(
+            denc.dictionary, pa.array(codes_s[run_starts])
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                term_col,
+                pa.array(stripes_s[run_starts].astype(np.int32)),
+                pa.array(np.diff(run_bounds).astype(np.int32)),
+                doc_ords_vb,
+                _runs_binary(pos_taken, run_bounds),
+                _runs_binary(meta_taken, run_bounds),
+            ],
+            names=[
+                "term", "stripe", "n",
+                "doc_ords_vb", "positions_vb", "meta_vb",
+            ],
+        )
+
+    def group(batches):
+        term_c: list = []
+        ord_c: list = []
+        pos_c: list = []
+        meta_c: list = []
+        cnt = 0
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            col = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            term_c.append(col["term"])
+            ord_c.append(col["doc_ord"].to_numpy())
+            pos_c.append(col["positions_vb"])
+            meta_c.append(col["meta_vb"])
+            cnt += batch.num_rows
+            if cnt >= _FLUSH_POSTINGS:
+                out = _flush(term_c, ord_c, pos_c, meta_c)
+                if out is not None:
+                    yield out
+                term_c, ord_c, pos_c, meta_c, cnt = [], [], [], [], 0
+        if cnt:
+            out = _flush(term_c, ord_c, pos_c, meta_c)
+            if out is not None:
+                yield out
+
+    return group
+
+
+def _binary_parts(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_offsets int64 rebased to 0, data uint8) of a BinaryArray."""
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint8)
+    off_t = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_t)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        int(offs[0]) : int(offs[-1])
+    ]
+    return offs - offs[0], data
+
+
+def _ungroup_runs(batches):
+    """Generator adapter: GROUPED_SCHEMA batches (sorted by term, stripe
+    within the partition) -> per-posting RecordBatches sorted by
+    (term, doc_ord), columns exactly (term, *_COLS_ORD) with meta
+    expanded — the stream _assemble_arrow_factory consumes.
+
+    Fully batch-vectorized: each incoming batch is decoded (ords, meta,
+    positions boundaries) in one codec pass per column, posting order is
+    restored with ONE lexsort over (group id, ord), and gathers are
+    numpy fancy-indexing / pc.take — no per-run or per-group Python.
+    Only the trailing (term, stripe) group of each batch is held back
+    (it may continue in the next batch; bounded by stripe width)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apt_search_engine_spark.indexing import codec
+
+    # pending: raw per-run components of the (possibly) open last group
+    pend: dict | None = None  # term, stripe, ords/pos/meta (offs, data), n
+
+    def _pack(term_arr, stripes, ns, ords_p, pos_p, meta_p, lo, hi):
+        """Slice run components [lo:hi) into a pending dict."""
+        o_off, o_dat = ords_p
+        p_off, p_dat = pos_p
+        m_off, m_dat = meta_p
+        return {
+            "term": term_arr[lo].as_py(),
+            "stripe": int(stripes[lo]),
+            "n_runs": hi - lo,
+            "ns": ns[lo:hi].copy(),
+            "ords": (o_off[lo : hi + 1] - o_off[lo],
+                     o_dat[o_off[lo] : o_off[hi]].copy()),
+            "pos": (p_off[lo : hi + 1] - p_off[lo],
+                    p_dat[p_off[lo] : p_off[hi]].copy()),
+            "meta": (m_off[lo : hi + 1] - m_off[lo],
+                     m_dat[m_off[lo] : m_off[hi]].copy()),
+        }
+
+    def _process(terms_pa, stripes, ns, ords_p, pos_p, meta_p, gid):
+        """Vectorized ungroup of complete runs: gid = 0-based group id
+        per run (ascending). Returns a per-posting RecordBatch sorted by
+        (group, ord)."""
+        o_off, o_dat = ords_p
+        p_off, p_dat = pos_p
+        m_off, m_dat = meta_p
+        ords, _ = codec.decode_doc_ids_region(o_dat, o_off)
+        n_post = ords.size
+        if n_post == 0:
+            return None
+        meta = _decode_meta_np(n_post, m_dat)
+        pos_offs = codec.split_varbyte_stream(
+            p_dat, meta["occ"].astype(np.int64)
+        )
+        post_gid = np.repeat(gid, ns)
+        order = np.lexsort((ords, post_gid))
+        pos_sorted = pc.take(
+            _binary_from_offsets(n_post, pos_offs, p_dat),
+            pa.array(order),
+        )
+        # group id -> term string: take the term of each group's first
+        # run; per-posting term = dictionary over sorted group ids
+        run_first = np.concatenate(
+            (np.zeros(1, np.int64), 1 + np.flatnonzero(np.diff(gid)))
+        )
+        group_terms = pc.take(terms_pa, pa.array(run_first))
+        term_col = pc.cast(
+            pa.DictionaryArray.from_arrays(
+                pa.array(post_gid[order].astype(np.int32)), group_terms
+            ),
+            terms_pa.type,
+        )
+        arrays = [term_col]
+        for c in _COLS_ORD:
+            if c == "doc_ord":
+                arrays.append(pa.array(ords[order]))
+            elif c == "positions_vb":
+                arrays.append(pos_sorted)
+            else:
+                arrays.append(pa.array(meta[c][order]))
+        return pa.RecordBatch.from_arrays(arrays, names=["term", *_COLS_ORD])
+
+    def _merge_pending(pend, terms_pa, stripes, ns, ords_p, pos_p, meta_p):
+        """Prepend pending runs to the batch's run components."""
+        k = pend["n_runs"]
+        terms_pa = pa.concat_arrays(
+            [
+                pc.cast(pa.array([pend["term"]] * k), terms_pa.type),
+                terms_pa,
+            ]
+        )
+        stripes = np.concatenate(
+            (np.full(k, pend["stripe"], dtype=stripes.dtype), stripes)
+        )
+        ns = np.concatenate((pend["ns"], ns))
+
+        def _cat(a, b):
+            ao, ad = a
+            bo, bd = b
+            return (
+                np.concatenate((ao[:-1], bo + ao[-1])),
+                np.concatenate((ad, bd)),
+            )
+
+        return (
+            terms_pa,
+            stripes,
+            ns,
+            _cat(pend["ords"], ords_p),
+            _cat(pend["pos"], pos_p),
+            _cat(pend["meta"], meta_p),
+        )
+
+    for batch in batches:
+        if not batch.num_rows:
+            continue
+        col = {
+            name: batch.column(i)
+            for i, name in enumerate(batch.schema.names)
+        }
+        terms_pa = col["term"]
+        stripes = col["stripe"].to_numpy()
+        ns = col["n"].to_numpy().astype(np.int64)
+        ords_p = _binary_parts(col["doc_ords_vb"])
+        pos_p = _binary_parts(col["positions_vb"])
+        meta_p = _binary_parts(col["meta_vb"])
+        if pend is not None:
+            terms_pa, stripes, ns, ords_p, pos_p, meta_p = _merge_pending(
+                pend, terms_pa, stripes, ns, ords_p, pos_p, meta_p
+            )
+            pend = None
+        n_runs = len(terms_pa)
+        # 0-based ascending group id per run (input sorted by term,stripe)
+        denc = pc.dictionary_encode(terms_pa)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        change = (codes[1:] != codes[:-1]) | (stripes[1:] != stripes[:-1])
+        gid = np.concatenate(
+            (np.zeros(1, np.int64), np.cumsum(change, dtype=np.int64))
+        )
+        # hold back the trailing group — it may continue next batch
+        last_start = (
+            int(1 + np.flatnonzero(change)[-1]) if change.any() else 0
+        )
+        pend = _pack(
+            terms_pa, stripes, ns, ords_p, pos_p, meta_p,
+            last_start, n_runs,
+        )
+        if last_start:
+            o_off, o_dat = ords_p
+            p_off, p_dat = pos_p
+            m_off, m_dat = meta_p
+            out = _process(
+                terms_pa.slice(0, last_start),
+                stripes[:last_start],
+                ns[:last_start],
+                (o_off[: last_start + 1], o_dat[: o_off[last_start]]),
+                (p_off[: last_start + 1], p_dat[: p_off[last_start]]),
+                (m_off[: last_start + 1], m_dat[: m_off[last_start]]),
+                gid[:last_start],
+            )
+            if out is not None:
+                yield out
+    if pend is not None:
+        terms_pa, stripes, ns, ords_p, pos_p, meta_p = _merge_pending(
+            pend,
+            pa.array([], type=pa.string()),
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+            (np.zeros(1, np.int64), np.empty(0, np.uint8)),
+            (np.zeros(1, np.int64), np.empty(0, np.uint8)),
+            (np.zeros(1, np.int64), np.empty(0, np.uint8)),
+        )
+        out = _process(
+            terms_pa, stripes, ns, ords_p, pos_p, meta_p,
+            np.zeros(len(terms_pa), np.int64),
+        )
+        if out is not None:
+            yield out
+
+
+def _assemble_grouped_arrow_factory(cap: int, cols: tuple[str, ...]):
+    """Grouped-exchange assembler: ungroup the (term, stripe) runs back
+    to sorted per-posting batches and feed the standard Arrow assembler —
+    same segments, same bytes (modulo boundary placement, which is
+    partitioner-dependent in every layout)."""
+    inner = _assemble_arrow_factory(cap, cols)
+
+    def assemble(batches):
+        return inner(_ungroup_runs(batches))
+
+    return assemble
 
 
 def _assemble_factory(cap: int, cols: tuple[str, ...]):
@@ -644,6 +1052,9 @@ def merge_postings(
     max_per_row: int = MAX_POSTINGS_PER_ROW,
     doc_map: DataFrame | None = None,
     use_arrow: bool = True,
+    grouped: bool | None = None,
+    n_docs_hint: int | None = None,
+    _stripe_width: int | None = None,
 ) -> DataFrame:
     """Stage 2: sort-based segment assembly -> one row per (term, segment
     of <= max_per_row docs), postings sorted by doc_id within and across a
@@ -683,13 +1094,6 @@ def merge_postings(
     # the assembler expands them. Pre-v11 flat frames (recompaction
     # flatten output, tests building flat rows directly) still ship the
     # expanded columns.
-    if "meta_vb" in flat.columns:
-        shuffle_cols = [
-            c for c in cols if c not in META_VB_COLS
-        ] + ["meta_vb"]
-    else:
-        shuffle_cols = list(cols)
-    flat = flat.select("term", *shuffle_cols)
     # explicit partition count: the stage downstream of this exchange is
     # Arrow->pandas assembly, so size it by cores (2 waves), not by the
     # 64MB-per-partition heuristic AQE would coalesce to
@@ -697,23 +1101,66 @@ def merge_postings(
         flat.sparkSession.sparkContext.defaultParallelism * 2,
         int(flat.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
     )
-    # ord builds range/sort on the ordinal (same order as doc_id, 8 bytes
-    # vs a string in every shuffle row + sort comparison)
-    sub_key = "doc_ord" if with_ord else "doc_id"
-    ranged = flat.repartitionByRange(
-        n_parts, F.col("term"), F.col(sub_key)
-    ).sortWithinPartitions("term", sub_key)
-    # Arrow-native assembly by default (zero-copy slicing of the sorted
-    # columns); the pandas path survives for the bit-equality regression
-    # test and as an operational fallback (use_arrow=False)
-    if use_arrow:
+    if grouped is None:
+        # operational escape hatch + A/B lever (tools/ab_build_bytes.py)
+        grouped = (
+            use_arrow
+            and with_ord
+            and "meta_vb" in flat.columns
+            and os.environ.get("APTSE_GROUPED_MERGE", "1") != "0"
+        )
+    if grouped and not (use_arrow and with_ord and "meta_vb" in flat.columns):
+        raise ValueError(
+            "grouped merge needs the Arrow path, doc ordinals and "
+            "layout-v11+ analyzed rows (meta_vb)"
+        )
+    if grouped:
+        # layout v12: the exchange carries one row per (term, stripe)
+        # run, not one per posting — see GROUPED_SCHEMA rationale above
+        if _stripe_width is not None:
+            width = _stripe_width  # tests: force multi-stripe splitting
+        else:
+            if n_docs_hint is None:
+                # one narrow column agg over the analyzed frame; builder
+                # paths pass the known corpus size instead
+                n_docs_hint = (
+                    flat.agg(F.max("doc_ord").alias("m")).first()["m"] or 0
+                ) + 1
+            width = stripe_width_for(int(n_docs_hint), n_parts)
+        runs = flat.select(
+            "term", "doc_ord", "positions_vb", "meta_vb"
+        ).mapInArrow(_group_runs_arrow_factory(width), GROUPED_SCHEMA)
+        ranged = runs.repartitionByRange(
+            n_parts, F.col("term"), F.col("stripe")
+        ).sortWithinPartitions("term", "stripe")
         assembled = ranged.mapInArrow(
-            _assemble_arrow_factory(max_per_row, cols), schema
+            _assemble_grouped_arrow_factory(max_per_row, cols), schema
         )
     else:
-        assembled = ranged.mapInPandas(
-            _assemble_factory(max_per_row, cols), schema
-        )
+        if "meta_vb" in flat.columns:
+            shuffle_cols = [
+                c for c in cols if c not in META_VB_COLS
+            ] + ["meta_vb"]
+        else:
+            shuffle_cols = list(cols)
+        flat = flat.select("term", *shuffle_cols)
+        # ord builds range/sort on the ordinal (same order as doc_id, 8
+        # bytes vs a string in every shuffle row + sort comparison)
+        sub_key = "doc_ord" if with_ord else "doc_id"
+        ranged = flat.repartitionByRange(
+            n_parts, F.col("term"), F.col(sub_key)
+        ).sortWithinPartitions("term", sub_key)
+        # Arrow-native assembly (zero-copy slicing of the sorted
+        # columns); the pandas path survives for the bit-equality
+        # regression test and as an operational fallback
+        if use_arrow:
+            assembled = ranged.mapInArrow(
+                _assemble_arrow_factory(max_per_row, cols), schema
+            )
+        else:
+            assembled = ranged.mapInPandas(
+                _assemble_factory(max_per_row, cols), schema
+            )
     # storage stays columnar-in-row (parallel arrays, tag prefix counts):
     # materializing array<struct> + per-position tag strings here costs an
     # unvectorized codegen loop per 32k-element row and multiplies index
@@ -1223,8 +1670,13 @@ class IndexBuilder:
             if "doc_ord" in flat.columns:
                 # batch-analyzed rows carry doc_ord (stamped at ingest; the
                 # doc_map was written by stage 0) — the merge shuffles the
-                # flat frame exactly once, no corpus-sized join
-                postings = merge_postings(flat, self.max_per_row)
+                # flat frame exactly once, no corpus-sized join. n_docs
+                # for the grouped merge's stripe width comes from the
+                # doc_map footers (metadata-only count).
+                n_docs = self.spark.read.parquet(self.doc_map_dir).count()
+                postings = merge_postings(
+                    flat, self.max_per_row, n_docs_hint=n_docs
+                )
             else:
                 # stream-analyzed rows (compact bootstrap) can't know
                 # ordinals at arrival: assign now and join

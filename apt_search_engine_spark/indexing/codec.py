@@ -72,11 +72,15 @@ def varbyte_encode_segmented(
     return out.tobytes(), offsets
 
 
-def varbyte_decode(data: bytes) -> np.ndarray:
-    """Decode to an int64 array."""
-    if not data:
+def varbyte_decode(data: bytes | np.ndarray) -> np.ndarray:
+    """Decode to an int64 array (accepts bytes or a uint8 ndarray)."""
+    b = (
+        data
+        if isinstance(data, np.ndarray)
+        else np.frombuffer(data, dtype=np.uint8)
+    )
+    if b.size == 0:
         return np.empty(0, dtype=np.int64)
-    b = np.frombuffer(data, dtype=np.uint8)
     is_last = (b & 0x80) != 0
     # group id for each byte: 0-based index of the value it belongs to
     group = np.zeros(b.size, dtype=np.int64)
@@ -263,3 +267,58 @@ def encode_tfs(tfs: np.ndarray) -> bytes:
 
 def decode_tfs(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.float64)
+
+
+def split_varbyte_stream(
+    region: bytes | np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Byte offsets cutting a concatenated varbyte stream into items of
+    `counts[i]` values each: returns int64 offsets (len = len(counts)+1)
+    with region[off[i]:off[i+1]] containing exactly counts[i] encoded
+    values. Varbyte is self-delimiting (high bit on each value's last
+    byte), so the cut points are positions of the cumulative
+    counts[0..i]-th terminator — one mask + cumsum pass, no per-item
+    Python. Inverse of concatenating per-item varbyte_encode outputs."""
+    b = (
+        region
+        if isinstance(region, np.ndarray)
+        else np.frombuffer(region, dtype=np.uint8)
+    )
+    counts = np.asarray(counts, dtype=np.int64)
+    n = counts.size
+    out = np.zeros(n + 1, dtype=np.int64)
+    if n == 0 or b.size == 0:
+        return out
+    term_pos = np.flatnonzero((b & 0x80) != 0)
+    cum = np.cumsum(counts)
+    out[1:] = term_pos[cum - 1] + 1
+    return out
+
+
+def decode_doc_ids_region(
+    region: bytes | np.ndarray, byte_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """decode_doc_ids_many over a pre-concatenated region: the buffers
+    are region[off[i]:off[i+1]]. Returns (values, value_offsets) —
+    segment i's decoded values are values[voff[i]:voff[i+1]], with each
+    segment's delta chain restored. Zero per-segment Python."""
+    b = (
+        region
+        if isinstance(region, np.ndarray)
+        else np.frombuffer(region, dtype=np.uint8)
+    )
+    byte_offsets = np.asarray(byte_offsets, dtype=np.int64)
+    n = byte_offsets.size - 1
+    if b.size == 0:
+        return np.empty(0, np.int64), np.zeros(n + 1, np.int64)
+    deltas = varbyte_decode(b)
+    last_prefix = np.concatenate(
+        ([0], np.cumsum((b & 0x80) != 0, dtype=np.int64))
+    )
+    voff = last_prefix[byte_offsets]
+    counts = np.diff(voff)
+    starts = voff[:-1]
+    cs = np.cumsum(deltas)
+    corr = np.where(starts > 0, cs[np.maximum(starts, 1) - 1], 0)
+    vals = cs - np.repeat(corr, counts)
+    return vals, voff

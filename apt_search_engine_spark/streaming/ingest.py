@@ -360,7 +360,12 @@ def compact(
     # doc sets), not the full corpus doc_map
     doc_map_delta = spark.read.parquet(staged_doc_map)
     postings_delta = merge_postings(
-        flat, builder.max_per_row, doc_map=doc_map_delta
+        flat,
+        builder.max_per_row,
+        doc_map=doc_map_delta,
+        # stripe width for the grouped merge spans the FULL ordinal
+        # space (delta ords start at old_n_docs)
+        n_docs_hint=old_n_docs + n_new,
     ).persist()
     n_segments = postings_delta.count()  # materialize once
     staged_postings = os.path.join(staging, "postings")
@@ -550,8 +555,17 @@ def recompact(
         src.sparkSession.sparkContext.defaultParallelism,
         len(buckets),
     )
+    # range by TERM ONLY: all of a term's segments must colocate or the
+    # per-term fold cannot reach max_segments_per_term (a boundary
+    # between two of its segments leaves one per side — latent under
+    # per-posting merges, guaranteed under the v12 stripe-grouped merge
+    # which legitimately emits one segment per (term, stripe-range)
+    # partition). rechunk streams segment rows and emits every `cap`
+    # postings, so colocation costs bounded memory; the cost is one
+    # serial task per head term during MAINTENANCE only — acceptable
+    # read-amplification upkeep, and only fragmented buckets are read.
     ranged = src.repartitionByRange(
-        n_parts, F.col("term"), F.col("seg_lo")
+        n_parts, F.col("term")
     ).sortWithinPartitions("term", "seg_lo")
 
     def rechunk(batches):

@@ -258,3 +258,57 @@ def test_r10_url_dedup_merges_scores(spark, tmp_path):
     assert per_url["u-shared"] == pytest.approx(
         per_doc["c#000000"] + per_doc["c#000001"], rel=1e-12
     )
+
+
+def test_grouped_merge_equivalence_and_disjoint_segments(spark, corpus_df):
+    """Layout v12: the grouped-run merge exchange (one shuffle row per
+    (term, ordinal stripe) run) emits the same per-term posting CONTENT
+    as the pandas per-posting reference path — forced here with a tiny
+    cap AND a tiny stripe width so head terms split across many runs,
+    runs split across segments, and groups span Arrow batch boundaries.
+    Per-term segments must stay disjoint strictly-increasing ordinal
+    ranges (the blocks/WAND invariant, indexing/blocks.py:16-18) even
+    though runs from different analyze partitions interleave in ordinal
+    space."""
+    from pyspark.sql import Window
+    from apt_search_engine_spark.indexing.build import (
+        analyze_transcripts,
+        doc_id_expr,
+        merge_postings,
+    )
+
+    tr = corpus_df.limit(400).withColumn(
+        "doc_ord",
+        (F.dense_rank().over(Window.orderBy(doc_id_expr())) - 1).cast("long"),
+    )
+    flat = analyze_transcripts(
+        tr.repartition(5), extra_cols=("doc_ord",)
+    ).cache()
+    cap = 7
+
+    def flatten(df):
+        out: dict[str, list] = {}
+        ranges: dict[str, list] = {}
+        for r in df.collect():
+            assert len(r.doc_ords) <= cap
+            assert list(r.doc_ords) == sorted(r.doc_ords)
+            ranges.setdefault(r.term, []).append((r.ord_lo, r.ord_hi))
+            out.setdefault(r.term, []).extend(
+                zip(
+                    r.doc_ords, (bytes(p) for p in r.positions_vb),
+                    r.n_titles, r.n_h1s, r.n_h2s, r.n_h3s, r.n_h456s,
+                    r.occs, r.dls, r.xtras,
+                )
+            )
+        for t, rs in ranges.items():
+            rs.sort()
+            for a, b in zip(rs, rs[1:]):
+                assert b[0] > a[1], (t, rs)  # disjoint, increasing
+        return {t: sorted(v) for t, v in out.items()}
+
+    g = flatten(merge_postings(flat, max_per_row=cap, _stripe_width=16))
+    p = flatten(
+        merge_postings(flat, max_per_row=cap, use_arrow=False, grouped=False)
+    )
+    flat.unpersist()
+    assert g == p
