@@ -126,7 +126,13 @@ ANALYZED_SCHEMA = (
 # below). On-disk bytes (analyzed checkpoint AND postings) are
 # bit-compatible with v11; the bump names the exchange format so bench
 # A/Bs can refer to it.
-INDEX_LAYOUT_VERSION = 12
+# v13: batch builds write the analyze checkpoint ALREADY GROUPED
+# (GROUPED_BATCH_SCHEMA + doc rows) — the grouping hop is fused into
+# analyze, the checkpoint shrinks, the BM25 doc-length table becomes a
+# columnar filter instead of a per-posting groupBy shuffle. Stored
+# postings remain bit-compatible; stream-ingested checkpoints keep the
+# per-posting layout (ordinals unknown at arrival).
+INDEX_LAYOUT_VERSION = 13
 
 
 # Q11: the reference's title channel processes the literal string "title"
@@ -362,6 +368,16 @@ GROUPED_SCHEMA = (
     "term string, stripe int, n int, doc_ords_vb binary, "
     "positions_vb binary, meta_vb binary"
 )
+# checkpoint variant (layout v13): the batch-build analyze stage writes
+# its checkpoint ALREADY GROUPED (fused into the analyze pipeline — no
+# separate merge-side grouping hop, ~60% smaller checkpoint), carrying
+# the resume batch id per run plus DOC ROWS: stripe = -1, term = the
+# doc_id string, n = the doc's length (dl), doc_ords_vb = varbyte(ord).
+# Doc rows turn the BM25 doc-length table into a columnar filter of the
+# checkpoint (no groupBy shuffle over per-posting rows) and carry the
+# min/max doc_id lineage stats.
+GROUPED_BATCH_SCHEMA = GROUPED_SCHEMA + ", batch int"
+DOC_ROW_STRIPE = -1
 
 # map-side flush threshold (posting rows): bigger flushes amortize more
 # runs; bounded so per-task numpy state stays ~100 MB at worst
@@ -422,89 +438,131 @@ def _runs_binary(arr, run_bounds: np.ndarray):
     return _binary_from_offsets(len(run_bounds) - 1, bounds - base, data)
 
 
-def _group_runs_arrow_factory(stripe_width: int):
+def _group_runs_arrow_factory(
+    stripe_width: int,
+    with_batch: bool = False,
+    with_doc_rows: bool = False,
+):
     """mapInArrow factory over analyzed per-posting rows (term, doc_ord,
-    positions_vb, meta_vb): emits GROUPED_SCHEMA rows — one per
-    (term, stripe) run of this task's accumulated input, postings
-    ord-sorted and delta+varbyte-packed within the run. Accumulates
-    ~_FLUSH_POSTINGS rows before grouping so runs amortize over far more
-    than one incoming 10k-row Arrow batch."""
+    positions_vb, meta_vb[, batch, doc_id, dl]): emits GROUPED_SCHEMA
+    (or GROUPED_BATCH_SCHEMA) rows — one per (term, stripe[, batch]) run
+    of this task's accumulated input, postings ord-sorted and
+    delta+varbyte-packed within the run. With `with_doc_rows` one DOC
+    ROW per distinct document OF EACH FLUSH is emitted alongside
+    (stripe = DOC_ROW_STRIPE, term = doc_id, n = dl, doc_ords_vb =
+    varbyte(ord)). A document whose posting rows straddle a flush
+    boundary (Spark re-slices the analyzer's output frames into 10k-row
+    Arrow batches) yields one IDENTICAL doc row per flush — consumers
+    dedupe by doc_id (build_doc_len_from_flat); min/max lineage stats
+    are duplicate-immune.
+    Accumulates ~_FLUSH_POSTINGS rows before grouping so runs amortize
+    over far more than one incoming 10k-row Arrow batch."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from apt_search_engine_spark.indexing import codec
 
-    def _flush(term_chunks, ord_chunks, pos_chunks, meta_chunks):
-        terms = (
-            pa.concat_arrays(term_chunks)
-            if len(term_chunks) > 1
-            else term_chunks[0]
-        )
+    def _cat(chunks):
+        return pa.concat_arrays(chunks) if len(chunks) > 1 else chunks[0]
+
+    def _flush(acc):
+        terms = _cat(acc["term"])
         denc = pc.dictionary_encode(terms)
         codes = denc.indices.to_numpy().astype(np.int64)
         ords = (
-            np.concatenate(ord_chunks) if len(ord_chunks) > 1 else ord_chunks[0]
+            np.concatenate(acc["ord"])
+            if len(acc["ord"]) > 1
+            else acc["ord"][0]
         )
         m = codes.size
         if m == 0:
-            return None
+            return
+        batches_np = None
+        if with_batch:
+            batches_np = (
+                np.concatenate(acc["batch"])
+                if len(acc["batch"]) > 1
+                else acc["batch"][0]
+            )
         # stripe = ord // width is monotone in ord, so sorting by
-        # (code, ord) already orders by (code, stripe, ord)
-        order = np.lexsort((ords, codes))
+        # (code, ord) already orders by (code, stripe, ord); batch is
+        # the outermost key (the checkpoint partitions by it)
+        keys = (ords, codes) if not with_batch else (ords, codes, batches_np)
+        order = np.lexsort(keys)
         codes_s = codes[order]
         ords_s = ords[order]
         stripes_s = ords_s // stripe_width
-        change = (
-            np.flatnonzero(
-                (codes_s[1:] != codes_s[:-1])
-                | (stripes_s[1:] != stripes_s[:-1])
-            )
-            + 1
+        neq = (codes_s[1:] != codes_s[:-1]) | (
+            stripes_s[1:] != stripes_s[:-1]
         )
+        if with_batch:
+            b_s = batches_np[order]
+            neq = neq | (b_s[1:] != b_s[:-1])
+        change = np.flatnonzero(neq) + 1
         run_starts = np.concatenate((np.zeros(1, dtype=np.int64), change))
         run_bounds = np.concatenate((run_starts, [m]))
         take_idx = pa.array(order)
-        pos_taken = pc.take(
-            pa.concat_arrays(pos_chunks)
-            if len(pos_chunks) > 1
-            else pos_chunks[0],
-            take_idx,
-        )
-        meta_taken = pc.take(
-            pa.concat_arrays(meta_chunks)
-            if len(meta_chunks) > 1
-            else meta_chunks[0],
-            take_idx,
-        )
+        pos_taken = pc.take(_cat(acc["pos"]), take_idx)
+        meta_taken = pc.take(_cat(acc["meta"]), take_idx)
         ords_buf, ords_offs = codec.encode_doc_ids_segmented(
             ords_s, run_starts
         )
         doc_ords_vb = _binary_from_offsets(
             len(run_starts), ords_offs, np.frombuffer(ords_buf, np.uint8)
         )
-        term_col = pc.take(
-            denc.dictionary, pa.array(codes_s[run_starts])
-        )
-        return pa.RecordBatch.from_arrays(
-            [
-                term_col,
-                pa.array(stripes_s[run_starts].astype(np.int32)),
-                pa.array(np.diff(run_bounds).astype(np.int32)),
-                doc_ords_vb,
-                _runs_binary(pos_taken, run_bounds),
-                _runs_binary(meta_taken, run_bounds),
-            ],
-            names=[
-                "term", "stripe", "n",
-                "doc_ords_vb", "positions_vb", "meta_vb",
-            ],
-        )
+        term_col = pc.take(denc.dictionary, pa.array(codes_s[run_starts]))
+        arrays = [
+            term_col,
+            pa.array(stripes_s[run_starts].astype(np.int32)),
+            pa.array(np.diff(run_bounds).astype(np.int32)),
+            doc_ords_vb,
+            _runs_binary(pos_taken, run_bounds),
+            _runs_binary(meta_taken, run_bounds),
+        ]
+        names = [
+            "term", "stripe", "n",
+            "doc_ords_vb", "positions_vb", "meta_vb",
+        ]
+        if with_batch:
+            arrays.append(pa.array(b_s[run_starts].astype(np.int32)))
+            names.append("batch")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+        if with_doc_rows:
+            u_ords, uidx = np.unique(ords, return_index=True)
+            nd = u_ords.size
+            dbuf, doffs = codec.encode_doc_ids_segmented(
+                u_ords, np.arange(nd, dtype=np.int64)
+            )
+            dls = (
+                np.concatenate(acc["dl"])
+                if len(acc["dl"]) > 1
+                else acc["dl"][0]
+            )
+            empty = _binary_from_offsets(
+                nd, np.zeros(nd + 1, np.int64), np.empty(0, np.uint8)
+            )
+            d_arrays = [
+                pc.take(_cat(acc["doc_id"]), pa.array(uidx)),
+                pa.array(np.full(nd, DOC_ROW_STRIPE, np.int32)),
+                pa.array(dls[uidx].astype(np.int32)),
+                _binary_from_offsets(
+                    nd, doffs, np.frombuffer(dbuf, np.uint8)
+                ),
+                empty,
+                empty,
+            ]
+            if with_batch:
+                d_arrays.append(pa.array(batches_np[uidx].astype(np.int32)))
+            yield pa.RecordBatch.from_arrays(d_arrays, names=names)
+
+    in_cols = ["term", "ord", "pos", "meta"]
+    if with_batch:
+        in_cols.append("batch")
+    if with_doc_rows:
+        in_cols += ["doc_id", "dl"]
 
     def group(batches):
-        term_c: list = []
-        ord_c: list = []
-        pos_c: list = []
-        meta_c: list = []
+        acc: dict[str, list] = {c: [] for c in in_cols}
         cnt = 0
         for batch in batches:
             if not batch.num_rows:
@@ -513,20 +571,24 @@ def _group_runs_arrow_factory(stripe_width: int):
                 name: batch.column(i)
                 for i, name in enumerate(batch.schema.names)
             }
-            term_c.append(col["term"])
-            ord_c.append(col["doc_ord"].to_numpy())
-            pos_c.append(col["positions_vb"])
-            meta_c.append(col["meta_vb"])
+            acc["term"].append(col["term"])
+            acc["ord"].append(col["doc_ord"].to_numpy())
+            acc["pos"].append(col["positions_vb"])
+            acc["meta"].append(col["meta_vb"])
+            if with_batch:
+                acc["batch"].append(
+                    col["batch"].to_numpy().astype(np.int64)
+                )
+            if with_doc_rows:
+                acc["doc_id"].append(col["doc_id"])
+                acc["dl"].append(col["dl"].to_numpy())
             cnt += batch.num_rows
             if cnt >= _FLUSH_POSTINGS:
-                out = _flush(term_c, ord_c, pos_c, meta_c)
-                if out is not None:
-                    yield out
-                term_c, ord_c, pos_c, meta_c, cnt = [], [], [], [], 0
+                yield from _flush(acc)
+                acc = {c: [] for c in in_cols}
+                cnt = 0
         if cnt:
-            out = _flush(term_c, ord_c, pos_c, meta_c)
-            if out is not None:
-                yield out
+            yield from _flush(acc)
 
     return group
 
@@ -1077,6 +1139,35 @@ def merge_postings(
         stream-analyzed batches that cannot know ordinals at arrival.
     With neither (ad-hoc in-memory corpora) the ord/wtf-array columns
     are omitted and no blocks companion can be derived."""
+    if "stripe" in flat.columns:
+        # layout v13: the analyze checkpoint is ALREADY grouped
+        # (GROUPED_BATCH_SCHEMA, batch builds) — drop the doc rows and
+        # the batch id, range-partition the runs, assemble. No grouping
+        # hop, no doc_map join (ordinals were stamped before grouping).
+        if doc_map is not None:
+            raise ValueError("pre-grouped frames carry final ordinals")
+        if not use_arrow:
+            raise ValueError("grouped checkpoints need the Arrow path")
+        n_parts = max(
+            flat.sparkSession.sparkContext.defaultParallelism * 2,
+            int(
+                flat.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            ),
+        )
+        runs = flat.filter(F.col("stripe") >= 0).select(
+            "term", "stripe", "n",
+            "doc_ords_vb", "positions_vb", "meta_vb",
+        )
+        ranged = runs.repartitionByRange(
+            n_parts, F.col("term"), F.col("stripe")
+        ).sortWithinPartitions("term", "stripe")
+        assembled = ranged.mapInArrow(
+            _assemble_grouped_arrow_factory(max_per_row, _COLS_ORD),
+            _ASSEMBLED_SCHEMA_ORD,
+        )
+        return _finish_segments(assembled, with_ord=True)
     with_ord = doc_map is not None or "doc_ord" in flat.columns
     if doc_map is not None:
         # an explicit map always wins: compaction deltas re-assign above
@@ -1161,11 +1252,16 @@ def merge_postings(
             assembled = ranged.mapInPandas(
                 _assemble_factory(max_per_row, cols), schema
             )
-    # storage stays columnar-in-row (parallel arrays, tag prefix counts):
-    # materializing array<struct> + per-position tag strings here costs an
-    # unvectorized codegen loop per 32k-element row and multiplies index
-    # bytes — consumers reconstruct lazily via with_postings_struct on
-    # term-pruned reads (schema.py POSTINGS rationale)
+    return _finish_segments(assembled, with_ord)
+
+
+def _finish_segments(assembled: DataFrame, with_ord: bool) -> DataFrame:
+    """Shared merge tail: term bucket + scalar doc-range columns.
+    Storage stays columnar-in-row (parallel arrays, tag prefix counts):
+    materializing array<struct> + per-position tag strings here costs an
+    unvectorized codegen loop per 32k-element row and multiplies index
+    bytes — consumers reconstruct lazily via with_postings_struct on
+    term-pruned reads (schema.py POSTINGS rationale)."""
     merged = assembled.withColumn(
         "term_bucket",
         F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
@@ -1203,20 +1299,24 @@ def build_lexicon(postings: DataFrame) -> DataFrame:
 
 
 def build_lexicon_from_flat(flat: DataFrame) -> DataFrame:
-    """Lexicon straight from the analyzed flat rows (one row per
-    (doc, term)): df = count per term. Reads ONLY the term column
-    (columnar pruning) — building from written postings would re-scan the
-    nested doc_ids arrays of the whole index. Same skew-free partial
-    aggregate as build_lexicon."""
-    return (
-        flat.groupBy("term")
-        .agg(F.count("*").cast("int").alias("df"))
-        .withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
+    """Lexicon straight from the analyzed checkpoint: df = count per
+    term. Per-posting frames count rows; grouped (v13) checkpoints sum
+    the per-run posting counts over (term, n) — runs, not postings,
+    reach the aggregate. Columnar pruning either way — building from
+    written postings would re-scan the nested arrays of the whole
+    index. Same skew-free partial aggregate as build_lexicon."""
+    if "stripe" in flat.columns:
+        agg = (
+            flat.filter(F.col("stripe") >= 0)
+            .groupBy("term")
+            .agg(F.sum("n").cast("int").alias("df"))
         )
-        .select("term", "df", "term_bucket")
-    )
+    else:
+        agg = flat.groupBy("term").agg(F.count("*").cast("int").alias("df"))
+    return agg.withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
+    ).select("term", "df", "term_bucket")
 
 
 def build_doc_len_from_flat(flat: DataFrame) -> DataFrame:
@@ -1229,7 +1329,22 @@ def build_doc_len_from_flat(flat: DataFrame) -> DataFrame:
     missing dl to 0 (they can only see docs that DO have postings).
     Falls back to size(positions) for pre-v6 analyzed frames that lack
     the occ column (equal by construction; analyzer emits occ ==
-    len(positions))."""
+    len(positions)).
+
+    Grouped (v13) checkpoints carry DOC ROWS (stripe == DOC_ROW_STRIPE,
+    term = doc_id, n = dl): the table is a columnar FILTER of the
+    checkpoint — no per-posting aggregate at all. dropDuplicates because
+    a doc whose posting rows straddled a group-pass flush emitted one
+    identical doc row per flush."""
+    if "stripe" in flat.columns:
+        return (
+            flat.filter(F.col("stripe") == DOC_ROW_STRIPE)
+            .select(
+                F.col("term").alias("doc_id"),
+                F.col("n").cast("long").alias("dl"),
+            )
+            .dropDuplicates(["doc_id"])
+        )
     occ = F.col("occ") if "occ" in flat.columns else F.size("positions")
     return flat.groupBy("doc_id").agg(
         F.sum(occ).cast("long").alias("dl")
@@ -1500,6 +1615,22 @@ class IndexBuilder:
         flat = analyze_transcripts(
             part, extra_cols=("batch", "doc_ord"), channels=self.channels
         )
+        # layout v13: the checkpoint is written ALREADY GROUPED — the
+        # (term, stripe) run grouping is fused onto the analyze pipeline
+        # (same stage, no shuffle, no extra parquet round trip), so the
+        # merge reads runs directly and the checkpoint stores varbyte
+        # runs instead of per-posting rows. Doc rows (stripe = -1) carry
+        # (doc_id, dl) for the BM25 doc-length table and the doc-range
+        # lineage stats.
+        grouped = flat.select(
+            "term", "doc_ord", "positions_vb", "meta_vb",
+            "batch", "doc_id", "dl",
+        ).mapInArrow(
+            _group_runs_arrow_factory(
+                self._stripe_width(), with_batch=True, with_doc_rows=True
+            ),
+            GROUPED_BATCH_SCHEMA,
+        )
         # per-batch lineage stats: for small todo sets they RIDE the write
         # as conditional aggregates in one Observation (zero extra jobs —
         # extra driver-side serial jobs are exactly what erodes N->4N
@@ -1514,16 +1645,18 @@ class IndexBuilder:
             exprs = []
             for b in todo:
                 cond = F.col("batch") == b
+                post = cond & (F.col("stripe") >= 0)
+                docr = cond & (F.col("stripe") == DOC_ROW_STRIPE)
                 exprs += [
-                    F.count(F.when(cond, 1)).alias(f"n_{b}"),
-                    F.min(F.when(cond, F.col("doc_id"))).alias(f"dlo_{b}"),
-                    F.max(F.when(cond, F.col("doc_id"))).alias(f"dhi_{b}"),
-                    F.min(F.when(cond, F.col("term"))).alias(f"tlo_{b}"),
-                    F.max(F.when(cond, F.col("term"))).alias(f"thi_{b}"),
+                    F.sum(F.when(post, F.col("n"))).alias(f"n_{b}"),
+                    F.min(F.when(docr, F.col("term"))).alias(f"dlo_{b}"),
+                    F.max(F.when(docr, F.col("term"))).alias(f"dhi_{b}"),
+                    F.min(F.when(post, F.col("term"))).alias(f"tlo_{b}"),
+                    F.max(F.when(post, F.col("term"))).alias(f"thi_{b}"),
                 ]
-            flat = flat.observe(obs, *exprs)
+            grouped = grouped.observe(obs, *exprs)
         (
-            flat.write.mode("overwrite")
+            grouped.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch")
             .parquet(self.analyzed_dir)
@@ -1554,6 +1687,8 @@ class IndexBuilder:
                 if got[f"n_{b}"]
             }
         else:
+            post = F.col("stripe") >= 0
+            docr = F.col("stripe") == DOC_ROW_STRIPE
             stats = {
                 int(r.batch): r
                 for r in (
@@ -1561,11 +1696,11 @@ class IndexBuilder:
                     .filter(F.col("batch").isin(todo))
                     .groupBy("batch")
                     .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.min("doc_id").alias("dlo"),
-                        F.max("doc_id").alias("dhi"),
-                        F.min("term").alias("tlo"),
-                        F.max("term").alias("thi"),
+                        F.sum(F.when(post, F.col("n"))).alias("n"),
+                        F.min(F.when(docr, F.col("term"))).alias("dlo"),
+                        F.max(F.when(docr, F.col("term"))).alias("dhi"),
+                        F.min(F.when(post, F.col("term"))).alias("tlo"),
+                        F.max(F.when(post, F.col("term"))).alias("thi"),
                     )
                     .collect()
                 )
@@ -1592,6 +1727,27 @@ class IndexBuilder:
     @property
     def doc_map_dir(self):
         return os.path.join(self.index_dir, "doc_map")
+
+    def _stripe_width(self) -> int:
+        """Stripe width of this index's grouped checkpoint/merge. Chosen
+        once from the corpus size (doc_map footers count) and PERSISTED
+        in layout.json: resumed analyze runs must cut runs at identical
+        ordinal boundaries or the per-term segment disjointness argument
+        breaks across batches."""
+        with open(self.layout_path) as f:
+            layout = json.load(f)
+        if "stripe_width" not in layout:
+            n_docs = self.spark.read.parquet(self.doc_map_dir).count()
+            n_parts = max(
+                self.spark.sparkContext.defaultParallelism * 2,
+                int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+                ),
+            )
+            layout["stripe_width"] = stripe_width_for(n_docs, n_parts)
+            with open(self.layout_path, "w") as f:
+                json.dump(layout, f)
+        return int(layout["stripe_width"])
 
     # -- stages 2+3 -------------------------------------------------------
     @property
@@ -1667,12 +1823,15 @@ class IndexBuilder:
             fut_meta = (
                 pool.submit(_doc_meta_job) if transcripts is not None else None
             )
-            if "doc_ord" in flat.columns:
-                # batch-analyzed rows carry doc_ord (stamped at ingest; the
-                # doc_map was written by stage 0) — the merge shuffles the
-                # flat frame exactly once, no corpus-sized join. n_docs
-                # for the grouped merge's stripe width comes from the
-                # doc_map footers (metadata-only count).
+            if "stripe" in flat.columns:
+                # layout v13: the checkpoint is already grouped runs —
+                # the merge is exactly one exchange + assembly
+                postings = merge_postings(flat, self.max_per_row)
+            elif "doc_ord" in flat.columns:
+                # per-posting rows carrying doc_ord (pre-v13 checkpoints,
+                # direct callers) — group at merge time. n_docs for the
+                # stripe width comes from the doc_map footers
+                # (metadata-only count).
                 n_docs = self.spark.read.parquet(self.doc_map_dir).count()
                 postings = merge_postings(
                     flat, self.max_per_row, n_docs_hint=n_docs

@@ -73,7 +73,14 @@ def varbyte_encode_segmented(
 
 
 def varbyte_decode(data: bytes | np.ndarray) -> np.ndarray:
-    """Decode to an int64 array (accepts bytes or a uint8 ndarray)."""
+    """Decode to an int64 array (accepts bytes or a uint8 ndarray).
+
+    Mirrors the encoder's shape: one pass per byte POSITION over the
+    (shrinking) subset of values that long — values are overwhelmingly
+    1-2 bytes, so this touches each byte ~once. The previous
+    formulation materialized ~6 full-length int64 temporaries (per-BYTE
+    group ids via cumsum + reduceat), which made the assembler's meta
+    decode the hottest loop of the whole merge at 8+ cores."""
     b = (
         data
         if isinstance(data, np.ndarray)
@@ -81,14 +88,22 @@ def varbyte_decode(data: bytes | np.ndarray) -> np.ndarray:
     )
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
-    is_last = (b & 0x80) != 0
-    # group id for each byte: 0-based index of the value it belongs to
-    group = np.zeros(b.size, dtype=np.int64)
-    group[1:] = np.cumsum(is_last[:-1])
-    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    within = np.arange(b.size) - starts[group]
-    contrib = (b & 0x7F).astype(np.int64) << (7 * within)
-    return np.add.reduceat(contrib, starts)
+    term_pos = np.flatnonzero(b & 0x80)
+    n = term_pos.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = term_pos[:-1] + 1
+    nb = term_pos - starts + 1
+    max_nb = int(nb.max())
+    if max_nb == 1:  # every value fits 7 bits — one masked gather
+        return (b[term_pos] & 0x7F).astype(np.int64)
+    out = (b[starts] & 0x7F).astype(np.int64)
+    for k in range(1, max_nb):
+        sel = np.flatnonzero(nb > k)
+        out[sel] |= (
+            (b[starts[sel] + k] & 0x7F).astype(np.int64) << (7 * k)
+        )
+    return out
 
 
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:

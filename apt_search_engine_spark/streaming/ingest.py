@@ -319,12 +319,18 @@ def compact(
         # are unavailable
         n_docs = _turn_counts(analyzed)
         if n_docs is None:
-            n_docs = (
-                spark.read.parquet(builder.analyzed_dir)
-                .select("doc_id")
-                .distinct()
-                .count()
-            )
+            adf = spark.read.parquet(builder.analyzed_dir)
+            if "stripe" in adf.columns:
+                # grouped (v13) checkpoint: doc rows ARE the distinct
+                # analyzed docs (dedupe flush-straddlers)
+                n_docs = (
+                    adf.filter(F.col("stripe") < 0)
+                    .select("term")
+                    .distinct()
+                    .count()
+                )
+            else:
+                n_docs = adf.select("doc_id").distinct().count()
         state = {
             "batches": sorted(merged | set(delta)),
             "cids": state["cids"],
@@ -349,6 +355,18 @@ def compact(
     flat = spark.read.parquet(builder.analyzed_dir).filter(
         F.col("batch").isin(delta)
     )
+    if "stripe" in flat.columns:
+        # batch-built (v13 grouped) checkpoints already own the FULL
+        # ordinal space starting at 0 — appending them onto an existing
+        # index would collide ordinals. Their merge path is
+        # IndexBuilder.merge_and_write (the bootstrap branch above);
+        # incremental deltas come from stream-analyzed (per-posting)
+        # batches only.
+        raise ValueError(
+            "incremental compaction over a grouped (batch-built) "
+            "analyzed checkpoint is not supported; rebuild via "
+            "IndexBuilder or ingest deltas through the stream path"
+        )
     new_docs = flat.select("doc_id").distinct()
     n_new = _turn_counts(set(delta))
     if n_new is None:
