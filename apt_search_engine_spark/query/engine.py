@@ -59,22 +59,72 @@ def _esc(term: str) -> str:
     return term.replace("\\", "\\\\").replace("'", "\\'")
 
 
-def _decode_positions_udf():
-    """Arrow-batched per-posting decoder: `positions_vb binary` (layout
-    v9 delta+varbyte) -> array<int>. Only the phrase adjacency path
-    decodes, and only AFTER the rarest-term semi-join bounded the
-    candidate rows — scoring paths never touch positions at all. The
-    whole Arrow batch decodes in ONE vectorized codec pass
-    (codec.decode_doc_ids_many) — a per-row lambda here tripled
-    q_phrase/q_boolean latency on head-term phrases."""
+def _phrase_match_udf(terms: list[str]):
+    """Fused P5 adjacency filter over per-doc aggregated rows: input is
+    the doc's collected (term list, positions_vb list), output is
+    whether the exact phrase occurs. One Arrow batch = one vectorized
+    codec decode (layout v9 delta+varbyte) + one sorted intersection
+    fold over doc-strided position keys (row_index * 2^33 + position -
+    phrase_offset): positions within a doc are stored ascending and
+    rows ascend within the batch, so every per-offset step is a single
+    searchsorted probe — no per-row Python loop (a per-row lambda here
+    tripled latency on head-term phrases), and no re-sort (the arrays
+    arrive sorted). Rows lacking a phrase term simply contribute no
+    keys for it and fall out of the intersection, so correctness does
+    not depend on the P4 nt-filter having run first (Catalyst may
+    reorder deterministic UDF filters).
+
+    Reference semantics: handlePhrase's per-doc index-shifted positions
+    intersection (QueryProcessor.java:130-173), including repeated
+    terms at multiple phrase offsets."""
     from apt_search_engine_spark.indexing import codec
 
-    @F.pandas_udf("array<int>")
-    def _d(s: pd.Series) -> pd.Series:
-        arrs = codec.decode_doc_ids_many([bytes(b) for b in s])
-        return pd.Series([a.astype(np.int32, copy=False) for a in arrs])
+    offsets: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        offsets.setdefault(t, []).append(i)
+    term_list = list(offsets.keys())
+    off_list = [offsets[t] for t in term_list]
+    stride = np.int64(1) << 33  # positions are int32 < 2^31 << stride
 
-    return _d
+    @F.pandas_udf("boolean")
+    def _m(ts: pd.Series, vbs: pd.Series) -> pd.Series:
+        n = len(vbs)
+        if n == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        counts = np.fromiter((len(r) for r in vbs), np.int64, n)
+        flat_vb = [bytes(v) for row in vbs for v in row]
+        flat_t = np.array([t for row in ts for t in row])
+        arrs = codec.decode_doc_ids_many(flat_vb)
+        lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cur = None
+        for tname, offs in zip(term_list, off_list):
+            sel = np.flatnonzero(flat_t == tname)
+            if sel.size == 0:
+                cur = np.empty(0, np.int64)
+                break
+            cat = np.concatenate([arrs[j] for j in sel])
+            base = np.repeat(row_of[sel], lens[sel]) * stride + cat
+            for off in offs:
+                sh = base - off
+                if cur is None:
+                    cur = sh
+                else:
+                    idx = np.searchsorted(sh, cur)
+                    valid = idx < sh.size
+                    keep = np.zeros(cur.size, dtype=bool)
+                    keep[valid] = sh[idx[valid]] == cur[valid]
+                    cur = cur[keep]
+                if cur.size == 0:
+                    break
+            if cur is not None and cur.size == 0:
+                break
+        out = np.zeros(n, dtype=bool)
+        if cur is not None and cur.size:
+            out[np.unique(cur // stride)] = True
+        return pd.Series(out)
+
+    return _m
 
 
 # -- BM25 (the standard scorer offered alongside reference parity) --------
@@ -111,6 +161,8 @@ class SearchEngine:
         self._postings_df = postings_df
         self._lexicon_df = None
         self.doc_prior = doc_prior
+        self._df_cache: dict[str, int | None] = {}
+        self._reader_cache: dict[str, DataFrame] = {}
         if index_dir is not None:
             self.postings_path = os.path.join(index_dir, "postings")
             self.lexicon_path = os.path.join(index_dir, "lexicon")
@@ -200,7 +252,7 @@ class SearchEngine:
             src = self._postings_df
         else:
             buckets = sorted({self._bucket(t) for t in distinct})
-            src = self.spark.read.parquet(self.postings_path).filter(
+            src = self._read(self.postings_path).filter(
                 F.col("term_bucket").isin(buckets)
             )
         src = src.filter(F.col("term").isin(distinct))
@@ -248,27 +300,58 @@ class SearchEngine:
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Document frequency per term from the lexicon (bucket-pruned
-        disk read or the in-memory lexicon frame)."""
+        disk read or the in-memory lexicon frame).
+
+        Memoized per engine instance (absent terms cached as absent
+        too): one query touches the lexicon for the same words from
+        several plan builders (_exploded's df stamp, the phrase rare
+        probe, the scorer's idf), and each un-memoized call is a full
+        driver round trip — a serial ~0.2 s Spark job whose latency no
+        amount of cluster buys down. An engine is bound to one index
+        state (recompaction writes a new state and readers re-open), so
+        the cache cannot go stale mid-instance."""
         distinct = sorted(set(terms))
         if not distinct:
             return {}
-        if self._lexicon_df is not None:
-            src = self._lexicon_df
-        else:
-            buckets = sorted({self._bucket(t) for t in distinct})
-            src = self.spark.read.parquet(self.lexicon_path).filter(
-                F.col("term_bucket").isin(buckets)
-            )
-        rows = src.filter(F.col("term").isin(distinct)).select(
-            "term", "df"
-        ).collect()
-        return {r.term: int(r.df) for r in rows}
+        missing = [t for t in distinct if t not in self._df_cache]
+        if missing:
+            if self._lexicon_df is not None:
+                src = self._lexicon_df
+            else:
+                buckets = sorted({self._bucket(t) for t in missing})
+                src = self._read(self.lexicon_path).filter(
+                    F.col("term_bucket").isin(buckets)
+                )
+            rows = src.filter(F.col("term").isin(missing)).select(
+                "term", "df"
+            ).collect()
+            got = {r.term: int(r.df) for r in rows}
+            for t in missing:
+                self._df_cache[t] = got.get(t)  # None = absent
+        return {
+            t: self._df_cache[t]
+            for t in distinct
+            if self._df_cache[t] is not None
+        }
+
+    def _read(self, path: str) -> DataFrame:
+        """Memoized `spark.read.parquet` over one index table. The
+        returned frame is a LAZY logical plan — memoizing it reuses the
+        resolved relation (file listing + schema footer read), which
+        otherwise costs one serial 1-task driver job PER
+        spark.read.parquet call: a single phrase query touches postings
+        twice plus doc_map, and those metadata jobs plus their planning
+        gaps were ~30% of query wall at bench scale. Filters/projections
+        compose on top unchanged (scan pruning happens at execution).
+        Like the df memo above, the cache pins the engine to one index
+        state; compaction publishes a new state and readers re-open."""
+        if path not in self._reader_cache:
+            self._reader_cache[path] = self.spark.read.parquet(path)
+        return self._reader_cache[path]
 
     def _doc_map(self) -> DataFrame:
-        """(doc_ord, doc_id) forward map of the disk index (lazy frame;
-        reread per plan — the parquet footer cache makes this cheap and
-        keeps the engine stateless across compactions)."""
-        return self.spark.read.parquet(
+        """(doc_ord, doc_id) forward map of the disk index."""
+        return self._read(
             os.path.join(self.index_dir, "doc_map")
         ).select("doc_ord", "doc_id")
 
@@ -304,7 +387,7 @@ class SearchEngine:
         if self._postings_df is not None:
             src = self._postings_df
         else:
-            src = self.spark.read.parquet(self.postings_path).filter(
+            src = self._read(self.postings_path).filter(
                 F.col("term_bucket") == self._bucket(term)
             )
         return (
@@ -348,36 +431,32 @@ class SearchEngine:
         if len(distinct) > 1:
             rarest = min(distinct, key=lambda t: (dfs[t], t))
             ex = ex.join(self._term_doc_set(rarest), key, "left_semi")
-        # decode varbyte positions ONLY on the candidate-bounded rows
-        dec = ex.withColumn(
-            "positions", _decode_positions_udf()(F.col("positions_vb"))
-        ).drop("positions_vb")
-        payload = ["term", "positions", "wtf"] + (
+        payload = ["term", "positions_vb", "wtf"] + (
             ["occ", "dl"] if with_occ_dl else []
         )
         per_doc = (
-            dec.groupBy(key)
+            ex.groupBy(key)
             .agg(
                 F.collect_list(F.struct(*payload)).alias("ps"),
                 F.countDistinct("term").alias("nt"),
             )
             .filter(F.col("nt") == len(distinct))  # P4 intersection
-            .withColumn(
-                "m",
-                F.expr(
-                    "map_from_entries("
-                    "transform(ps, x -> struct(x.term, x.positions)))"
-                ),
+        )
+        # P5 adjacency as ONE Arrow pass over the aggregated rows
+        # (decode + index-shifted intersection fused): positions stay
+        # delta+varbyte binary through the shuffle (smaller than decoded
+        # array<int>), the whole batch decodes in one vectorized codec
+        # call, and the per-offset intersection is a sorted searchsorted
+        # probe over doc-strided position keys — no per-row Python, no
+        # separate pre-shuffle decode stage, no Catalyst
+        # map_from_entries/array_intersect fold (that chain cost ~2x
+        # this shape's wall on head-term phrases at bench scale).
+        matched = per_doc.filter(
+            _phrase_match_udf(terms)(
+                F.expr("transform(ps, x -> x.term)"),
+                F.expr("transform(ps, x -> x.positions_vb)"),
             )
         )
-        # P5: fold array_intersect over index-shifted position arrays
-        base = f"m['{_esc(terms[0])}']"
-        for i, t in enumerate(terms[1:], start=1):
-            base = (
-                f"array_intersect({base}, "
-                f"transform(m['{_esc(t)}'], x -> x - {i}))"
-            )
-        matched = per_doc.filter(F.expr(f"size({base}) > 0"))
         out_cols = [
             F.col("p.term").alias("term"),
             F.col(key),
@@ -522,7 +601,7 @@ class SearchEngine:
             if self.doc_meta_path is not None and os.path.isdir(
                 self.doc_meta_path
             ):
-                urls = self.spark.read.parquet(self.doc_meta_path).select(
+                urls = self._read(self.doc_meta_path).select(
                     "doc_id", "url"
                 )
                 pri = urls.join(pri, "url").select("doc_id", "prior")
@@ -595,7 +674,7 @@ class SearchEngine:
             # doc_map in ordinal space) — candidate-bounded left side.
             if self.doc_meta_path is None:
                 raise ValueError("dedup_by_url needs a disk index (doc_meta)")
-            urls = self.spark.read.parquet(self.doc_meta_path).select(
+            urls = self._read(self.doc_meta_path).select(
                 "doc_id", "url"
             )
             if key == "doc_ord":
@@ -651,7 +730,7 @@ class SearchEngine:
         if self.doc_meta_path is not None and os.path.isdir(
             self.doc_meta_path
         ):
-            urls = self.spark.read.parquet(self.doc_meta_path).select(
+            urls = self._read(self.doc_meta_path).select(
                 "doc_id", "url"
             )
             pri = urls.join(pri, "url").select("doc_id", "prior")
@@ -690,11 +769,11 @@ class SearchEngine:
         term_mult = {w: 1 for w in words}
         buckets = sorted({self._bucket(t) for t in term_mult})
         blocks = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+            self._read(os.path.join(self.index_dir, "blocks"))
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term").isin(list(term_mult)))
         )
-        doc_map = self.spark.read.parquet(
+        doc_map = self._read(
             os.path.join(self.index_dir, "doc_map")
         )
         return wand_topk(
@@ -882,11 +961,11 @@ class SearchEngine:
         idfs = {w: bm25_idf(dfs[w], self.n_docs) for w in words}
         buckets = sorted({self._bucket(t) for t in words})
         blocks = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+            self._read(os.path.join(self.index_dir, "blocks"))
             .filter(F.col("term_bucket").isin(buckets))
             .filter(F.col("term").isin(words))
         )
-        doc_map = self.spark.read.parquet(
+        doc_map = self._read(
             os.path.join(self.index_dir, "doc_map")
         )
         return wand_bm25_topk(
@@ -910,7 +989,7 @@ class SearchEngine:
         meta = {}
         if ids and self.doc_meta_path is not None:
             meta_rows = (
-                self.spark.read.parquet(self.doc_meta_path)
+                self._read(self.doc_meta_path)
                 .filter(F.col("doc_id").isin(ids))
                 .collect()
             )

@@ -136,7 +136,10 @@ def test_phrase_semi_join_precedes_positions_aggregate(engine):
     term's full postings never cross the aggregate shuffle."""
     fd = engine._phrase_filtered(["travel", "guid"])
     plan = fd._jdf.queryExecution().optimizedPlan().toString()
-    i_agg = plan.find("map_from_entries")
+    # the adjacency check is the fused Arrow filter over aggregated rows
+    i_adj = plan.find("ArrowEvalPython")
+    assert i_adj != -1, plan
+    i_agg = plan.find("Aggregate", i_adj)
     assert i_agg != -1, plan
     assert "LeftSemi" in plan[i_agg:], plan
 
