@@ -768,6 +768,203 @@ FROM toks GROUP BY doc_id
 """
 
 
+# ------------------------------------- repetition signals (quality filter)
+def _runlen_agg(arr_expr: str, finish: str) -> str:
+    """Run-length scan over a SORTED string array as one JVM `aggregate`
+    expression: the accumulator carries (prev gram, current run length,
+    max run, duplicated-token sum) and `finish` picks the wanted stat.
+    Equal grams are adjacent after array_sort, so a single linear pass
+    yields the same counts a groupBy(gram) would — without the shuffle."""
+    return (
+        f"aggregate({arr_expr}, "
+        "named_struct('prev', cast(null as string), 'run', 0, "
+        "'best', 0, 'dup', 0), "
+        "(acc, x) -> if(x = acc.prev, "
+        "named_struct('prev', x, 'run', acc.run + 1, "
+        "'best', greatest(acc.best, acc.run + 1), "
+        "'dup', acc.dup + if(acc.run = 1, 2, 1)), "
+        "named_struct('prev', x, 'run', 1, "
+        "'best', greatest(acc.best, 1), 'dup', acc.dup)), "
+        f"acc -> {finish})"
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Word n-gram repetition signals (Gopher/C4-style quality filters
+    for LLM training data): per document, the most frequent bigram's
+    occurrence count and mass fraction, and the fraction of trigram
+    tokens that belong to a repeated trigram. Deliberately map-only:
+    bigram/trigram arrays are built with zip_with over the word array,
+    array_sort makes equal grams adjacent, and a single `aggregate`
+    run-length scan extracts max-occurrence / duplicated-mass — zero
+    shuffle, pure per-row JVM expression work, so at 100 TB this is an
+    embarrassingly parallel map job (the explode+groupBy(doc_id, gram)
+    alternative would shuffle a corpus-sized gram stream on doc_id).
+    The reference has no repetition filter (its unit is the whole page);
+    LLM-pipeline extension family."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.filter(_raw_arr(), lambda x: x != "").alias("w")
+    )
+    sized = docs.withColumn("n", F.size("w")).filter(F.col("n") >= 3)
+    grams = sized.select(
+        "doc_id",
+        "n",
+        F.expr(
+            "array_sort(zip_with(slice(w, 1, n - 1), slice(w, 2, n - 1), "
+            "(a, b) -> concat(a, ' ', b)))"
+        ).alias("big"),
+        F.expr(
+            "array_sort(zip_with(zip_with(slice(w, 1, n - 2), "
+            "slice(w, 2, n - 2), (a, b) -> concat(a, ' ', b)), "
+            "slice(w, 3, n - 2), (g, c) -> concat(g, ' ', c)))"
+        ).alias("tri"),
+    )
+    return grams.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_words"),
+        F.expr(_runlen_agg("big", "acc.best")).cast("int").alias("top_bigram_occ"),
+        (
+            F.expr(_runlen_agg("big", "acc.best")).cast("double")
+            / (F.col("n") - 1)
+        ).alias("top_bigram_frac"),
+        F.expr(_runlen_agg("tri", "acc.dup")).cast("int").alias("dup_trigram_toks"),
+        (
+            F.expr(_runlen_agg("tri", "acc.dup")).cast("double")
+            / (F.col("n") - 2)
+        ).alias("dup_trigram_frac"),
+    )
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text),
+                     '[^a-z0-9]', ' ', 'g'), '\s+'), x -> x <> '') AS w
+  FROM documents
+), base AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) >= 3),
+toks AS (
+  SELECT doc_id, tok AS t, ord,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t2
+  FROM (SELECT doc_id, unnest(w) AS tok,
+               generate_subscripts(w, 1) AS ord FROM base)
+),
+bigc AS (SELECT doc_id, t || ' ' || t1 AS g, count(*) AS c
+         FROM toks WHERE t1 IS NOT NULL GROUP BY doc_id, g),
+bigagg AS (SELECT doc_id, max(c) AS top_occ, sum(c) AS nb
+           FROM bigc GROUP BY doc_id),
+tric AS (SELECT doc_id, t || ' ' || t1 || ' ' || t2 AS g, count(*) AS c
+         FROM toks WHERE t2 IS NOT NULL GROUP BY doc_id, g),
+triagg AS (SELECT doc_id,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                  sum(c) AS nt
+           FROM tric GROUP BY doc_id)
+SELECT b.doc_id,
+       base.n::INT AS n_words,
+       b.top_occ::INT AS top_bigram_occ,
+       (b.top_occ::DOUBLE / b.nb) AS top_bigram_frac,
+       t.dup::INT AS dup_trigram_toks,
+       (t.dup::DOUBLE / t.nt) AS dup_trigram_frac
+FROM bigagg b JOIN triagg t USING (doc_id) JOIN base USING (doc_id)
+"""
+
+
+# --------------------------------------------------- PII scrub (LLM hygiene)
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, SSN-shaped ids, 555-phone
+    numbers): per-doc match counts and the scrubbed text with typed
+    placeholders. The synthetic corpus carries no PII, so deterministic
+    PII is first injected from doc_id arithmetic (same expression on
+    both engines) to make the check non-vacuous. Everything is native
+    regexp_extract_all / regexp_replace — map-only, whole-stage codegen,
+    no shuffle; at 100 TB a pure map job. Replacement order (email →
+    SSN → phone) is fixed and mirrored in the oracle. LLM-pipeline
+    extension family (reference has no scrubber)."""
+    d = F.col("doc_id")
+    inj = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    ).filter((d % 3 == 0) | (d % 5 == 0) | (d % 7 == 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_SSN,
+            "<SSN>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return inj.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_SSN), F.lit(0)))
+        .cast("int")
+        .alias("n_ssns"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                 || doc_id::VARCHAR || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                 || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'
+                 || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         AS t
+  FROM documents
+  WHERE doc_id % 3 = 0 OR doc_id % 5 = 0 OR doc_id % 7 = 0
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
+       len(regexp_extract_all(t, '\b555-[0-9]{4}\b'))::INT AS n_phones,
+       len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::INT AS n_ssns,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+         '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
+FROM inj
+"""
+
+
 # ----------------------------------------------- generic join/agg/window ops
 def q_top_customers(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1198,6 +1395,8 @@ SPARK_QUERIES = {
     "token_counts": q_token_counts,
     "chunk_sliding": q_chunk_sliding,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_signals": q_repetition_signals,
+    "pii_scrub": q_pii_scrub,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
     "boolean_or": q_boolean_or,
@@ -1228,6 +1427,8 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
+    "pii_scrub": SQL_PII_SCRUB,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
     "boolean_or": SQL_BOOLEAN_OR,
