@@ -965,6 +965,108 @@ FROM inj
 """
 
 
+# ------------------------------------------- deterministic sampling / splits
+# Training pipelines never use rand() for held-out splits: membership must
+# be a pure function of the document identity so re-runs, backfills and
+# incremental ingests land every doc in the same split forever. Bucket =
+# first 8 hex chars of md5(doc_id) mod _SAMPLE_BUCKETS — uniform, engine-
+# portable (same expression runs in DuckDB for the oracle), and map-only:
+# at 100 TB this is a pure narrow projection, no shuffle, no state.
+_SAMPLE_BUCKETS = 10_000
+# train/val/test boundaries in buckets (90% / 5% / 5%)
+_SPLIT_TRAIN, _SPLIT_VAL = 9_000, 9_500
+
+
+def _sample_bucket(col):
+    """Deterministic bucket in [0, _SAMPLE_BUCKETS) from any key column."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % _SAMPLE_BUCKETS
+    ).cast("int")
+
+
+_SQL_BUCKET = (
+    f"(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT "
+    f"% {_SAMPLE_BUCKETS})::INT"
+)
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) keyed on doc_id.
+    The reference has no split operator (it serves, it doesn't train);
+    this is the LLM-pipeline extension family. Pure map — whole-stage
+    codegen, zero shuffle, and stable under re-ingest: a doc's split
+    never changes when the corpus around it grows."""
+    bucketed = _docs(spark, sf_dir).select(
+        "doc_id", _sample_bucket(F.col("doc_id")).alias("bucket")
+    )
+    return bucketed.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < _SPLIT_TRAIN, "train")
+        .when(F.col("bucket") < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SQL_SAMPLE_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, {_SQL_BUCKET} AS bucket FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# per-source keep rates for the stratified sampler, in buckets out of
+# _SAMPLE_BUCKETS (data-mixing weights: upsample src0, downsample the
+# long tail). A real pipeline reads these from a config table; the scale
+# shape is the same either way — broadcast join against a rates dim.
+_STRATA_RATES = {"src0": 5_000, "src1": 2_500}
+_STRATA_DEFAULT = 1_000
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: each source (stratum) keeps a
+    configured fraction of its docs, membership again a pure function of
+    doc_id. The rates live in a tiny dim table broadcast against the
+    corpus — the 100 TB shape (rates change per mixing experiment; the
+    scan side never reshuffles). Keep iff bucket < rate_buckets."""
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in sorted(_STRATA_RATES.items())],
+        "source string, rate_buckets int",
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", _sample_bucket(F.col("doc_id")).alias("bucket")
+    )
+    return (
+        docs.join(F.broadcast(rates), "source", "left")
+        .withColumn(
+            "rate_buckets",
+            F.coalesce("rate_buckets", F.lit(_STRATA_DEFAULT)),
+        )
+        .filter(F.col("bucket") < F.col("rate_buckets"))
+        .select("doc_id", "source", "bucket")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH rates AS (
+  SELECT * FROM (VALUES {', '.join(f"('{k}', {v})" for k, v in sorted(_STRATA_RATES.items()))})
+         AS t(source, rate_buckets)
+), b AS (
+  SELECT doc_id, source, {_SQL_BUCKET} AS bucket FROM documents
+)
+SELECT b.doc_id, b.source, b.bucket
+FROM b LEFT JOIN rates USING (source)
+WHERE b.bucket < coalesce(rates.rate_buckets, {_STRATA_DEFAULT})
+"""
+
+
 # ----------------------------------------------- generic join/agg/window ops
 def q_top_customers(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1397,6 +1499,8 @@ SPARK_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
+    "sample_split": q_sample_split,
+    "sample_stratified": q_sample_stratified,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
     "boolean_or": q_boolean_or,
@@ -1429,6 +1533,8 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "pii_scrub": SQL_PII_SCRUB,
+    "sample_split": SQL_SAMPLE_SPLIT,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
     "boolean_or": SQL_BOOLEAN_OR,
