@@ -1067,6 +1067,113 @@ WHERE b.bucket < coalesce(rates.rate_buckets, {_STRATA_DEFAULT})
 """
 
 
+# ------------------------------------- corpus-LM quality + source-mix stats
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM document scoring: mean per-token log-probability under
+    the corpus's own unigram distribution — the cheap stand-in for the
+    KenLM-style perplexity filters training pipelines run; gibberish and
+    boilerplate-heavy docs score far below prose. No smoothing needed:
+    the vocabulary is fit on the corpus it scores. Distinct from
+    q_quality_score (surface heuristics); this is the distributional
+    signal.
+
+    Scale shape: per-doc term occs (map-side-combined groupBy), a
+    zipf-bounded vocab aggregate over strictly fewer rows, then a hash
+    join of occs with the vocab on term — never the raw exploded token
+    stream. Head-term fan-in on that join is bounded by n_docs per term
+    (the shape AQE skew-join splits); the single-row corpus total rides
+    a broadcast crossJoin."""
+    occ = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("occ"))
+    )
+    vocab = occ.groupBy("term").agg(F.sum("occ").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("t"))
+    return (
+        occ.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("occ") * F.log(F.col("cnt") / F.col("t")))
+                / F.sum("occ"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = _SQL_TOKS + """
+, occ AS (
+  SELECT doc_id, term, count(*) AS occ FROM toks GROUP BY doc_id, term
+), vocab AS (
+  SELECT term, sum(occ) AS cnt FROM occ GROUP BY term
+), tot AS (SELECT sum(cnt)::DOUBLE AS t FROM vocab)
+SELECT occ.doc_id, sum(occ.occ)::BIGINT AS n_tokens,
+       round(sum(occ.occ * ln(vocab.cnt / tot.t)) / sum(occ.occ), 6) AS mean_logprob
+FROM occ JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY occ.doc_id
+"""
+
+
+_MIX_ALPHA = 0.7  # sampling temperature (multilingual-LM mixing convention)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-source corpus-mix statistics + temperature-sampling weight:
+    share_s = n_docs_s / N, weight_s proportional to share_s^alpha
+    renormalized (alpha = 0.7, the multilingual-sampling temperature
+    convention) — the table a mixing scheduler reads to set per-source
+    rates, the stats-producing complement of q_sample_stratified's
+    rate-consuming side.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus; the
+    result is dimension-sized (one row per source), so the empty-frame
+    normalizing windows run on a handful of rows driver-adjacent —
+    the single-partition window warning does not apply to a dim."""
+    d = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    s = d.select(
+        "source",
+        "n_docs",
+        "mean_chars",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("share"),
+    )
+    raw = F.pow(F.col("share"), F.lit(_MIX_ALPHA))
+    return s.select(
+        "source",
+        "n_docs",
+        "mean_chars",
+        "share",
+        F.round(raw / F.sum(raw).over(w), 6).alias("mix_weight"),
+    )
+
+
+SQL_DOMAIN_STATS = f"""
+WITH d AS (
+  SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS mean_chars
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_docs, mean_chars,
+         n_docs / sum(n_docs) OVER () AS share
+  FROM d
+)
+SELECT source, n_docs, mean_chars, share,
+       round(pow(share, {_MIX_ALPHA}) / sum(pow(share, {_MIX_ALPHA})) OVER (), 6)
+           AS mix_weight
+FROM s
+"""
+
+
 # ----------------------------------------------- generic join/agg/window ops
 def q_top_customers(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1501,6 +1608,8 @@ SPARK_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
+    "unigram_logprob": q_unigram_logprob,
+    "domain_stats": q_domain_stats,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
     "boolean_or": q_boolean_or,
@@ -1535,6 +1644,8 @@ ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "sample_split": SQL_SAMPLE_SPLIT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "domain_stats": SQL_DOMAIN_STATS,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
     "boolean_or": SQL_BOOLEAN_OR,
