@@ -49,6 +49,31 @@ def _toks(docs: DataFrame) -> DataFrame:
     )
 
 
+_MEMO: dict = {}
+
+
+def _memo(spark, sf_dir, key, builder):
+    """Suite-level reuse: the driver's correctness gate runs every entry
+    in ONE session, and the upstream frames shared by many entries (the
+    admitted-token stream, the LSH candidate pairs) dominate its wall.
+    Persist each once per (session, sf_dir). persist() is lazy — a
+    single-op caller only pays the storage write of partitions it
+    computes anyway — and MEMORY_AND_DISK spills instead of OOMing at
+    cluster scale."""
+    from pyspark import StorageLevel
+
+    # applicationId (not id(spark)): a restarted session must never see
+    # a cached frame belonging to a stopped SparkContext
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    if k not in _MEMO:
+        _MEMO[k] = builder().persist(StorageLevel.MEMORY_AND_DISK)
+    return _MEMO[k]
+
+
+def _toks_of(spark, sf_dir) -> DataFrame:
+    return _memo(spark, sf_dir, "toks", lambda: _toks(_docs(spark, sf_dir)))
+
+
 # SQL CTE prefix shared by token-based oracles
 _SQL_TOKS = f"""
 WITH base AS (
@@ -66,7 +91,7 @@ WITH base AS (
 
 # --------------------------------------------------------------------- T1-T5
 def q_tokenize_tf(spark, sf_dir):
-    toks = _toks(_docs(spark, sf_dir))
+    toks = _toks_of(spark, sf_dir)
     agg = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
     tot = agg.groupBy("doc_id").agg(F.sum(F.col("occ") + 1).alias("total"))
     return agg.join(tot, "doc_id").select(
@@ -88,7 +113,7 @@ FROM agg a JOIN tot t USING (doc_id)
 # ------------------------------------------------------------------- df/IDF
 def q_term_df(spark, sf_dir):
     return (
-        _toks(_docs(spark, sf_dir))
+        _toks_of(spark, sf_dir)
         .groupBy("term")
         .agg(F.countDistinct("doc_id").cast("int").alias("df"))
         .withColumn(
@@ -107,7 +132,7 @@ FROM toks GROUP BY term
 # ------------------------------------------------------------ P4 candidates
 def q_candidate_and(spark, sf_dir):
     return (
-        _toks(_docs(spark, sf_dir))
+        _toks_of(spark, sf_dir)
         .filter(F.col("term").isin(list(PHRASE)))
         .groupBy("doc_id")
         .agg(F.countDistinct("term").alias("nt"))
@@ -124,7 +149,7 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2
 
 # ------------------------------------------------------------------ P5 phrase
 def q_phrase_adjacency(spark, sf_dir):
-    toks = _toks(_docs(spark, sf_dir))
+    toks = _toks_of(spark, sf_dir)
     p1 = (
         toks.filter(F.col("term") == PHRASE[0])
         .groupBy("doc_id")
@@ -158,7 +183,7 @@ def q_bag_topk_score(spark, sf_dir):
     contribution = tf * floor(6000/df) * 0.5 * occ (all-body tags -> one
     0.5 weight per position), summed per doc, x uniform prior 1/N."""
     docs = _docs(spark, sf_dir)
-    toks = _toks(docs)
+    toks = _toks_of(spark, sf_dir)
     agg = toks.groupBy("doc_id", "term").agg(F.count("*").alias("occ"))
     tot = agg.groupBy("doc_id").agg(F.sum(F.col("occ") + 1).alias("total"))
     dfs = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -343,6 +368,15 @@ FROM sh CROSS JOIN salts GROUP BY doc_id, salt
 
 # --------------------------------------------------- dedup: minhash LSH pairs
 def q_minhash_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs; memoized because three gate entries
+    (minhash_pairs, neardup_components, ngram_jaccard) consume the same
+    frame."""
+    return _memo(
+        spark, sf_dir, "minhash_pairs", lambda: _minhash_pairs_plan(spark, sf_dir)
+    )
+
+
+def _minhash_pairs_plan(spark, sf_dir):
     sig = (
         q_minhash_signatures(spark, sf_dir)
         .groupBy("doc_id")
@@ -670,7 +704,7 @@ FROM raw WHERE tok <> '' GROUP BY doc_id
 
 
 def q_token_counts(spark, sf_dir):
-    toks = _toks(_docs(spark, sf_dir))
+    toks = _toks_of(spark, sf_dir)
     raw = (
         _docs(spark, sf_dir)
         .select(F.explode(_raw_arr()).alias("tok"))
@@ -751,7 +785,7 @@ FROM starts
 
 def q_doc_fingerprint(spark, sf_dir):
     return (
-        _toks(_docs(spark, sf_dir))
+        _toks_of(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("term")))).alias(
@@ -1084,7 +1118,7 @@ def q_unigram_logprob(spark, sf_dir):
     (the shape AQE skew-join splits); the single-row corpus total rides
     a broadcast crossJoin."""
     occ = (
-        _toks(_docs(spark, sf_dir))
+        _toks_of(spark, sf_dir)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("occ"))
     )
@@ -1293,7 +1327,7 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 # candidate_and covers AND; these cover OR (union-distinct) and NOT
 # (anti-join), each on single-term segments like the reference's bare words.
 def q_boolean_or(spark, sf_dir):
-    toks = _toks(_docs(spark, sf_dir))
+    toks = _toks_of(spark, sf_dir)
     a = toks.filter(F.col("term") == PHRASE[0]).select("doc_id")
     b = toks.filter(F.col("term") == QUERY_TERMS[1]).select("doc_id")
     return a.union(b).distinct()
@@ -1307,7 +1341,7 @@ SELECT doc_id FROM toks WHERE term = '{QUERY_TERMS[1]}'
 
 
 def q_boolean_not(spark, sf_dir):
-    toks = _toks(_docs(spark, sf_dir))
+    toks = _toks_of(spark, sf_dir)
     a = toks.filter(F.col("term") == PHRASE[0]).select("doc_id").distinct()
     b = toks.filter(F.col("term") == PHRASE[1]).select("doc_id")
     return a.join(b, "doc_id", "left_anti")
