@@ -345,17 +345,32 @@ WHERE NOT t.is_eval
 """
 
 
-def q_minhash_signatures(spark, sf_dir):
+def _minhash_sig_wide(spark, sf_dir):
+    """One row per doc, one column per salted minhash: a single
+    groupBy(doc_id) with _N_HASHES partial-min aggregates over the
+    shingle rows. Same md5 inputs (salt-as-string || '|' || shingle) as
+    the row-per-(doc,salt) formulation, so values are bit-identical —
+    but there is no x8 shingle-row explosion and no second
+    collect_list aggregation: map-side combine reduces each partition
+    to n_docs rows before the only shuffle."""
     sh = _shingles(_docs(spark, sf_dir))
-    salted = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("salt"),
-        "shingle",
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{salt}|"), F.col("shingle")))).alias(
+                f"m{salt}"
+            )
+            for salt in range(_N_HASHES)
+        ]
     )
-    return salted.groupBy("doc_id", "salt").agg(
-        F.min(
-            F.md5(F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("minh")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    wide = _minhash_sig_wide(spark, sf_dir)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{salt}") for salt in range(_N_HASHES)])
+        ).alias("salt", "minh"),
     )
 
 
@@ -377,14 +392,9 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def _minhash_pairs_plan(spark, sf_dir):
-    sig = (
-        q_minhash_signatures(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(salt, minh))), x -> x.minh)"
-            ).alias("s")
-        )
+    sig = _minhash_sig_wide(spark, sf_dir).select(
+        "doc_id",
+        F.array(*[F.col(f"m{salt}") for salt in range(_N_HASHES)]).alias("s"),
     )
     bands = sig.select(
         "doc_id",
