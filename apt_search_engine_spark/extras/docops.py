@@ -536,6 +536,65 @@ SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 
+# ------------------------------------- dedup: canonical pick per cluster
+def q_dedup_keep_best(spark, sf_dir):
+    """Pipeline composition: canonical-document selection per near-dup
+    cluster. Every doc gets (component, n_tokens, keep): docs inside an
+    LSH cluster keep only the longest member (raw non-empty token count,
+    tiebreak ascending doc_id — deterministic); docs outside any cluster
+    are their own component and always kept. This is the step a training
+    pipeline runs after near-dup clustering to materialize the deduped
+    corpus.
+
+    Plan shape at 100 TB: n_tokens is map-only (array size, no explode);
+    the component frame is bounded by LSH candidate pairs (a tiny corpus
+    fraction) so both the inner join and the anti join broadcast it; the
+    row_number window partitions by component — cluster-sized groups,
+    never corpus-sized skew."""
+    comps = q_neardup_components(spark, sf_dir)
+    ntok = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter(_raw_arr(), lambda x: x != "")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    clustered = ntok.join(F.broadcast(comps), "doc_id").select(
+        "doc_id",
+        "component",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    singles = ntok.join(F.broadcast(comps), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("component"),
+        "n_tokens",
+        F.lit(True).alias("keep"),
+    )
+    return clustered.unionByName(singles)
+
+
+SQL_DEDUP_KEEP_BEST = SQL_NEARDUP_COMPONENTS.replace(
+    "SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node",
+    """\
+, comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+, ntok AS (
+  SELECT doc_id, len(list_filter(arr, x -> x <> ''))::BIGINT AS n_tokens
+  FROM base
+)
+SELECT n.doc_id, c.component, n.n_tokens,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY n.n_tokens DESC, n.doc_id ASC) = 1) AS keep
+FROM ntok n JOIN comp c USING (doc_id)
+UNION ALL
+SELECT n.doc_id, n.doc_id AS component, n.n_tokens, true AS keep
+FROM ntok n LEFT JOIN comp c USING (doc_id)
+WHERE c.doc_id IS NULL""",
+)
+
+
 # ------------------------------------------- dedup: n-gram Jaccard (on LSH)
 def q_ngram_jaccard(spark, sf_dir):
     pairs = q_minhash_pairs(spark, sf_dir)
@@ -1641,6 +1700,7 @@ SPARK_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "decontaminate_ngram": q_decontaminate_ngram,
     "neardup_components": q_neardup_components,
+    "dedup_keep_best": q_dedup_keep_best,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_cosine": q_embedding_cosine,
     "stopword_ratio": q_stopword_ratio,
@@ -1677,6 +1737,7 @@ ORACLE_SQL = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_cosine": SQL_EMBEDDING_COSINE,
     "stopword_ratio": SQL_STOPWORD_RATIO,
