@@ -345,7 +345,7 @@ WHERE NOT t.is_eval
 """
 
 
-def _minhash_sig_wide(spark, sf_dir):
+def _minhash_sig_wide(docs: DataFrame) -> DataFrame:
     """One row per doc, one column per salted minhash: a single
     groupBy(doc_id) with _N_HASHES partial-min aggregates over the
     shingle rows. Same md5 inputs (salt-as-string || '|' || shingle) as
@@ -353,7 +353,7 @@ def _minhash_sig_wide(spark, sf_dir):
     but there is no x8 shingle-row explosion and no second
     collect_list aggregation: map-side combine reduces each partition
     to n_docs rows before the only shuffle."""
-    sh = _shingles(_docs(spark, sf_dir))
+    sh = _shingles(docs)
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{salt}|"), F.col("shingle")))).alias(
@@ -365,7 +365,7 @@ def _minhash_sig_wide(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    wide = _minhash_sig_wide(spark, sf_dir)
+    wide = _minhash_sig_wide(_docs(spark, sf_dir))
     return wide.select(
         "doc_id",
         F.posexplode(
@@ -392,7 +392,14 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def _minhash_pairs_plan(spark, sf_dir):
-    sig = _minhash_sig_wide(spark, sf_dir).select(
+    return minhash_pairs_df(_docs(spark, sf_dir))
+
+
+def minhash_pairs_df(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs over an arbitrary documents frame
+    (doc_id, text) — the DataFrame-level surface extras/curate.py
+    composes; the sf_dir entries above wrap it."""
+    sig = _minhash_sig_wide(docs).select(
         "doc_id",
         F.array(*[F.col(f"m{salt}") for salt in range(_N_HASHES)]).alias("s"),
     )
@@ -498,7 +505,14 @@ def connected_components(
 
 
 def q_neardup_components(spark, sf_dir):
-    return connected_components(q_minhash_pairs(spark, sf_dir))
+    """Memoized like the pairs frame it consumes: dedup_keep_best reruns
+    the same label-propagation loop otherwise (suite-level reuse)."""
+    return _memo(
+        spark,
+        sf_dir,
+        "neardup_components",
+        lambda: connected_components(q_minhash_pairs(spark, sf_dir)),
+    )
 
 
 # transitive closure in SQL: component = min reachable node. The UNION
@@ -1125,6 +1139,112 @@ FROM b
 """
 
 
+# --------------------------------------- composed curation pipeline entry
+# quality-gate constants shared with extras/curate.py (defined here so the
+# oracle SQL below and the library defaults can never drift apart)
+CURATE_MIN_TOKENS = 5
+CURATE_MAX_DIGIT_PCT = 50
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The composed end-to-end curation pipeline (extras/curate.py) over
+    the documents table: the deterministic 1-in-20 md5(doc_id) slice
+    plays the held-out benchmark (same rule as decontaminate_ngram);
+    the remaining docs are exact-deduped, near-dup-cluster pruned,
+    decontaminated against the benchmark, quality-gated and split.
+    One row per training doc with every verdict + split — the frame
+    jobs/curate.py materializes."""
+    from apt_search_engine_spark.extras.curate import curate
+
+    docs = _docs(spark, sf_dir)
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 20 == 0
+    )
+    return curate(
+        docs.filter(~is_eval),
+        eval_docs=docs.filter(is_eval),
+        min_tokens=CURATE_MIN_TOKENS,
+        max_digit_pct=CURATE_MAX_DIGIT_PCT,
+    )
+
+
+SQL_CURATE_CORPUS = f"""
+WITH RECURSIVE tagged AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 20 = 0) AS is_eval
+  FROM documents
+), base AS (
+  SELECT doc_id, is_eval, md5(text) AS h,
+         string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+') AS arr
+  FROM tagged
+), ntok AS (
+  SELECT doc_id, h, {_SQL_BUCKET} AS bucket,
+         len(list_filter(arr, x -> x <> ''))::BIGINT AS n_tokens,
+         len(list_filter(arr, x -> regexp_full_match(x, '[0-9]+')))::BIGINT AS n_digit
+  FROM base WHERE NOT is_eval
+), keepers AS (
+  SELECT h, min(doc_id) AS keeper FROM ntok GROUP BY h
+), sh AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(1, len(arr) - 1),
+                i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+  FROM base WHERE len(arr) >= 3
+), mh AS (
+  SELECT doc_id, salt, min(md5(salt::VARCHAR || '|' || shingle)) AS minh
+  FROM (SELECT doc_id, shingle FROM sh WHERE NOT is_eval)
+       CROSS JOIN (SELECT unnest(range(0, {_N_HASHES})) AS salt)
+  GROUP BY doc_id, salt
+), sig AS (SELECT doc_id, list(minh ORDER BY salt) AS s FROM mh GROUP BY doc_id)
+, bands AS (
+  SELECT doc_id, b, s[2*b + 1] || s[2*b + 2] AS bv
+  FROM sig, LATERAL (SELECT unnest(range(0, {_N_BANDS})) AS b)
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+), edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (SELECT DISTINCT x AS node FROM edges)
+, reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.node
+), comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+, nd AS (
+  SELECT n.doc_id,
+         (row_number() OVER (PARTITION BY c.component
+                             ORDER BY n.n_tokens DESC, n.doc_id ASC) <> 1
+         ) AS neardup_drop
+  FROM ntok n JOIN comp c USING (doc_id)
+), eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE is_eval)
+, contam AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN eval_sh e USING (shingle)
+  WHERE NOT s.is_eval
+), flags AS (
+  SELECT n.doc_id, n.n_tokens,
+         (n.doc_id <> k.keeper) AS exact_dup,
+         coalesce(nd.neardup_drop, false) AS neardup_drop,
+         (c.doc_id IS NOT NULL) AS contaminated,
+         (n.n_tokens < {CURATE_MIN_TOKENS}
+          OR n.n_digit * 100 > n.n_tokens * {CURATE_MAX_DIGIT_PCT}) AS low_quality,
+         CASE WHEN n.bucket < {_SPLIT_TRAIN} THEN 'train'
+              WHEN n.bucket < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM ntok n
+  JOIN keepers k USING (h)
+  LEFT JOIN nd USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+)
+SELECT doc_id, n_tokens, exact_dup, neardup_drop, contaminated, low_quality,
+       NOT (exact_dup OR neardup_drop OR contaminated OR low_quality) AS kept,
+       split
+FROM flags
+"""
+
+
+
 # per-source keep rates for the stratified sampler, in buckets out of
 # _SAMPLE_BUCKETS (data-mixing weights: upsample src0, downsample the
 # long tail). A real pipeline reads these from a config table; the scale
@@ -1701,6 +1821,7 @@ SPARK_QUERIES = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "neardup_components": q_neardup_components,
     "dedup_keep_best": q_dedup_keep_best,
+    "curate_corpus": q_curate_corpus,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_cosine": q_embedding_cosine,
     "stopword_ratio": q_stopword_ratio,
@@ -1738,6 +1859,7 @@ ORACLE_SQL = {
     "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_cosine": SQL_EMBEDDING_COSINE,
     "stopword_ratio": SQL_STOPWORD_RATIO,
