@@ -1,0 +1,70 @@
+"""The north-rule ship path: spark-submit --py-files aptse.zip must be a
+complete deployment — the job script copied OUTSIDE the repo checkout
+(so its repo-root sys.path bootstrap finds nothing) with only the zip
+providing the package. Runs one real spark-submit subprocess."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def test_zip_contents(tmp_path):
+    sys.path.insert(0, _ROOT)
+    from tools.make_pyfiles import build
+
+    out = str(tmp_path / "aptse.zip")
+    n = build(out)
+    assert n > 20  # every module of the package
+    import zipfile
+
+    names = zipfile.ZipFile(out).namelist()
+    assert "apt_search_engine_spark/__init__.py" in names
+    assert "apt_search_engine_spark/indexing/build.py" in names
+    assert not any("test" in n.split("/")[0] for n in names)
+
+
+def test_spark_submit_pyfiles_ships_the_engine(tmp_path):
+    sys.path.insert(0, _ROOT)
+    from tools.make_pyfiles import build
+
+    zip_path = str(tmp_path / "aptse.zip")
+    build(zip_path)
+    # job script copied outside the repo: its _ROOT bootstrap resolves to
+    # a directory with no package, so only --py-files can satisfy imports
+    job = str(tmp_path / "job.py")
+    shutil.copy(
+        os.path.join(_ROOT, "apt_search_engine_spark/jobs/synth_corpus.py"), job
+    )
+    out = str(tmp_path / "corpus")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["APTSE_DRIVER_MEM"] = "2g"
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            job,
+            "--out", out, "--convs", "3", "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path), env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["turns"] > 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out).num_rows == stats["turns"]
