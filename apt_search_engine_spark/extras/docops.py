@@ -866,6 +866,80 @@ FROM starts
 """
 
 
+# ------------------------------- sequence packing (concat-and-cut layout)
+PACK_CAPACITY = 256  # tokens per packed training sequence
+PACK_SHARDS = 8  # independent packing streams
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-cut sequence packing: assign every doc a position in a
+    fixed-capacity packed-sequence layout (the concat-everything,
+    cut-at-capacity scheme LLM training pipelines use). Docs are
+    deterministically sharded by md5(doc_id) into PACK_SHARDS
+    independent packing streams; within a shard, corpus order (doc_id)
+    fixes a running token offset, and seq_idx/seq_offset locate the doc
+    inside the packed sequences. Scale shape: the only non-map work is
+    one window per shard — shards are hash-balanced, so at 10^12 turns
+    each stream's cumsum is an independent partition-local scan (raise
+    PACK_SHARDS with the corpus; the layout stays deterministic for any
+    shard count). `straddles` marks docs cut by a capacity boundary.
+    The reference has no packer (it serves pages, it doesn't train);
+    LLM-pipeline extension family."""
+    sized = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.filter(_raw_arr(), lambda x: x != "")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % PACK_SHARDS
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    seq_idx = F.floor(start / PACK_CAPACITY).cast("int")
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        seq_idx.alias("seq_idx"),
+        (start % PACK_CAPACITY).cast("int").alias("seq_offset"),
+        (F.floor((F.col("cum") - 1) / PACK_CAPACITY).cast("int") != seq_idx).alias(
+            "straddles"
+        ),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(regexp_replace(lower(text),
+             '[^a-z0-9]', ' ', 'g'), '\\s+'), x -> x <> ''))::INT AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+          % {PACK_SHARDS})::INT AS shard
+  FROM documents
+), sized AS (
+  SELECT * FROM base WHERE n_tokens > 0
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens,
+       ((cum - n_tokens) // {PACK_CAPACITY})::INT AS seq_idx,
+       ((cum - n_tokens) % {PACK_CAPACITY})::INT AS seq_offset,
+       ((cum - 1) // {PACK_CAPACITY}) <> ((cum - n_tokens) // {PACK_CAPACITY})
+         AS straddles
+FROM cum
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return (
         _toks_of(spark, sf_dir)
@@ -1828,6 +1902,7 @@ SPARK_QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "chunk_sliding": q_chunk_sliding,
+    "pack_sequences": q_pack_sequences,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
@@ -1866,6 +1941,7 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,
     "chunk_sliding": SQL_CHUNK_SLIDING,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "pii_scrub": SQL_PII_SCRUB,

@@ -339,3 +339,35 @@ def test_simhash_md5_candidates_cap_and_default_unchanged(spark, docs):
         for r in simhash_md5_candidates(sample, bucket_cap=10**6).collect()
     }
     assert default == relaxed  # a cap far above corpus size is a no-op
+
+
+# ------------------------------- sequence packing (concat-and-cut layout)
+def test_pack_sequences_layout_invariants(spark):
+    """Beyond the DuckDB hash pair (test_docops): the packed layout must
+    be CONTIGUOUS per shard — each doc starts exactly where the previous
+    one ended — with seq_offset < capacity and straddles true iff the
+    doc crosses a capacity boundary."""
+    from apt_search_engine_spark.extras.docops import (
+        PACK_CAPACITY,
+        q_pack_sequences,
+    )
+
+    rows = q_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "packer produced no rows"
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1, "sharding degenerate at sf0.001"
+    saw_straddle = False
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in docs:
+            assert 0 <= r.seq_offset < PACK_CAPACITY
+            assert r.seq_idx == pos // PACK_CAPACITY, (shard, r)
+            assert r.seq_offset == pos % PACK_CAPACITY, (shard, r)
+            end = pos + r.n_tokens
+            assert r.straddles == ((end - 1) // PACK_CAPACITY != r.seq_idx)
+            saw_straddle |= r.straddles
+            pos = end
+    assert saw_straddle, "fixture never crosses a capacity boundary"
