@@ -100,8 +100,11 @@ def curate(
         .filter("nd")
         .select("doc_id")
     )
+    # no broadcast hint: the drop set is bounded by the CORPUS (a
+    # duplicate-heavy crawl can flag most of it), not by anything small —
+    # AQE still broadcasts at runtime when the set turns out tiny
     flagged = flagged.join(
-        F.broadcast(nd_drops.withColumn("neardup_drop", F.lit(True))),
+        nd_drops.withColumn("neardup_drop", F.lit(True)),
         "doc_id",
         "left",
     ).withColumn("neardup_drop", F.coalesce("neardup_drop", F.lit(False)))
@@ -115,8 +118,11 @@ def curate(
             .distinct()
             .withColumn("contaminated", F.lit(True))
         )
+        # eval_sh above is benchmark-bounded (broadcast is right); the
+        # contaminated DOC set is corpus-bounded (one stop 3-gram in the
+        # benchmark flags much of the corpus) — no broadcast hint
         flagged = flagged.join(
-            F.broadcast(contaminated_docs), "doc_id", "left"
+            contaminated_docs, "doc_id", "left"
         ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
     else:
         flagged = flagged.withColumn("contaminated", F.lit(False))

@@ -64,8 +64,14 @@ def _memo(spark, sf_dir, key, builder):
 
     # applicationId (not id(spark)): a restarted session must never see
     # a cached frame belonging to a stopped SparkContext
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    k = (app, sf_dir, key)
     if k not in _MEMO:
+        # evict entries of other applications: their contexts are stopped
+        # (frames unusable, storage already gone with the executors) — a
+        # long-lived driver cycling sessions must not accumulate handles
+        for stale in [m for m in _MEMO if m[0] != app]:
+            del _MEMO[stale]
         _MEMO[k] = builder().persist(StorageLevel.MEMORY_AND_DISK)
     return _MEMO[k]
 
@@ -1010,19 +1016,19 @@ def q_repetition_signals(spark, sf_dir):
             "slice(w, 3, n - 2), (g, c) -> concat(g, ' ', c)))"
         ).alias("tri"),
     )
+    # each run-length scan is parsed ONCE and the Column reused: the two
+    # consumers then hold the same expression tree (same lambda-variable
+    # ids), so subexpression elimination can merge them — two separately
+    # parsed copies are not semantically equal and were each evaluated
+    big_best = F.expr(_runlen_agg("big", "acc.best"))
+    tri_dup = F.expr(_runlen_agg("tri", "acc.dup"))
     return grams.select(
         "doc_id",
         F.col("n").cast("int").alias("n_words"),
-        F.expr(_runlen_agg("big", "acc.best")).cast("int").alias("top_bigram_occ"),
-        (
-            F.expr(_runlen_agg("big", "acc.best")).cast("double")
-            / (F.col("n") - 1)
-        ).alias("top_bigram_frac"),
-        F.expr(_runlen_agg("tri", "acc.dup")).cast("int").alias("dup_trigram_toks"),
-        (
-            F.expr(_runlen_agg("tri", "acc.dup")).cast("double")
-            / (F.col("n") - 2)
-        ).alias("dup_trigram_frac"),
+        big_best.cast("int").alias("top_bigram_occ"),
+        (big_best.cast("double") / (F.col("n") - 1)).alias("top_bigram_frac"),
+        tri_dup.cast("int").alias("dup_trigram_toks"),
+        (tri_dup.cast("double") / (F.col("n") - 2)).alias("dup_trigram_frac"),
     )
 
 

@@ -402,6 +402,16 @@ def _binary_from_offsets(n: int, offsets: np.ndarray, data: np.ndarray):
     (int64, len n+1, ascending, offsets[0] == 0)."""
     import pyarrow as pa
 
+    # Arrow binary offsets are int32; a >2 GiB flush group would wrap
+    # silently in the cast below (corrupt slices, no exception). The
+    # flush thresholds keep real groups far below this — fail loudly if
+    # an extreme corpus ever reaches it rather than emit garbage.
+    if n and int(offsets[-1]) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"binary region of {int(offsets[-1])} bytes exceeds Arrow "
+            "32-bit binary offsets; lower _FLUSH_POSTINGS or the segment "
+            "size so flush groups stay under 2 GiB"
+        )
     return pa.Array.from_buffers(
         pa.binary(),
         n,

@@ -306,7 +306,10 @@ def split_varbyte_stream(
         return out
     term_pos = np.flatnonzero((b & 0x80) != 0)
     cum = np.cumsum(counts)
-    out[1:] = term_pos[cum - 1] + 1
+    # a leading run of zero counts has cum == 0; term_pos[-1] would wrap
+    # to the LAST terminator — those cuts stay at offset 0 (empty items)
+    nz = cum > 0
+    out[1:][nz] = term_pos[cum[nz] - 1] + 1
     return out
 
 

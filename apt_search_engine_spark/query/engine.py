@@ -168,12 +168,8 @@ class SearchEngine:
             self.lexicon_path = os.path.join(index_dir, "lexicon")
             self.doc_meta_path = os.path.join(index_dir, "doc_meta")
             self.doc_len_path = os.path.join(index_dir, "doc_len")
-            with open(os.path.join(index_dir, "meta.json")) as f:
-                meta = json.load(f)
-            self.n_docs = int(meta["n_docs"])
-            # BM25 corpus statistic (layout v6); 0 on older indexes —
-            # search_bm25_df refuses rather than misscore
-            self.total_len = int(meta.get("total_len") or 0)
+            self._load_meta()
+            self._index_state = self._state_token()
         else:
             if postings_df is None or n_docs is None:
                 raise ValueError("need index_dir or (postings_df, n_docs)")
@@ -184,6 +180,18 @@ class SearchEngine:
             from apt_search_engine_spark.indexing.build import build_lexicon
 
             self._lexicon_df = build_lexicon(postings_df).cache()
+            self._derive_corpus_stats()
+
+    def _load_meta(self) -> None:
+        with open(os.path.join(self.index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.n_docs = int(meta["n_docs"])
+        # BM25 corpus statistic (layout v6); 0 on older indexes —
+        # search_bm25_df refuses rather than misscore
+        self.total_len = int(meta.get("total_len") or 0)
+        self._derive_corpus_stats()
+
+    def _derive_corpus_stats(self) -> None:
         # uniform doc prior: transcripts have no link graph; the reference's
         # absent-URL default is 1/|pageRanks| (Ranker.java:196) — kept as a
         # multiplied constant so scores match the oracle bit-for-bit.
@@ -192,6 +200,38 @@ class SearchEngine:
         # that regime, where the literal constant zeroes every score
         # (config.idf_numerator rationale)
         self.idf_numerator = idf_numerator(self.n_docs)
+
+    def _state_token(self):
+        """Cheap identity of the committed on-disk index state: mtime+size
+        of meta.json (rewritten by every build/compact/recompact commit)
+        and merge_state.json (the LSM commit marker, streamed indexes
+        only). Two os.stat calls — no Spark job."""
+        tok = []
+        for name in ("meta.json", "merge_state.json"):
+            try:
+                st = os.stat(os.path.join(self.index_dir, name))
+                tok.append((st.st_mtime_ns, st.st_size))
+            except OSError:
+                tok.append(None)
+        return tuple(tok)
+
+    def refresh(self) -> None:
+        """Drop every memoized handle on the disk index and reload corpus
+        stats — called automatically when a compaction/recompaction has
+        committed a new index state under a long-lived engine."""
+        self._df_cache.clear()
+        self._reader_cache.clear()
+        if self.index_dir is not None:
+            self._load_meta()
+            self._index_state = self._state_token()
+
+    def _ensure_fresh(self) -> None:
+        """The df/reader memos pin one index state; compaction publishes a
+        new one (atomic meta/merge_state replace). Re-checking the commit
+        markers on each public query keeps long-lived engines (jobs/serve
+        over a streamed index) correct across compactions."""
+        if self.index_dir is not None and self._state_token() != self._index_state:
+            self.refresh()
 
     @classmethod
     def over_transcripts(cls, spark: SparkSession, transcripts: DataFrame,
@@ -749,6 +789,7 @@ class SearchEngine:
         multiplies per-doc priors exactly and prunes with per-slice max
         priors — admissible, rank-identical to the exact prior plan
         (tests/test_prior.py)."""
+        self._ensure_fresh()
         parsed = parser.parse(query)
         if (
             parsed.qtype not in ("normal", "normal+boolean")
@@ -796,6 +837,7 @@ class SearchEngine:
         `dedup_by_url` the final aggregate is keyed by URL instead of
         doc_id (reference R10: docs sharing a URL merge scores) and the
         result schema is (url, score)."""
+        self._ensure_fresh()
         parsed = parser.parse(query)
         if parsed.qtype == "phrase":
             filtered = self._phrase_filtered(parsed.query_words)
@@ -853,6 +895,7 @@ class SearchEngine:
         fold in ordinal space -> TakeOrderedAndProject -> point-lookup
         doc_map translation of the final k rows. NO joins anywhere in
         the plan."""
+        self._ensure_fresh()
         if self.index_dir is None:
             raise ValueError("search_bm25_df needs a disk index (doc_len)")
         if not self.total_len:
@@ -938,6 +981,7 @@ class SearchEngine:
         scoring-related is baked into the blocks, so compaction-driven
         avgdl drift never invalidates them. Phrase/boolean queries need
         positions and fall back to the exact BM25 plan."""
+        self._ensure_fresh()
         parsed = parser.parse(query)
         if (
             parsed.qtype not in ("normal", "normal+boolean")
@@ -984,6 +1028,7 @@ class SearchEngine:
     ) -> list[dict]:
         """Full search: top-k + metadata join + snippets (driver-side on k
         rows only, off the hot path — SURVEY.md R9)."""
+        self._ensure_fresh()
         top = self.search_df(query, k).collect()
         ids = [r.doc_id for r in top]
         meta = {}

@@ -277,6 +277,16 @@ def wand_topk(
         ).alias("slice"),
     )
     if prior_by_ord is not None:
+        # the semi-join's build side re-references the blocks subtree, but
+        # Catalyst column-prunes it to (term, lo_ord, hi_ord) — the payload
+        # columns (doc_ids_vb, wtfs) are scanned ONCE, by the scoring side.
+        # The EXACT covered-slice set is load-bearing at scale: a rare term
+        # whose postings scatter across the ordinal space covers few slices
+        # but spans the whole corpus, so a min/max range (or shipping the
+        # full prior) would forfeit the rare-term restriction this join
+        # exists for. Prior rows for never-scored slices would be harmless
+        # (the scorer drops prior-only slices) — this is a cost bound, not
+        # a correctness one.
         pri = prior_by_ord.select(
             (F.col("doc_ord") / slice_ords).cast("long").alias("slice"),
             F.col("doc_ord").cast("long").alias("doc_ord"),

@@ -92,3 +92,26 @@ def test_decode_doc_ids_many_matches_single():
             assert g.tolist() == w.tolist()
 
     check()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**40), max_size=6),
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_varbyte_stream_roundtrip_with_empty_items(items):
+    """Cut offsets must reproduce each item's encoding — including items
+    of ZERO values anywhere (a leading run of zeros used to wrap cum-1
+    to -1 and cut at the buffer end)."""
+    encs = [codec.varbyte_encode(np.asarray(v, np.uint64)) for v in items]
+    region = b"".join(bytes(e) for e in encs)
+    counts = np.array([len(v) for v in items], np.int64)
+    offs = codec.split_varbyte_stream(region, counts)
+    assert offs[0] == 0 and offs[-1] == len(region)
+    assert (np.diff(offs) >= 0).all()
+    buf = np.frombuffer(region, np.uint8)
+    for i, e in enumerate(encs):
+        got = buf[offs[i]:offs[i + 1]].tobytes()
+        assert got == bytes(e), (i, counts.tolist())

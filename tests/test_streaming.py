@@ -499,3 +499,43 @@ def test_recompact_bounds_segments(spark, tmp_path, stream_corpus):
         bs.sort(key=lambda b: b.lo_ord)
         for x, y in zip(bs, bs[1:]):
             assert x.hi_ord < y.lo_ord, term
+
+
+def test_long_lived_engine_survives_compaction(spark, tmp_path, stream_corpus):
+    """A serving engine opened BEFORE an incremental compaction must
+    answer correctly AFTER it: the engine's reader/df memos pin one
+    index state, so the commit markers (meta.json / merge_state.json)
+    must invalidate them (engine._ensure_fresh). Before the fix the
+    memoized plans either threw FileNotFound on rewritten buckets or
+    served the stale corpus (old n_docs prior, missing new docs)."""
+    from apt_search_engine_spark.query.engine import SearchEngine
+    from apt_search_engine_spark.streaming.ingest import compact, stream_analyze
+
+    first, second, _ = stream_corpus
+    inp = str(tmp_path / "incoming_ll")
+    sdir = str(tmp_path / "stream_index_ll")
+
+    first.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+
+    eng = SearchEngine(spark, index_dir=sdir)
+    q = "travel guide"
+    before = eng.search_df(q, k=10).collect()  # memoizes readers + dfs
+    n_before = eng.n_docs
+    assert before
+
+    second.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+
+    after = [(r.doc_id, r.score) for r in eng.search_df(q, k=10).collect()]
+    assert eng.n_docs > n_before  # meta reloaded, prior/idf rescaled
+    fresh = [
+        (r.doc_id, r.score)
+        for r in SearchEngine(spark, index_dir=sdir).search_df(q, k=10).collect()
+    ]
+    assert after == fresh
+    # the stale-state answer must actually differ (scores scale with 1/N),
+    # otherwise this test would pass vacuously
+    assert after != [(r.doc_id, r.score) for r in before]
