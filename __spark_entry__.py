@@ -321,6 +321,46 @@ def _stream_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stateful exact-dedup
+    (streaming/windows.py:streaming_dedup_keepers): documents drained
+    availableNow in TWO micro-batches (4 input files x
+    maxFilesPerTrigger=2) so cross-batch state is genuinely exercised
+    while the gate entry stays cheap (each extra micro-batch is a full
+    stateful-stage round on the gate's tiny corpus);
+    the min-doc_id keeper rule is order-insensitive, so the per-key
+    final emission (min keeper, max n_seen over epochs) hash-matches
+    the batch restatement in DuckDB."""
+    from apt_search_engine_spark.streaming.windows import run_dedup_drain
+
+    key = hashlib.md5(f"{sf_dir}|sdedup|layout=3".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"aptse_sdedup_{key}")
+    inp, ck, out = (os.path.join(base, d) for d in ("in", "ck", "out"))
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # the driver corpora have no exact duplicate texts — synthesize
+        # them deterministically (mirrored in dedup_keepers_oracle_sql):
+        # every 10th doc re-appended under doc_id + 1,000,000, shuffled
+        # across 4 files so copies land in different micro-batches
+        dups = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        d.unionAll(dups).repartition(4).write.mode("overwrite").parquet(inp)
+    df = run_dedup_drain(spark, inp, ck, out, max_files_per_trigger=2)
+    schema = "content_hash string, keeper_doc_id long, n_seen long"
+    if df is None:
+        return spark.createDataFrame([], schema)
+    # keeper is monotone non-increasing, n_seen monotone increasing
+    # across update-mode emissions: the lazy aggregate below is the
+    # final state per key (no driver collect)
+    return df.groupBy("content_hash").agg(
+        F.min("keeper_doc_id").alias("keeper_doc_id"),
+        F.max("n_seen").alias("n_seen"),
+    )
+
+
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (schema + mapInPandas batch shape) over the
     deterministic synthetic media table; decode is a documented fake.
@@ -384,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank"] = _pagerank_q
     q["multimodal_features"] = _multimodal_q
     q["stream_windowed_counts"] = _stream_windowed_q
+    q["stream_dedup_keepers"] = _stream_dedup_q
     return {name: _tuned(fn) for name, fn in q.items()}
 
 
@@ -440,6 +481,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["stream_windowed_counts"] = windowed_counts_oracle_sql()
+    from apt_search_engine_spark.streaming.windows import (
+        dedup_keepers_oracle_sql,
+    )
+
+    out["stream_dedup_keepers"] = dedup_keepers_oracle_sql()
     from apt_search_engine_spark.extras.multimodal import (
         multimodal_features_sql,
     )

@@ -1477,6 +1477,352 @@ FROM s
 """
 
 
+# -------------- curation: duplicate spans / importance weights / LM filters
+def _adj_pairs(spark, sf_dir) -> DataFrame:
+    """Adjacent admitted-token pairs per doc — the shared upstream of the
+    DSIR / bigram-LM / PMI operators (memoized like the token stream; the
+    gate runs all three in one session). One window sort per doc, no
+    self-join: the pair stream has exactly n_tokens - 1 rows per doc."""
+
+    def build():
+        toks = _toks_of(spark, sf_dir)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return toks.select(
+            "doc_id",
+            F.col("term").alias("a"),
+            F.lead("term").over(w).alias("b"),
+        ).filter(F.col("b").isNotNull())
+
+    return _memo(spark, sf_dir, "adj_pairs", build)
+
+
+# SQL CTE mirror of _adj_pairs (extends _SQL_TOKS)
+_SQL_ADJ = _SQL_TOKS + """
+, pairs AS (
+  SELECT doc_id, term AS a, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks QUALIFY b IS NOT NULL
+)
+"""
+
+
+_DUP_K = 5  # duplicated-span gram width (admitted-token 5-grams)
+
+
+def q_dup_span_coverage(spark, sf_dir):
+    """Exact-substring duplicate-span coverage — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") signal
+    at word granularity: per doc, how many admitted-token positions are
+    covered by a 5-gram that occurs >= 2 times corpus-wide. Curation
+    pipelines threshold `dup_frac` to drop boilerplate-heavy docs, or
+    use the covered spans as a training-time loss mask. Complements
+    minhash/simhash (whole-doc near-dup): this finds verbatim spans
+    inside otherwise-distinct docs.
+
+    Scale shape: one window sort per doc (the chunker's shape) to stamp
+    ordinals and build grams; grams are md5-hashed so the duplicate
+    groupBy shuffles 32-byte keys, never raw text; occurrences reach the
+    coverage step via a semi-join against the duplicated-gram set (no
+    self-join, no positions explosion). The interval union is closed
+    form for equal-length sorted intervals — sum(min(K, start - prev))
+    with one lag() window per doc — so coverage is O(occurrences), not
+    O(occurrences x K)."""
+    toks = _toks_of(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.row_number().over(w).alias("i"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.col("term"),
+                *[F.lead("term", j).over(w) for j in range(1, _DUP_K)],
+            )
+        ).alias("g"),
+        F.lead("term", _DUP_K - 1).over(w).isNotNull().alias("full"),
+    ).filter("full")
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter("c >= 2")
+    occ = grams.join(dup.select("g"), "g", "left_semi")
+    w2 = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        occ.select(
+            "doc_id",
+            F.coalesce(
+                F.least(
+                    F.lit(_DUP_K), F.col("i") - F.lag("i").over(w2)
+                ),
+                F.lit(_DUP_K),
+            ).alias("add"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("add").alias("dup_tokens"))
+    )
+    n = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return n.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0).cast("long"))
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+SQL_DUP_SPAN_COVERAGE = _SQL_TOKS + f"""
+, ordd AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i, term
+  FROM toks
+), grams AS (
+  SELECT doc_id, i,
+         md5(term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+             || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w) AS g
+  FROM ordd WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(term, {_DUP_K - 1}) OVER w IS NOT NULL
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), occ AS (
+  SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)
+), cov0 AS (
+  SELECT doc_id,
+         coalesce(least({_DUP_K}, i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)),
+                  {_DUP_K}) AS add
+  FROM occ
+), cov AS (
+  SELECT doc_id, sum(add)::BIGINT AS dup_tokens FROM cov0 GROUP BY doc_id
+), n AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(cov.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(cov.dup_tokens, 0) / n.n_tokens, 6) AS dup_frac
+FROM n LEFT JOIN cov USING (doc_id)
+"""
+
+
+_DSIR_B = 4096  # hashed-feature buckets (constant — the stats table is tiny)
+_DSIR_TARGET_LANG = "en"  # target distribution: the corpus's English slice
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-bigram features,
+    per-doc mean log-likelihood ratio log(p_target / p_raw) with add-one
+    smoothing over the bucket space. Target = the corpus's `lang = 'en'`
+    slice (a real pipeline passes its high-quality reference corpus);
+    raw = the whole pool. Docs whose feature mix resembles the target
+    score high — the weight importance-resampling selects on.
+
+    Scale shape: the feature space is a CONSTANT B = 4096 buckets, so
+    both distribution tables are tiny and broadcast; the per-doc pass is
+    one map-side-combined groupBy(doc_id, bucket) plus a broadcast join —
+    nothing grows with vocabulary. The portable md5-prefix bucket hash
+    (same trick as the minhash family) keeps Spark and the DuckDB oracle
+    bit-identical."""
+    pairs = _adj_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t")
+    )
+    feats = pairs.join(docs, "doc_id").select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "a", "b")), 1, 6), 16, 10
+            ).cast("long")
+            % _DSIR_B
+        ).cast("int").alias("bucket"),
+    )
+    occ = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    bstats = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = bstats.agg(
+        F.sum("ct").cast("double").alias("t_tot"),
+        F.sum("cr").cast("double").alias("r_tot"),
+    )
+    return (
+        occ.join(F.broadcast(bstats), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * (
+                        F.log(
+                            (F.col("ct") + 1) / (F.col("t_tot") + _DSIR_B)
+                        )
+                        - F.log(
+                            (F.col("cr") + 1) / (F.col("r_tot") + _DSIR_B)
+                        )
+                    )
+                )
+                / F.sum("n"),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = _SQL_ADJ + f"""
+, feats AS (
+  SELECT p.doc_id, d.lang = '{_DSIR_TARGET_LANG}' AS is_t,
+         (('0x' || substr(md5(a || ' ' || b), 1, 6))::BIGINT % {_DSIR_B})::INT AS bucket
+  FROM pairs p JOIN documents d USING (doc_id)
+), occ AS (
+  SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY doc_id, bucket
+), bstats AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM feats GROUP BY bucket
+), totals AS (
+  SELECT sum(ct)::DOUBLE AS t_tot, sum(cr)::DOUBLE AS r_tot FROM bstats
+)
+SELECT occ.doc_id, sum(occ.n)::BIGINT AS n_feats,
+       round(sum(occ.n * (ln((bstats.ct + 1) / (totals.t_tot + {_DSIR_B}))
+                          - ln((bstats.cr + 1) / (totals.r_tot + {_DSIR_B}))))
+             / sum(occ.n), 6) AS dsir_logweight
+FROM occ JOIN bstats USING (bucket) CROSS JOIN totals
+GROUP BY occ.doc_id
+"""
+
+
+_LM_LAMBDA = 0.8  # bigram weight in the interpolated LM
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM document scoring — the distributional
+    quality filter one step past q_unigram_logprob: mean per-token
+    log(lambda * p(b|a) + (1 - lambda) * p(b)) over each doc's adjacent
+    admitted-token pairs, with both distributions fit on the corpus
+    itself (so every doc bigram exists in the model — no OOV smoothing
+    needed beyond the unigram backoff). Wikipedia-style perplexity
+    filtering without shipping a KenLM binary.
+
+    Scale shape: bigram counts are one map-side-combined groupBy over
+    the pair stream; context counts derive from the bigram table
+    (strictly fewer rows); scoring is hash joins on term keys (the
+    AQE-skew-splittable shape) plus a broadcast of the single-row
+    total. Never joins or re-explodes the raw token stream."""
+    pairs = _adj_pairs(spark, sf_dir)
+    cb = pairs.groupBy("a", "b").agg(F.count("*").alias("cb"))
+    ca = cb.groupBy("a").agg(F.sum("cb").alias("ca"))
+    uni = _toks_of(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("cu")
+    )
+    tot = uni.agg(F.sum("cu").cast("double").alias("tu"))
+    lam, one_minus = _LM_LAMBDA, 1 - _LM_LAMBDA
+    scored = (
+        pairs.join(cb, ["a", "b"])
+        .join(ca, "a")
+        .join(uni.withColumnRenamed("term", "b"), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(lam) * F.col("cb") / F.col("ca")
+                + F.lit(one_minus) * F.col("cu") / F.col("tu")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.sum("lp") / F.count("*"), 6).alias("mean_logprob"),
+    )
+
+
+# literals via repr() so the SQL doubles are bit-identical to Spark's
+SQL_BIGRAM_LOGPROB = _SQL_ADJ + f"""
+, cb AS (
+  SELECT a, b, count(*) AS cb FROM pairs GROUP BY a, b
+), ca AS (
+  SELECT a, sum(cb) AS ca FROM cb GROUP BY a
+), uni AS (
+  SELECT term, count(*) AS cu FROM toks GROUP BY term
+), tot AS (SELECT sum(cu)::DOUBLE AS tu FROM uni)
+SELECT p.doc_id, count(*)::BIGINT AS n_scored,
+       round(sum(ln({_LM_LAMBDA!r} * cb.cb / ca.ca + {1 - _LM_LAMBDA!r} * uni.cu / tot.tu))
+             / count(*), 6) AS mean_logprob
+FROM pairs p
+JOIN cb ON p.a = cb.a AND p.b = cb.b
+JOIN ca ON p.a = ca.a
+JOIN uni ON p.b = uni.term
+CROSS JOIN tot
+GROUP BY p.doc_id
+"""
+
+
+_PMI_MIN_COUNT = 5  # collocation support floor (trims the long tail)
+_PMI_TOPK = 50
+
+
+def q_pmi_topk(spark, sf_dir):
+    """Corpus collocation mining: top-50 adjacent admitted-token pairs by
+    pointwise mutual information, support >= 5. The vocabulary-building /
+    tokenizer-merge signal (and a compact corpus-drift fingerprint a
+    pipeline can diff across snapshots). Deterministic cutoff: ranked by
+    the 6-dp-rounded PMI with (a, b) as the tiebreak.
+
+    Scale shape: the pair table is map-side-combined and support-trimmed
+    BEFORE any join (the >= 5 filter drops the hapax tail, the bulk of
+    vocab^2); unigram counts join on single term keys; the two one-row
+    totals broadcast; the final top-k is TakeOrderedAndProject — no
+    global sort materializes."""
+    pairs = _adj_pairs(spark, sf_dir)
+    cb = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_COUNT)
+    )
+    uni = _toks_of(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("cu")
+    )
+    tb = pairs.agg(F.count("*").cast("double").alias("tb"))
+    tu = uni.agg(F.sum("cu").cast("double").alias("tu"))
+    scored = (
+        cb.join(uni.select(F.col("term").alias("a"), F.col("cu").alias("ca")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("cu").alias("cbu")), "b")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("tb"))
+                    / ((F.col("ca") / F.col("tu")) * (F.col("cbu") / F.col("tu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(_PMI_TOPK)
+
+
+SQL_PMI_TOPK = _SQL_ADJ + f"""
+, cb AS (
+  SELECT a, b, count(*) AS n_pair FROM pairs GROUP BY a, b
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+), uni AS (
+  SELECT term, count(*) AS cu FROM toks GROUP BY term
+), tb AS (SELECT count(*)::DOUBLE AS tb FROM pairs),
+tu AS (SELECT sum(cu)::DOUBLE AS tu FROM uni)
+SELECT cb.a, cb.b, cb.n_pair,
+       round(ln((cb.n_pair / tb.tb) / ((ua.cu / tu.tu) * (ub.cu / tu.tu))), 6) AS pmi
+FROM cb
+JOIN uni ua ON cb.a = ua.term
+JOIN uni ub ON cb.b = ub.term
+CROSS JOIN tb CROSS JOIN tu
+ORDER BY pmi DESC, cb.a, cb.b
+LIMIT {_PMI_TOPK}
+"""
+
+
 # ----------------------------------------------- generic join/agg/window ops
 def q_top_customers(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1915,6 +2261,10 @@ SPARK_QUERIES = {
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "dup_span_coverage": q_dup_span_coverage,
+    "dsir_weights": q_dsir_weights,
+    "pmi_topk": q_pmi_topk,
     "domain_stats": q_domain_stats,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
@@ -1954,6 +2304,10 @@ ORACLE_SQL = {
     "sample_split": SQL_SAMPLE_SPLIT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "pmi_topk": SQL_PMI_TOPK,
     "domain_stats": SQL_DOMAIN_STATS,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,

@@ -212,6 +212,96 @@ def stateful_conv_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+_DEDUP_OUT = "content_hash string, keeper_doc_id long, n_seen long"
+_DEDUP_STATE = "keeper long, n long"
+
+
+def _dedup_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (h,) = key
+    keeper, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        mn = int(pdf["doc_id"].min())
+        keeper = mn if keeper is None else min(keeper, mn)
+    state.update((keeper, n))
+    yield pd.DataFrame(
+        {"content_hash": [h], "keeper_doc_id": [keeper], "n_seen": [n]}
+    )
+
+
+def streaming_dedup_keepers(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup as a custom stateful operator: state per
+    md5(text) is (min doc_id seen, rows seen), emitted in update mode.
+    The keeper rule is min(doc_id) — ORDER-INSENSITIVE, so the final
+    emission per key is identical whatever micro-batch boundaries the
+    source picks, and equals the batch `dedup_exact` semantics. This is
+    the dedup a continuously-ingesting pipeline runs: new docs stream
+    in, previously-seen content is flagged without re-scanning the
+    corpus.
+
+    100 TB shape: one shuffle by content hash; state per key is two
+    scalars (bounded by distinct-content count, the same cardinality the
+    batch groupBy carries); Arrow-batched, no per-row Python."""
+    keyed = stream.select(F.md5("text").alias("content_hash"), "doc_id")
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_update,
+        _DEDUP_OUT,
+        _DEDUP_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_drain(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame | None:
+    """Drain a documents-shaped directory (doc_id, text) through
+    streaming_dedup_keepers; returns the lazy epoch union (None when
+    nothing emitted). Final value per key across epochs: keeper is
+    monotone non-increasing and n_seen monotone increasing, so aggregate
+    min(keeper_doc_id), max(n_seen). Pass max_files_per_trigger to force
+    multi-batch processing (exercises cross-batch state)."""
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    _drain_to_parquet(
+        streaming_dedup_keepers(stream), checkpoint_dir, out_dir, "update"
+    )
+    return _epochs_df(spark, out_dir)
+
+
+def dedup_keepers_oracle_sql() -> str:
+    """DuckDB oracle for the driver's stream_dedup_keepers entry: the
+    batch restatement of the streaming stateful dedup — min-doc_id
+    keeper and occurrence count per content hash — over the SAME
+    deterministic duplicate synthesis the Spark entry streams (the
+    driver corpora contain no exact duplicate texts, so every 10th doc
+    is re-appended under doc_id + 1,000,000; repartition(4) spreads the
+    copies across micro-batches, making the cross-batch state merge
+    non-vacuous). Keepers stay the original doc_ids (min rule)."""
+    return """
+WITH pool AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*)::BIGINT AS n_seen
+FROM pool
+GROUP BY md5(text)
+"""
+
+
 def run_conv_stats_drain(
     spark: SparkSession,
     input_dir: str,

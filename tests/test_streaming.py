@@ -329,6 +329,51 @@ def test_stateful_conv_stats_incremental_equals_batch(spark, tmp_path):
         ), cid
 
 
+def test_streaming_dedup_cross_batch_keeper(spark, tmp_path):
+    """Stateful streaming dedup across two drains: a later batch carrying
+    a SMALLER doc_id for already-seen content must win the keeper slot
+    (min rule — order-insensitive), and n_seen must accumulate. Final
+    state per key (min keeper, max n_seen over emissions) == batch
+    groupBy over everything streamed."""
+    from apt_search_engine_spark.streaming.windows import run_dedup_drain
+
+    inp = str(tmp_path / "dd_in")
+    ck = str(tmp_path / "dd_ck")
+    out = str(tmp_path / "dd_out")
+
+    a = [(10, "alpha"), (11, "beta"), (12, "gamma"), (14, "alpha")]
+    b = [(5, "alpha"), (13, "beta"), (20, "delta")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(a, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_dedup_drain(spark, inp, ck, out)
+    spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(inp)
+    got = run_dedup_drain(spark, inp, ck, out)
+
+    final = {
+        r.content_hash: (r.keeper_doc_id, r.n_seen)
+        for r in got.groupBy("content_hash")
+        .agg(
+            F.min("keeper_doc_id").alias("keeper_doc_id"),
+            F.max("n_seen").alias("n_seen"),
+        )
+        .collect()
+    }
+    want = {
+        r.content_hash: (r.keeper_doc_id, r.n_seen)
+        for r in spark.createDataFrame(a + b, schema)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_seen"),
+        )
+        .collect()
+    }
+    assert final == want
+    # the cross-batch update really happened: alpha's keeper moved to 5
+    alpha = [h for h, v in want.items() if v == (5, 3)]
+    assert len(alpha) == 1 and final[alpha[0]] == (5, 3)
+
+
 # ------------------------------------------------ compaction durability
 def _ranked(spark, index_dir, q="travel guide"):
     from apt_search_engine_spark.query.engine import SearchEngine
