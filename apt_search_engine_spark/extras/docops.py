@@ -401,15 +401,16 @@ def _minhash_pairs_plan(spark, sf_dir):
     return minhash_pairs_df(_docs(spark, sf_dir))
 
 
-def minhash_pairs_df(docs: DataFrame) -> DataFrame:
-    """Banded-LSH candidate pairs over an arbitrary documents frame
-    (doc_id, text) — the DataFrame-level surface extras/curate.py
-    composes; the sf_dir entries above wrap it."""
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """LSH band rows (doc_id, b, bv) — band value = concat of the band's
+    two 128-bit minhashes, so buckets collide only on real signature
+    agreement. Shared by the self-join pair finder and the cross-corpus
+    dedup (new-vs-reference semi-join)."""
     sig = _minhash_sig_wide(docs).select(
         "doc_id",
         F.array(*[F.col(f"m{salt}") for salt in range(_N_HASHES)]).alias("s"),
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -418,6 +419,13 @@ def minhash_pairs_df(docs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
+
+
+def minhash_pairs_df(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs over an arbitrary documents frame
+    (doc_id, text) — the DataFrame-level surface extras/curate.py
+    composes; the sf_dir entries above wrap it."""
+    bands = _minhash_bands(docs)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -431,7 +439,8 @@ def minhash_pairs_df(docs: DataFrame) -> DataFrame:
     )
 
 
-SQL_MINHASH_PAIRS = _SQL_SHINGLES + f"""
+# shared CTE chain: shingles -> salted minhashes -> signatures -> band rows
+_SQL_BANDS = _SQL_SHINGLES + f"""
 , salts AS (SELECT unnest(range(0, {_N_HASHES})) AS salt)
 , mh AS (
   SELECT doc_id, salt, min(md5(salt::VARCHAR || '|' || shingle)) AS minh
@@ -442,6 +451,9 @@ SQL_MINHASH_PAIRS = _SQL_SHINGLES + f"""
   SELECT doc_id, b, s[2*b + 1] || s[2*b + 2] AS bv
   FROM sig, LATERAL (SELECT unnest(range(0, {_N_BANDS})) AS b)
 )
+"""
+
+SQL_MINHASH_PAIRS = _SQL_BANDS + """
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
 """
@@ -1860,6 +1872,403 @@ FROM events
 """
 
 
+# ------------------------------------------------- event-stream analytics
+# Time math is exact integer epoch-microseconds on both engines
+# (unix_micros vs epoch_us; session tz pinned UTC in session.py so the
+# parquet TIMESTAMP_NTZ -> TIMESTAMP cast is the identity) — no float
+# epochs, no tz-dependent rendering in the compared output.
+_SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8h of inactivity closes a session
+
+
+def _events_us(spark, sf_dir) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn(
+        "ep_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization — the classic event-stream operator
+    (user activity split into sessions wherever the inactivity gap
+    exceeds a threshold), used for engagement metrics and as the
+    grouping key for per-session transcript assembly.
+
+    Scale shape: ONE window sort per user stamps the session boundary
+    flags and their running sum (the session ordinal) in the same
+    window frame — no self-join, no per-session explosion — then a
+    map-side-combined groupBy((user, session)) aggregates. The only
+    shuffle key is user_id; a skewed power user is still one
+    partition's worth of rows, bounded by that user's event count."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ep_us", "event_id")
+    prev = F.lag("ep_us").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ep_us") - prev > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.select("user_id", "event_id", "value", "ep_us").withColumn(
+        "session_seq",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ep_us").alias("start_us"),
+        F.max("ep_us").alias("end_us"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ep_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, value, ep_us,
+         CASE WHEN lag(ep_us) OVER w IS NULL
+                OR ep_us - lag(ep_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep_us, event_id)
+), sessed AS (
+  SELECT user_id, event_id, value, ep_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ep_us, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       min(ep_us) AS start_us, max(ep_us) AS end_us,
+       round(sum(value), 6) AS sum_value
+FROM sessed GROUP BY user_id, session_seq
+"""
+
+
+def q_asof_attribution(spark, sf_dir):
+    """As-of join — for each purchase, the latest click by the same user
+    at or before it (last-touch attribution). Spark has no ASOF JOIN;
+    the engine composes it as union-tag + one running `last(...,
+    ignorenulls)` window per user — a single sort, never an inequality
+    join (which Spark would plan as a per-user cartesian). The oracle
+    IS DuckDB's native ASOF JOIN, so the composition is checked against
+    a first-class implementation of the semantics.
+
+    Ties: clicks sort before purchases at equal ts (side 0 < 1), so
+    "at or before" is inclusive, matching ASOF's >=; among clicks with
+    identical (user, ts) the max event_id wins — the right side is
+    pre-deduped to one row per (user, ts), which also makes the ASOF
+    tie deterministic. No-match rows keep -1 sentinels (both engines)
+    instead of NULL: nullable-int frames stringify differently across
+    pandas dtypes, and the sentinel is lineage-friendly anyway."""
+    e = _events_us(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ep_us")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ep_us"
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ep_us",
+        F.lit(0).alias("side"),
+        "click_event_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionByName(
+        purch.select(
+            "user_id",
+            "ep_us",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("click_event_id"),
+            "purchase_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        tagged.withColumn(
+            "last_click", F.last("click_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_us",
+            F.last(
+                F.when(F.col("side") == 0, F.col("ep_us")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("side") == 1)
+    )
+    return out.select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        F.col("ep_us").alias("purchase_us"),
+        F.coalesce("last_click", F.lit(-1)).alias("click_event_id"),
+        F.coalesce("last_click_us", F.lit(-1)).alias("click_us"),
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ep_us FROM events
+), clicks AS (
+  SELECT user_id, ep_us, max(event_id) AS click_event_id
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, ep_us
+), purch AS (
+  SELECT user_id, event_id, ep_us FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ep_us AS purchase_us,
+       coalesce(c.click_event_id, -1) AS click_event_id,
+       coalesce(c.ep_us, -1) AS click_us
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ep_us >= c.ep_us
+"""
+
+
+def q_funnel_counts(spark, sf_dir):
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that first
+    qualifying click. Step timestamps are first-occurrence (min), so
+    each stage is one map-side-combined groupBy(user) plus an
+    equi-join on user_id against the (strictly smaller) previous
+    stage — never a per-user sequence materialization."""
+    e = _events_us(spark, sf_dir)
+    a = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ep_us").alias("ta"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .filter(F.col("ep_us") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ep_us").alias("tb"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .filter(F.col("ep_us") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("ep_us").alias("tc"))
+    )
+
+    def step(df, n, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(n).alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+
+    return (
+        step(a, 1, "view")
+        .unionByName(step(b, 2, "click"))
+        .unionByName(step(c, 3, "purchase"))
+    )
+
+
+SQL_FUNNEL_COUNTS = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ep_us FROM events
+), a AS (
+  SELECT user_id, min(ep_us) AS ta FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+), b AS (
+  SELECT e.user_id, min(e.ep_us) AS tb
+  FROM ev e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND e.ep_us > a.ta
+  GROUP BY e.user_id
+), c AS (
+  SELECT e.user_id, min(e.ep_us) AS tc
+  FROM ev e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ep_us > b.tb
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS step_name, count(*)::BIGINT AS n_users FROM a
+UNION ALL
+SELECT 2, 'click', count(*)::BIGINT FROM b
+UNION ALL
+SELECT 3, 'purchase', count(*)::BIGINT FROM c
+"""
+
+
+# ------------------------------------------- cross-corpus (increment) dedup
+def q_cross_dedup(spark, sf_dir):
+    """Dedup a NEW corpus increment against an existing REFERENCE corpus
+    — the shape every refreshed crawl runs: keep a new doc only if it is
+    neither byte-identical to nor a near-duplicate of anything already
+    held. Slices here are a deterministic 1-in-5 md5 split of documents
+    (a real pipeline passes its snapshot tables).
+
+    Scale shape: exact = one semi-join on md5(text) (32-byte keys);
+    near = band rows of the new slice semi-joined against the DISTINCT
+    band buckets of the reference slice — candidate generation only
+    touches colliding buckets, and the reference side reduces to its
+    bucket set (vocabulary-sized, not corpus-sized after distinct).
+    Neither flag path compares documents pairwise.
+
+    On the driver corpus the near_dup branch fires (9 docs at sf0.01);
+    exact_dup is corpus-inherently all-False (the synthetic tables hold
+    zero byte-identical texts anywhere, verified) — that path's semi-join
+    is independently value-exercised by dedup_exact."""
+    docs = _docs(spark, sf_dir)
+    is_new = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5 == 0
+    )
+    tagged = docs.withColumn("is_new", is_new)
+    new = tagged.filter("is_new")
+    ref = tagged.filter(~F.col("is_new"))
+    exact = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            ref.select(F.md5("text").alias("h")).distinct(), "h", "left_semi"
+        )
+        .select("doc_id")
+        .withColumn("ex", F.lit(True))
+    )
+    bands = _minhash_bands(docs)
+    near = (
+        bands.join(new.select("doc_id"), "doc_id", "left_semi")
+        .join(
+            bands.join(ref.select("doc_id"), "doc_id", "left_semi")
+            .select("b", "bv")
+            .distinct(),
+            ["b", "bv"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("nd", F.lit(True))
+    )
+    return (
+        new.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ex", F.lit(False)).alias("exact_dup"),
+            F.coalesce("nd", F.lit(False)).alias("near_dup"),
+            (
+                ~F.coalesce("ex", F.lit(False))
+                & ~F.coalesce("nd", F.lit(False))
+            ).alias("keep"),
+        )
+    )
+
+
+SQL_CROSS_DEDUP = _SQL_BANDS + """
+, tagged AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 5 = 0) AS is_new
+  FROM documents
+), exact AS (
+  SELECT DISTINCT t.doc_id, TRUE AS ex
+  FROM tagged t
+  JOIN (SELECT DISTINCT md5(text) AS h FROM tagged WHERE NOT is_new) r
+    ON md5(t.text) = r.h
+  WHERE t.is_new
+), near AS (
+  SELECT DISTINCT x.doc_id, TRUE AS nd
+  FROM bands x
+  JOIN tagged tx ON x.doc_id = tx.doc_id AND tx.is_new
+  JOIN bands y ON x.b = y.b AND x.bv = y.bv
+  JOIN tagged ty ON y.doc_id = ty.doc_id AND NOT ty.is_new
+)
+SELECT n.doc_id,
+       coalesce(e.ex, FALSE) AS exact_dup,
+       coalesce(nr.nd, FALSE) AS near_dup,
+       (NOT coalesce(e.ex, FALSE) AND NOT coalesce(nr.nd, FALSE)) AS keep
+FROM (SELECT doc_id FROM tagged WHERE is_new) n
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near nr USING (doc_id)
+"""
+
+
+# --------------------------------------------- TF-IDF cosine retrieval
+_TFIDF_K = 10
+
+
+def q_tfidf_cosine_topk(spark, sf_dir):
+    """Query-by-example: top-10 documents by TF-IDF cosine similarity to
+    the corpus's min-doc_id document — the sparse-vector retrieval
+    baseline next to the dense-embedding ANN family. idf = ln(N/df)
+    over docs with admitted tokens.
+
+    Scale shape: weights are one groupBy(doc, term); the query vector
+    is ONE document's terms (broadcast side of the term join), so the
+    dot product only touches postings of query terms — exactly the
+    inverted-index access pattern, expressed relationally. Norms are a
+    second map-side-combined groupBy; the two one-row totals broadcast;
+    top-k is TakeOrderedAndProject."""
+    toks = _toks_of(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.select("doc_id").distinct().agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    qid = tf.agg(F.min("doc_id").alias("qid"))
+    qw = (
+        w.join(F.broadcast(qid), w.doc_id == F.col("qid"))
+        .select("term", F.col("w").alias("qw"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    qnorm = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnrm"))
+    return (
+        w.join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .crossJoin(F.broadcast(qid))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_TFIDF_K)
+    )
+
+
+SQL_TFIDF_COSINE_TOPK = _SQL_TOKS + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(nd.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), qid AS (SELECT min(doc_id) AS qid FROM tf),
+qw AS (
+  SELECT term, w AS qw FROM w CROSS JOIN qid WHERE w.doc_id = qid.qid
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), qnorm AS (SELECT sqrt(sum(qw * qw)) AS qnrm FROM qw)
+SELECT w.doc_id, round(sum(w.w * qw.qw) / (any_value(norms.nrm) * any_value(qnorm.qnrm)), 6) AS cos
+FROM w JOIN qw USING (term)
+JOIN norms ON w.doc_id = norms.doc_id
+CROSS JOIN qnorm CROSS JOIN qid
+WHERE w.doc_id != qid.qid
+GROUP BY w.doc_id
+ORDER BY cos DESC, w.doc_id
+LIMIT {_TFIDF_K}
+"""
+
+
 # -------------------------------------------------------------- language ID
 # Marker-word n-gram heuristic (training-pipeline op): score each language
 # by occurrences of its top function words in the raw token stream (NO
@@ -2268,6 +2677,11 @@ SPARK_QUERIES = {
     "domain_stats": q_domain_stats,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "asof_attribution": q_asof_attribution,
+    "funnel_counts": q_funnel_counts,
+    "cross_dedup": q_cross_dedup,
+    "tfidf_cosine_topk": q_tfidf_cosine_topk,
     "boolean_or": q_boolean_or,
     "boolean_not": q_boolean_not,
     "ann_topk": q_ann_topk,
@@ -2311,6 +2725,11 @@ ORACLE_SQL = {
     "domain_stats": SQL_DOMAIN_STATS,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    "asof_attribution": SQL_ASOF_ATTRIBUTION,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
+    "cross_dedup": SQL_CROSS_DEDUP,
+    "tfidf_cosine_topk": SQL_TFIDF_COSINE_TOPK,
     "boolean_or": SQL_BOOLEAN_OR,
     "boolean_not": SQL_BOOLEAN_NOT,
     "ann_topk": SQL_ANN_TOPK,

@@ -26,6 +26,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # deterministic epoch math everywhere: parquet TIMESTAMP_NTZ columns
+        # convert to TIMESTAMP via the session zone, so pin it — otherwise
+        # unix_micros()-based operators would shift by the box's local offset
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
