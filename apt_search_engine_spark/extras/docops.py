@@ -2643,6 +2643,336 @@ FROM edges GROUP BY dst
 """
 
 
+# ------------------------------------------- curation: per-source quota cap
+_QUOTA_K = 10
+
+
+def q_quota_sample(spark, sf_dir):
+    """Per-source document quota — cap every source at K docs, chosen by
+    a deterministic hash order (not arrival order, which is crawl-biased,
+    and not random, which is irreproducible). The standard web-curation
+    move for taming a corpus dominated by a handful of mega-domains
+    before temperature mixing (see q_domain_stats).
+
+    Scale shape: one window sort keyed by source. A mega-source is one
+    partition's worth of rows but the sort is per-partition and the
+    output is truncated at K; for sources with billions of docs, swap
+    row_number for a per-source top-K aggregate (bounded heap) — same
+    semantics, no full sort. Hash order means re-runs over a grown
+    corpus keep previously-selected docs stable except at the K margin."""
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= _QUOTA_K)
+
+
+SQL_QUOTA_SAMPLE = f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_QUOTA_K}
+"""
+
+
+# ---------------------------------- curation: CCNet-style perplexity buckets
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing: rank documents by their LM score
+    (mean unigram log-probability, q_unigram_logprob) and split into
+    head / middle / tail tertiles — the canonical cheap filter for
+    "keep head, sample middle, drop tail" curation recipes.
+
+    The tertile split here is exact (ntile over a total order) for
+    oracle parity; at 100 TB the same recipe runs as two approxQuantile
+    thresholds broadcast into a CASE — the buckets are a filter input,
+    not an exact artifact, so approximate boundaries are the documented
+    scale path. Ordering ties are broken by doc_id, so the split is
+    deterministic on both engines."""
+    lp = q_unigram_logprob(spark, sf_dir)
+    w = Window.orderBy(F.desc("mean_logprob"), "doc_id")
+    return lp.select(
+        "doc_id",
+        "mean_logprob",
+        F.ntile(3).over(w).alias("tile"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail"),
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = _SQL_TOKS + """
+, occ AS (
+  SELECT doc_id, term, count(*) AS occ FROM toks GROUP BY doc_id, term
+), vocab AS (
+  SELECT term, sum(occ) AS cnt FROM occ GROUP BY term
+), tot AS (SELECT sum(cnt)::DOUBLE AS t FROM vocab)
+, lp AS (
+  SELECT occ.doc_id,
+         round(sum(occ.occ * ln(vocab.cnt / tot.t)) / sum(occ.occ), 6)
+           AS mean_logprob
+  FROM occ JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY occ.doc_id
+)
+SELECT doc_id, mean_logprob, tile,
+       CASE WHEN tile = 1 THEN 'head'
+            WHEN tile = 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM (SELECT doc_id, mean_logprob,
+             ntile(3) OVER (ORDER BY mean_logprob DESC, doc_id) AS tile
+      FROM lp)
+"""
+
+
+# ------------------------------------ fingerprinting: winnowing (MOSS-style)
+_WINNOW_K = 3  # k-gram length in admitted tokens
+_WINNOW_W = 4  # winnowing window: consecutive k-grams per selection
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-token shingle, slide a window of w
+    consecutive shingles, keep each window's minimal hash. Guarantees
+    any shared run of k+w-1 tokens between two documents yields at
+    least one shared selected fingerprint — the robust upgrade over
+    q_doc_fingerprint's plain rolling hash, at ~1/w the stored hashes.
+
+    Ties inside a window are broken by the leftmost position: hash and
+    zero-padded position are concatenated into one string so a plain
+    min() is the (hash, pos)-lexicographic argmin on both engines.
+
+    Scale shape: per-doc window functions over the admitted-token
+    stream — one shuffle keyed by doc_id, linear work, output bounded
+    by n_grams/1 (dedup collapses runs of the same winner). No joins."""
+    toks = _toks_of(spark, sf_dir)
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    g = (
+        toks.withColumn("t1", F.lead("term", 1).over(w_seq))
+        .withColumn("t2", F.lead("term", 2).over(w_seq))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat(
+                F.md5(F.concat_ws(" ", "term", "t1", "t2")),
+                F.lpad(F.col("pos").cast("string"), 10, "0"),
+            ).alias("hp"),
+        )
+    )
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    sel = g.select("doc_id", F.min("hp").over(w_win).alias("sel")).distinct()
+    return sel.select(
+        "doc_id",
+        F.substring("sel", 1, 32).alias("fingerprint"),
+        F.substring("sel", 33, 10).cast("int").alias("pos"),
+    )
+
+
+SQL_WINNOW_FINGERPRINT = _SQL_TOKS + f"""
+, grams AS (
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS gram,
+         lead(term, 2) OVER w AS t2
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), hp AS (
+  SELECT doc_id, pos,
+         md5(gram) || lpad(pos::VARCHAR, 10, '0') AS hp
+  FROM grams WHERE t2 IS NOT NULL
+), sel AS (
+  SELECT DISTINCT doc_id,
+         min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WINNOW_W - 1} FOLLOWING) AS sel
+  FROM hp
+)
+SELECT doc_id, substr(sel, 1, 32) AS fingerprint,
+       substr(sel, 33, 10)::INT AS pos
+FROM sel
+"""
+
+
+# --------------------------------------- event analytics: ROLLUP aggregation
+def q_rollup_counts(spark, sf_dir):
+    """Multi-granularity event rollup: counts and value sums per
+    (event_type, hour-of-day), per event_type, and grand total in one
+    pass — GROUP BY ROLLUP, the OLAP primitive dashboards page. Hour is
+    derived by integer epoch math (tz-independent on both engines);
+    rollup NULL markers are coalesced to sentinels ('ALL', -1) because
+    the subtotal rows are data, not missing values, and nullable-int
+    frames stringify differently across pandas dtypes.
+
+    Scale shape: Spark plans ROLLUP as Expand (3 grouping sets) + one
+    hash aggregate with map-side partials — one shuffle whose key count
+    is bounded by |types| x 24, independent of row count."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+    ).alias("hr")
+    return (
+        e.select("event_type", hr, "value")
+        .rollup("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hr, -1) AS hr,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr, value
+      FROM events)
+GROUP BY ROLLUP (event_type, hr)
+"""
+
+
+# ------------------------------------- event analytics: cohort retention
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix: users are cohorted by the week of
+    their first event; each cell counts distinct users from cohort week
+    C active in week C+offset. Weeks are integer epoch-week indices
+    (epoch_us div week) — no calendar/tz dependence.
+
+    Scale shape: distinct (user, week) first — collapsing the event
+    stream to at most users x weeks rows before anything else — then a
+    per-user min for the cohort and one bounded groupBy. The join of
+    (user, week) against the per-user cohort is keyed by user_id; both
+    sides are user-bounded, AQE handles the power-user skew."""
+    wk_us = 7 * 24 * 3600 * 1_000_000
+    e = _events_us(spark, sf_dir)
+    uw = e.select(
+        "user_id", F.expr(f"ep_us div {wk_us}").alias("wk")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), coh AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+)
+SELECT cohort_wk, wk - cohort_wk AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM uw JOIN coh USING (user_id)
+GROUP BY cohort_wk, week_offset
+"""
+
+
+# --------------------------------------------- OLAP: TPC-H-shaped aggregates
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    scan-heavy aggregate (filter -> 6-group hash agg with compound
+    float expressions). Exercises predicate pushdown to the parquet
+    scan and map-side partial aggregation — at 100 TB this is one
+    full-scan + a 6-row shuffle.
+
+    Sums are rounded to 2 dp (magnitudes ~1e8; partial-agg ordering
+    differences are ~1e-7), averages to 6 dp."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped star join: revenue per customer nation within one
+    region and order-date year, over lineitem x orders x customer x
+    nation x region. The dimension tables (nation, region) are
+    broadcast; the date filter is applied to orders before the fact
+    join so the pushed predicate prunes the big probe side. At 100 TB
+    the only shuffles are the two fact-fact hash joins on their
+    natural keys."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 SPARK_QUERIES = {
     "tokenize_tf": q_tokenize_tf,
     "lang_id": q_lang_id,
@@ -2689,6 +3019,13 @@ SPARK_QUERIES = {
     "snippet_pick": q_snippet_pick,
     "link_graph_invert": q_link_graph_invert,
     "ann_batch_topk": q_ann_batch_topk,
+    "quota_sample": q_quota_sample,
+    "perplexity_buckets": q_perplexity_buckets,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "rollup_counts": q_rollup_counts,
+    "cohort_retention": q_cohort_retention,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
 }
 
 ORACLE_SQL = {
@@ -2737,4 +3074,11 @@ ORACLE_SQL = {
     "snippet_pick": SQL_SNIPPET_PICK,
     "link_graph_invert": SQL_LINK_GRAPH_INVERT,
     "ann_batch_topk": SQL_ANN_BATCH_TOPK,
+    "quota_sample": SQL_QUOTA_SAMPLE,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "tpch_pricing_summary": SQL_TPCH_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
 }
