@@ -361,6 +361,35 @@ def _stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stateful sessionization
+    (streaming/windows.py:streaming_sessions): the events table drained
+    availableNow in multiple micro-batches (4 input files x
+    maxFilesPerTrigger=2, repartition spreads each user's events across
+    batches) so the cross-batch interval merge is genuinely exercised.
+    The interval-set state is a commutative summary, so the finalized
+    emission (containment-maximal intervals) hash-matches the batch
+    gap-sessionization restated in DuckDB."""
+    from apt_search_engine_spark.streaming.windows import (
+        finalize_sessions,
+        run_sessions_drain,
+    )
+
+    key = hashlib.md5(f"{sf_dir}|ssess|layout=1".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"aptse_ssess_{key}")
+    inp, ck, out = (os.path.join(base, d) for d in ("in", "ck", "out"))
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "ts"
+        )
+        e.repartition(4).write.mode("overwrite").parquet(inp)
+    df = run_sessions_drain(spark, inp, ck, out, max_files_per_trigger=2)
+    schema = "user_id long, start_us long, end_us long, n_events long"
+    if df is None:
+        return spark.createDataFrame([], schema)
+    return finalize_sessions(df)
+
+
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (schema + mapInPandas batch shape) over the
     deterministic synthetic media table; decode is a documented fake.
@@ -425,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = _multimodal_q
     q["stream_windowed_counts"] = _stream_windowed_q
     q["stream_dedup_keepers"] = _stream_dedup_q
+    q["stream_sessionize"] = _stream_sessions_q
     return {name: _tuned(fn) for name, fn in q.items()}
 
 
@@ -486,6 +516,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["stream_dedup_keepers"] = dedup_keepers_oracle_sql()
+    from apt_search_engine_spark.streaming.windows import (
+        stream_sessions_oracle_sql,
+    )
+
+    out["stream_sessionize"] = stream_sessions_oracle_sql()
     from apt_search_engine_spark.extras.multimodal import (
         multimodal_features_sql,
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from apt_search_engine_spark.schema import TRANSCRIPTS
@@ -299,6 +299,165 @@ SELECT md5(text) AS content_hash,
        count(*)::BIGINT AS n_seen
 FROM pool
 GROUP BY md5(text)
+"""
+
+
+_SESS_GAP_US = 8 * 3600 * 1_000_000  # mirrors docops._SESSION_GAP_US
+_SESS_OUT = "user_id long, start_us long, end_us long, n_events long"
+_SESS_STATE = "starts array<long>, ends array<long>, counts array<long>"
+
+
+def _sessions_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    (uid,) = key
+    if state.exists:
+        starts, ends, counts = state.get
+        iv = list(zip(starts, ends, counts))
+    else:
+        iv = []
+    chunks = [
+        pdf["ep_us"].to_numpy(dtype="int64") for pdf in pdfs if len(pdf)
+    ]
+    if chunks:
+        ts = np.sort(np.concatenate(chunks))
+        brk = np.flatnonzero(np.diff(ts) > _SESS_GAP_US) + 1
+        iv.extend(
+            (int(seg[0]), int(seg[-1]), int(len(seg)))
+            for seg in np.split(ts, brk)
+        )
+        iv.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e, n in iv:
+            if merged and s - merged[-1][1] <= _SESS_GAP_US:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e), pn + n)
+            else:
+                merged.append((s, e, n))
+        iv = merged
+        state.update(
+            (
+                [s for s, _, _ in iv],
+                [e for _, e, _ in iv],
+                [n for _, _, n in iv],
+            )
+        )
+    yield pd.DataFrame(
+        {
+            "user_id": [uid] * len(iv),
+            "start_us": [s for s, _, _ in iv],
+            "end_us": [e for _, e, _ in iv],
+            "n_events": [n for _, _, n in iv],
+        }
+    )
+
+
+def streaming_sessions(stream: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator:
+    the per-user state is the set of disjoint session intervals
+    (start_us, end_us, n_events) seen so far. Each micro-batch is
+    sessionized batch-locally (vectorized numpy diff/split), the
+    resulting intervals are folded into the state by endpoint-gap merge,
+    and the user's full current interval set is emitted in update mode.
+
+    Interval merging is a commutative, associative summary of the
+    gap-adjacency transitive closure, so the FINAL emission per user is
+    identical whatever micro-batch boundaries (or arrival order) the
+    source picks — and equals the batch sessionization of the same rows.
+    This is the out-of-order-tolerant session assembly a continuously
+    ingesting event pipeline needs; Spark's native session_window covers
+    the watermark-ordered case, this operator also covers arbitrarily
+    late arrivals that REOPEN and bridge previously separate sessions.
+
+    100 TB shape: one shuffle keyed by user_id; state per key is the
+    user's session intervals (three longs each) — in a long-running
+    deployment, closed sessions older than the lateness horizon should
+    be evicted via state timeout after emission to a compacted sink;
+    with the availableNow drains used here the state lives only for the
+    drain. Arrow-batched; the per-batch python is O(intervals), not
+    O(rows)."""
+    keyed = stream.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ep_us")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _sessions_update,
+        _SESS_OUT,
+        _SESS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_sessions(emissions: DataFrame) -> DataFrame:
+    """Reduce update-mode session emissions (possibly across many epochs)
+    to the final interval set: intervals only ever grow by merging, so
+    every superseded emission is strictly contained in exactly one final
+    interval, and the final set = containment-maximal intervals. One
+    window sweep per user (start asc, end desc; a row whose end exceeds
+    every earlier end is maximal) — no self-join, no driver collect."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("start_us").asc(), F.col("end_us").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        emissions.select("user_id", "start_us", "end_us", "n_events")
+        .distinct()
+        .withColumn("prev_max_end", F.max("end_us").over(w))
+        .filter(
+            F.col("prev_max_end").isNull()
+            | (F.col("prev_max_end") < F.col("end_us"))
+        )
+        .drop("prev_max_end")
+    )
+
+
+def run_sessions_drain(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame | None:
+    """Drain an events-shaped directory (user_id, ts) through
+    streaming_sessions; returns the lazy epoch union (None when nothing
+    emitted). Finalize with finalize_sessions()."""
+    reader = spark.readStream.schema("user_id long, ts timestamp")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    _drain_to_parquet(
+        streaming_sessions(stream), checkpoint_dir, out_dir, "update"
+    )
+    return _epochs_df(spark, out_dir)
+
+
+def stream_sessions_oracle_sql() -> str:
+    """DuckDB oracle for the driver's stream_sessionize entry: the batch
+    restatement of gap-based sessionization over the events table —
+    per-user disjoint sessions with their start/end epoch-micros and
+    event counts. Two sessions of a user are disjoint in time, so
+    (user_id, start_us, end_us) rows are unique without a session_seq."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ep_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ep_us,
+         CASE WHEN lag(ep_us) OVER w IS NULL
+                OR ep_us - lag(ep_us) OVER w > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep_us, event_id)
+), sessed AS (
+  SELECT user_id, ep_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ep_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ep_us) AS start_us, max(ep_us) AS end_us,
+       count(*)::BIGINT AS n_events
+FROM sessed GROUP BY user_id, session_seq
 """
 
 

@@ -79,6 +79,34 @@ def test_long_phrase_plan_still_two_scans(engine):
     assert len(scans) == 2, "\n".join(scans)
 
 
+def test_olap_ops_plan_shapes(spark):
+    """The TPC-H-shaped operators must produce the plan a 100 TB run
+    needs: date/region predicates pushed into the parquet scans,
+    dimension tables broadcast (never shuffled), ROLLUP planned as one
+    Expand + hash aggregate, and no Python evaluation anywhere."""
+    from apt_search_engine_spark.extras.docops import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        df = SPARK_QUERIES[name](spark, sf)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p1 = plan("tpch_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p1, p1
+    assert "BatchEvalPython" not in p1 and "ArrowEvalPython" not in p1
+
+    p5 = plan("revenue_by_nation")
+    assert "BroadcastHashJoin" in p5, p5
+    assert "EqualTo(r_name,ASIA)" in p5, p5
+    assert "GreaterThanOrEqual(o_orderdate" in p5, p5
+    assert "BatchEvalPython" not in p5 and "ArrowEvalPython" not in p5
+
+    pr = plan("rollup_counts")
+    assert pr.count("Expand") >= 1, pr
+    assert "BatchEvalPython" not in pr and "ArrowEvalPython" not in pr
+
+
 def test_translated_topk_is_a_point_lookup(engine):
     """The frame search_df returns contains NO postings scan (the scoring
     plan already ran) and exactly one doc_map scan with an ordinal

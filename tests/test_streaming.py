@@ -374,6 +374,55 @@ def test_streaming_dedup_cross_batch_keeper(spark, tmp_path):
     assert len(alpha) == 1 and final[alpha[0]] == (5, 3)
 
 
+def test_streaming_sessions_cross_batch_merge(spark, tmp_path):
+    """Stateful streaming sessionization across two drains: batch B
+    delivers a LATE event that bridges two sessions batch A had already
+    emitted as separate — the interval-set state must merge them, and
+    the finalized result must equal batch sessionization of everything
+    streamed regardless of arrival order."""
+    from apt_search_engine_spark.streaming.windows import (
+        _SESS_GAP_US,
+        finalize_sessions,
+        run_sessions_drain,
+    )
+
+    inp = str(tmp_path / "ss_in")
+    ck = str(tmp_path / "ss_ck")
+    out = str(tmp_path / "ss_out")
+
+    h = 3600  # seconds
+    base = 1_700_000_000  # epoch seconds
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime.fromtimestamp(base + sec, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # user 1: events at 0h and 9h (> 8h gap -> two sessions in batch A);
+    # batch B's 4.5h event bridges them into ONE. user 2: stays split.
+    a = [(1, ts(0)), (1, ts(9 * h)), (2, ts(0)), (2, ts(20 * h))]
+    b = [(1, ts(int(4.5 * h))), (2, ts(21 * h))]
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(a, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_sessions_drain(spark, inp, ck, out)
+    spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(inp)
+    got = run_sessions_drain(spark, inp, ck, out)
+
+    final = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in finalize_sessions(got).collect()
+    }
+    us = 1_000_000
+    want = {
+        (1, base * us, (base + 9 * h) * us, 3),  # bridged by the late event
+        (2, base * us, base * us, 1),
+        (2, (base + 20 * h) * us, (base + 21 * h) * us, 2),
+    }
+    assert final == want
+    assert _SESS_GAP_US == 8 * h * us
+
+
 # ------------------------------------------------ compaction durability
 def _ranked(spark, index_dir, q="travel guide"):
     from apt_search_engine_spark.query.engine import SearchEngine
