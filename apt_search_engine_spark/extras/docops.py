@@ -2973,6 +2973,69 @@ GROUP BY n_name
 """
 
 
+# ----------------------------------- distribution stats: exact percentiles
+def q_percentile_stats(spark, sf_dir):
+    """Per-source length-distribution statistics: exact p50/p90 of doc
+    length plus mean — the distribution fingerprint curation dashboards
+    track per source (a source whose p90 collapses after a filter change
+    is the canary). Spark `percentile` and DuckDB `quantile_cont` share
+    the linear-interpolation definition, so values match bit-for-bit
+    pre-rounding.
+
+    Scale note: exact percentile buffers each group's values (bounded by
+    docs-per-source here). For unbounded groups the documented scale
+    path is approx_percentile(col, p, accuracy) — a fixed-size sketch
+    with identical call shape."""
+    return _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+    )
+
+
+SQL_PERCENTILE_STATS = """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(avg(n_chars), 6) AS mean_chars
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------- embedding analytics: per-label centroids
+def q_group_centroids(spark, sf_dir):
+    """Per-label embedding centroids, one row per (label, dim) — the
+    embedding-space source/cluster profile used for drift detection and
+    as seed centroids for IVF training (extras/ann.py). Emitted in long
+    form (label, dim, mean) rather than re-assembled arrays: the long
+    form is what both downstream joins and the oracle compare want.
+
+    Scale shape: posexplode multiplies rows by dim, but the map-side
+    partial aggregate collapses them before the shuffle — the exchange
+    carries only |labels| x dims partial sums, independent of corpus
+    size."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+SQL_GROUP_CENTROIDS = """
+SELECT label, ord - 1 AS dim, round(avg(v), 6) AS mean_v,
+       count(*) AS n_vecs
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings)
+GROUP BY label, ord - 1
+"""
+
+
 SPARK_QUERIES = {
     "tokenize_tf": q_tokenize_tf,
     "lang_id": q_lang_id,
@@ -3026,6 +3089,8 @@ SPARK_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "percentile_stats": q_percentile_stats,
+    "group_centroids": q_group_centroids,
 }
 
 ORACLE_SQL = {
@@ -3081,4 +3146,6 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "tpch_pricing_summary": SQL_TPCH_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "percentile_stats": SQL_PERCENTILE_STATS,
+    "group_centroids": SQL_GROUP_CENTROIDS,
 }

@@ -133,7 +133,14 @@ def main() -> None:
         # -- docops / dedup operator sample on the sf documents table -------
         from apt_search_engine_spark.extras.docops import SPARK_QUERIES
 
-        for name in ("dedup_exact", "minhash_pairs", "bag_topk_score"):
+        for name in (
+            "dedup_exact",
+            "minhash_pairs",
+            "bag_topk_score",
+            "winnow_fingerprint",
+            "sessionize",
+            "tpch_pricing_summary",
+        ):
             if name in SPARK_QUERIES:
                 fn = SPARK_QUERIES[name]
                 queries[name] = round(
