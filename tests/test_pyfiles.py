@@ -68,3 +68,30 @@ def test_spark_submit_pyfiles_ships_the_engine(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(out).num_rows == stats["turns"]
+
+
+def test_run_op_cli_binds_the_catalog(spark, tmp_path, capsys):
+    """jobs/run_op.py makes every cataloged operator spark-submit-able:
+    a known op writes its result parquet and prints one JSON stats line;
+    unknown ops and missing args fail with exit 2, --list prints the
+    catalog."""
+    import json as _json
+
+    from apt_search_engine_spark.extras.docops import SPARK_QUERIES
+    from apt_search_engine_spark.jobs.run_op import main
+
+    out = str(tmp_path / "res")
+    rc = main(
+        ["--op", "dedup_exact", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out]
+    )
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_written"] == spark.read.parquet(out).count() > 0
+
+    assert main(["--list"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert set(listed) == set(SPARK_QUERIES)
+
+    assert main(["--op", "nope", "--sf-dir", "x", "--out", out]) == 2
+    assert main(["--op", "dedup_exact", "--sf-dir", "x"]) == 2
