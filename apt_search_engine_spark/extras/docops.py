@@ -2973,6 +2973,126 @@ GROUP BY n_name
 """
 
 
+# ----------------------------------- token budgeting: BPE-ish pre-tokenizer
+# GPT-2-style pre-tokenizer split, simplified to the RE2/Java-regex
+# common subset (no lookahead): optional leading space + letter run /
+# digit run / punctuation run. This is the count that tracks an actual
+# BPE tokenizer's budget far better than whitespace words (punctuation
+# and digits tokenize separately).
+_BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document token-budget estimates: whitespace words vs BPE-ish
+    pre-tokens (the training-cost denominator). Pure JVM regex — one
+    map-only pass, no explode, no shuffle beyond none at all; at 100 TB
+    this pipelines with the scan."""
+    docs = _docs(spark, sf_dir)
+    ws = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        F.expr(f"regexp_count(lower(text), '{_BPE_PAT}')").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END
+         AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------ range join (bucketed)
+_RJ_BUCKET_US = 3_600_000_000  # 1h buckets
+_RJ_DAY_US = 86_400_000_000
+
+
+def range_join_by_bucket(
+    left: DataFrame,
+    ts_col: str,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = _RJ_BUCKET_US,
+) -> DataFrame:
+    """Point-in-interval range join as a composition Spark can plan as an
+    EQUI join: both sides are keyed by a coarse time bucket (intervals
+    exploded into every bucket they span via sequence()), joined on the
+    bucket, then the exact BETWEEN residual filters. A raw
+    `l.ts BETWEEN r.start AND r.end` join has no equi-key, so Spark
+    plans BroadcastNestedLoopJoin — O(|L| x |R|) compared work; the
+    bucketed form shuffles/broadcasts on the bucket key and compares
+    only same-bucket pairs (asserted in tests/test_plan_shape.py).
+    Choose bucket_us near the median interval width: cost is
+    |L| + sum(interval_width/bucket) join rows.
+    Keeps every column of both sides; inner semantics."""
+    lb = left.withColumn("_b", F.expr(f"{ts_col} div {bucket_us}"))
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.expr(
+                f"sequence({start_col} div {bucket_us},"
+                f" {end_col} div {bucket_us})"
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_b")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range join demo over the event stream: a synthetic global
+    promo-window table (one 10:00-14:00 UTC window per active day,
+    derived deterministically from the data) is range-joined to events
+    by timestamp containment. No user equi-key — exactly the shape that
+    degenerates to a nested-loop join without the bucket trick."""
+    e = _events_us(spark, sf_dir).select("event_id", "ep_us")
+    days = e.select(
+        F.expr(f"ep_us div {_RJ_DAY_US}").alias("promo_id")
+    ).distinct()
+    iv = days.select(
+        "promo_id",
+        (F.col("promo_id") * _RJ_DAY_US + 10 * _RJ_BUCKET_US).alias(
+            "start_us"
+        ),
+        (F.col("promo_id") * _RJ_DAY_US + 14 * _RJ_BUCKET_US).alias("end_us"),
+    )
+    return range_join_by_bucket(e, "ep_us", iv, "start_us", "end_us").select(
+        "event_id", "promo_id"
+    )
+
+
+SQL_RANGE_JOIN_EVENTS = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ep_us FROM events
+), days AS (
+  SELECT DISTINCT ep_us // {_RJ_DAY_US} AS promo_id FROM ev
+), iv AS (
+  SELECT promo_id,
+         promo_id * {_RJ_DAY_US} + 10 * {_RJ_BUCKET_US} AS start_us,
+         promo_id * {_RJ_DAY_US} + 14 * {_RJ_BUCKET_US} AS end_us
+  FROM days
+)
+SELECT e.event_id, i.promo_id
+FROM ev e JOIN iv i ON e.ep_us >= i.start_us AND e.ep_us <= i.end_us
+"""
+
+
 # ----------------------------------- distribution stats: exact percentiles
 def q_percentile_stats(spark, sf_dir):
     """Per-source length-distribution statistics: exact p50/p90 of doc
@@ -3091,6 +3211,8 @@ SPARK_QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "percentile_stats": q_percentile_stats,
     "group_centroids": q_group_centroids,
+    "range_join_events": q_range_join_events,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 ORACLE_SQL = {
@@ -3148,4 +3270,6 @@ ORACLE_SQL = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "percentile_stats": SQL_PERCENTILE_STATS,
     "group_centroids": SQL_GROUP_CENTROIDS,
+    "range_join_events": SQL_RANGE_JOIN_EVENTS,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
 }

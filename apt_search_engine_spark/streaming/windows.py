@@ -392,19 +392,25 @@ def streaming_sessions(stream: DataFrame) -> DataFrame:
 
 def finalize_sessions(emissions: DataFrame) -> DataFrame:
     """Reduce update-mode session emissions (possibly across many epochs)
-    to the final interval set: intervals only ever grow by merging, so
-    every superseded emission is strictly contained in exactly one final
-    interval, and the final set = containment-maximal intervals. One
-    window sweep per user (start asc, end desc; a row whose end exceeds
-    every earlier end is maximal) — no self-join, no driver collect."""
+    to the final interval set. Two monotonicities make this a pure
+    aggregate + sweep: (1) an event arriving INSIDE an interval's span
+    grows its count without moving its endpoints, and counts for a fixed
+    span only grow — so max(n_events) per (user, start, end) is the
+    latest value (a bare distinct could keep the stale lower count,
+    caught by the batch-boundary-invariance test); (2) spans only ever
+    grow by merging, so every superseded span is strictly contained in
+    exactly one final interval — containment-maximal intervals remain.
+    One groupBy + one window sweep per user (start asc, end desc; a row
+    whose end exceeds every earlier end is maximal) — no self-join, no
+    driver collect."""
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("start_us").asc(), F.col("end_us").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        emissions.select("user_id", "start_us", "end_us", "n_events")
-        .distinct()
+        emissions.groupBy("user_id", "start_us", "end_us")
+        .agg(F.max("n_events").alias("n_events"))
         .withColumn("prev_max_end", F.max("end_us").over(w))
         .filter(
             F.col("prev_max_end").isNull()

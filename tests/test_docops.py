@@ -9,6 +9,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from apt_search_engine_spark.extras.docops import ORACLE_SQL, SPARK_QUERIES
 
@@ -61,3 +62,68 @@ def test_docop_matches_duckdb(spark, duck, name):
     sn, dn = _norm(srows, scols), _norm(drows, dcols)
     mismatches = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
     assert not mismatches, f"{name}: first mismatch {sn[mismatches[0]]} != {dn[mismatches[0]]}"
+
+
+def test_winnowing_guarantee_shared_run_shares_a_fingerprint(spark, tmp_path):
+    """The winnowing property (Schleimer et al. 2003): two documents
+    sharing a run of >= k+w-1 admitted tokens must share at least one
+    selected fingerprint. Planted-run fixture run through the actual
+    Spark operator (k=3, w=4 -> any shared 6-token run is detected)."""
+    from apt_search_engine_spark.extras.docops import (
+        _WINNOW_K,
+        _WINNOW_W,
+        q_winnow_fingerprint,
+    )
+
+    shared = "zebra quantum fjord waltz nymph glyph"  # 6 admitted tokens
+    assert len(shared.split()) == _WINNOW_K + _WINNOW_W - 1
+    docs = [
+        (1, f"alpha bravo charlie {shared} delta echo foxtrot"),
+        (2, f"golf hotel india juliet kilo {shared} lima mike"),
+        (3, "november oscar papa quebec romeo sierra tango uniform victor"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    fp = q_winnow_fingerprint(spark, sf)
+    by_doc = {
+        i: {r.fingerprint for r in fp.filter(F.col("doc_id") == i).collect()}
+        for i, _ in docs
+    }
+    assert by_doc[1] & by_doc[2], "shared 6-token run produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_stream_sessionize_batch_boundary_invariance(spark, tmp_path):
+    """The interval-merge state is a commutative summary: draining the
+    SAME events as one micro-batch and as many must finalize to
+    identical session sets."""
+    from apt_search_engine_spark.streaming.windows import (
+        finalize_sessions,
+        run_sessions_drain,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    finals = []
+    for tag, nfiles, per_trigger in (("one", 1, None), ("many", 5, 1)):
+        inp = str(tmp_path / f"in_{tag}")
+        src.repartition(nfiles).write.parquet(inp)
+        got = run_sessions_drain(
+            spark,
+            inp,
+            str(tmp_path / f"ck_{tag}"),
+            str(tmp_path / f"out_{tag}"),
+            max_files_per_trigger=per_trigger,
+        )
+        finals.append(
+            {
+                (r.user_id, r.start_us, r.end_us, r.n_events)
+                for r in finalize_sessions(got).collect()
+            }
+        )
+    assert finals[0] == finals[1] and finals[0]

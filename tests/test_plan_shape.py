@@ -106,6 +106,12 @@ def test_olap_ops_plan_shapes(spark):
     assert pr.count("Expand") >= 1, pr
     assert "BatchEvalPython" not in pr and "ArrowEvalPython" not in pr
 
+    # the bucketed range join must plan as an EQUI join on the bucket
+    # key — a raw ts-BETWEEN join would show BroadcastNestedLoopJoin
+    rj = plan("range_join_events")
+    assert "NestedLoopJoin" not in rj and "CartesianProduct" not in rj, rj
+    assert "Join" in rj, rj
+
 
 def test_translated_topk_is_a_point_lookup(engine):
     """The frame search_df returns contains NO postings scan (the scoring
