@@ -307,6 +307,34 @@ _SESS_OUT = "user_id long, start_us long, end_us long, n_events long"
 _SESS_STATE = "starts array<long>, ends array<long>, counts array<long>"
 
 
+def _fold_events_into_intervals(
+    iv: list[tuple[int, int, int]], ts_sorted, gap_us: int = _SESS_GAP_US
+) -> list[tuple[int, int, int]]:
+    """Fold a sorted array of event times into an existing disjoint
+    (start, end, count) interval list: batch-local sessionize (numpy
+    diff/split), then endpoint-gap merge. This is the commutative,
+    associative summary of gap-adjacency transitive closure — folding
+    any partition of an event set, in any order, yields the same final
+    intervals as one fold of everything (property-tested against direct
+    sessionization in tests/test_streaming.py)."""
+    import numpy as np
+
+    brk = np.flatnonzero(np.diff(ts_sorted) > gap_us) + 1
+    iv = iv + [
+        (int(seg[0]), int(seg[-1]), int(len(seg)))
+        for seg in np.split(ts_sorted, brk)
+    ]
+    iv.sort()
+    merged: list[tuple[int, int, int]] = []
+    for s, e, n in iv:
+        if merged and s - merged[-1][1] <= gap_us:
+            ps, pe, pn = merged[-1]
+            merged[-1] = (ps, max(pe, e), pn + n)
+        else:
+            merged.append((s, e, n))
+    return merged
+
+
 def _sessions_update(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -322,21 +350,9 @@ def _sessions_update(
         pdf["ep_us"].to_numpy(dtype="int64") for pdf in pdfs if len(pdf)
     ]
     if chunks:
-        ts = np.sort(np.concatenate(chunks))
-        brk = np.flatnonzero(np.diff(ts) > _SESS_GAP_US) + 1
-        iv.extend(
-            (int(seg[0]), int(seg[-1]), int(len(seg)))
-            for seg in np.split(ts, brk)
+        iv = _fold_events_into_intervals(
+            iv, np.sort(np.concatenate(chunks))
         )
-        iv.sort()
-        merged: list[tuple[int, int, int]] = []
-        for s, e, n in iv:
-            if merged and s - merged[-1][1] <= _SESS_GAP_US:
-                ps, pe, pn = merged[-1]
-                merged[-1] = (ps, max(pe, e), pn + n)
-            else:
-                merged.append((s, e, n))
-        iv = merged
         state.update(
             (
                 [s for s, _, _ in iv],

@@ -633,3 +633,50 @@ def test_long_lived_engine_survives_compaction(spark, tmp_path, stream_corpus):
     # the stale-state answer must actually differ (scores scale with 1/N),
     # otherwise this test would pass vacuously
     assert after != [(r.doc_id, r.score) for r in before]
+
+
+def test_interval_fold_is_partition_and_order_invariant():
+    """Property test of the streaming-sessionization state monoid
+    (_fold_events_into_intervals): folding ANY partition of an event
+    set, in ANY batch order, equals direct gap-sessionization of the
+    whole set. Pure python/numpy — no Spark round-trip — so hypothesis
+    can hammer it."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from apt_search_engine_spark.streaming.windows import (
+        _fold_events_into_intervals,
+    )
+
+    GAP = 100
+
+    def direct(ts):
+        ts = sorted(ts)
+        out = []
+        for t in ts:
+            if out and t - out[-1][1] <= GAP:
+                s, e, n = out[-1]
+                out[-1] = (s, t, n + 1)
+            else:
+                out.append((t, t, 1))
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(st.integers(0, 3000), min_size=1, max_size=60),
+        assign=st.lists(st.integers(0, 4), min_size=60, max_size=60),
+        order=st.permutations(range(5)),
+    )
+    def check(ts, assign, order):
+        batches = [[] for _ in range(5)]
+        for t, b in zip(ts, assign):
+            batches[b].append(t)
+        iv = []
+        for b in order:
+            if batches[b]:
+                iv = _fold_events_into_intervals(
+                    iv, np.sort(np.array(batches[b], dtype="int64")), GAP
+                )
+        assert iv == direct(ts)
+
+    check()
