@@ -2800,6 +2800,74 @@ FROM sel
 """
 
 
+# ----------------------------- dedup: winnowing-fingerprint candidate pairs
+_WINNOW_BUCKET_CAP = 20  # drop stop-fingerprints shared by more docs
+_WINNOW_MIN_SHARED = 2  # >= 2 shared selections = candidate pair
+
+
+def q_winnow_candidate_pairs(spark, sf_dir):
+    """Near-dup candidates by shared winnowing fingerprints — the
+    plagiarism-detection shape (MOSS): two docs sharing >= 2 selected
+    fingerprints share (with the winnowing guarantee) two k-token runs,
+    a much stronger local-overlap signal than one bag-level minhash
+    band. Complements the minhash/simhash family: winnowing catches
+    copied PASSAGES inside otherwise different documents, which
+    whole-doc sketches dilute away.
+
+    Scale shape: like the LSH band joins — group by fingerprint,
+    drop stop-fingerprint buckets past a cap (worst-case join fan-out
+    cap^2 per bucket, documented like simhash's bucket_cap), self-join
+    only within buckets, then a pair-level count filter. Never
+    all-pairs."""
+    fp = (
+        q_winnow_fingerprint(spark, sf_dir)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+    sized = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("nd"))
+        .filter(
+            (F.col("nd") >= 2) & (F.col("nd") <= _WINNOW_BUCKET_CAP)
+        )
+        .select("fingerprint")
+    )
+    c = fp.join(sized, "fingerprint")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("a.fingerprint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+SQL_WINNOW_CANDIDATE_PAIRS = (
+    "WITH fp AS (SELECT DISTINCT doc_id, fingerprint FROM ("
+    + SQL_WINNOW_FINGERPRINT
+    + f"""))
+, sized AS (
+  SELECT fingerprint FROM fp GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {_WINNOW_BUCKET_CAP}
+), c AS (
+  SELECT f.doc_id, f.fingerprint FROM fp f JOIN sized USING (fingerprint)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(DISTINCT a.fingerprint) AS n_shared
+FROM c a JOIN c b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(DISTINCT a.fingerprint) >= {_WINNOW_MIN_SHARED}
+"""
+)
+
+
 # --------------------------------------- event analytics: ROLLUP aggregation
 def q_rollup_counts(spark, sf_dir):
     """Multi-granularity event rollup: counts and value sums per
@@ -3213,6 +3281,7 @@ SPARK_QUERIES = {
     "group_centroids": q_group_centroids,
     "range_join_events": q_range_join_events,
     "bpe_token_counts": q_bpe_token_counts,
+    "winnow_candidate_pairs": q_winnow_candidate_pairs,
 }
 
 ORACLE_SQL = {
@@ -3272,4 +3341,5 @@ ORACLE_SQL = {
     "group_centroids": SQL_GROUP_CENTROIDS,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "winnow_candidate_pairs": SQL_WINNOW_CANDIDATE_PAIRS,
 }
