@@ -2800,6 +2800,64 @@ FROM sel
 """
 
 
+# ------------------------------------- keyword extraction: per-doc TF-IDF
+_KEYWORD_K = 3
+
+
+def q_keyword_topk(spark, sf_dir):
+    """Per-document top-K TF-IDF keywords — the tagging/faceting step
+    pipelines run after tokenization (smooth ln(N/df) IDF, not the
+    engine's floor-quirk variant, which lives in bag_topk_score).
+    Ordering is on the ROUNDED weight with a term tiebreak so rank is
+    deterministic and engine-independent.
+
+    Scale shape: doc-term occs (map-side combined), df aggregate over
+    strictly fewer rows, one hash join on term, then a per-doc window
+    top-K — the window partitions by doc_id, so no global sort; at
+    planet scale swap row_number for a bounded per-doc heap aggregate
+    (same semantics) if doc vocabularies are ever unbounded."""
+    occ = (
+        _toks_of(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("occ"))
+    )
+    n_docs = _docs(spark, sf_dir).count()  # driver-side scalar, one agg
+    df = occ.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        occ.join(df, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("occ") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("weight"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KEYWORD_K)
+    )
+
+
+SQL_KEYWORD_TOPK = _SQL_TOKS + f"""
+, occ AS (
+  SELECT doc_id, term, count(*) AS occ FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM occ GROUP BY term
+), nd AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT doc_id, term, weight, rk FROM (
+  SELECT occ.doc_id, occ.term,
+         round(occ.occ * ln(nd.n / df.df), 6) AS weight,
+         row_number() OVER (
+           PARTITION BY occ.doc_id
+           ORDER BY round(occ.occ * ln(nd.n / df.df), 6) DESC, occ.term
+         ) AS rk
+  FROM occ JOIN df USING (term) CROSS JOIN nd
+) WHERE rk <= {_KEYWORD_K}
+"""
+
+
 # ----------------------------- dedup: winnowing-fingerprint candidate pairs
 _WINNOW_BUCKET_CAP = 20  # drop stop-fingerprints shared by more docs
 _WINNOW_MIN_SHARED = 2  # >= 2 shared selections = candidate pair
@@ -3282,6 +3340,7 @@ SPARK_QUERIES = {
     "range_join_events": q_range_join_events,
     "bpe_token_counts": q_bpe_token_counts,
     "winnow_candidate_pairs": q_winnow_candidate_pairs,
+    "keyword_topk": q_keyword_topk,
 }
 
 ORACLE_SQL = {
@@ -3342,4 +3401,5 @@ ORACLE_SQL = {
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "winnow_candidate_pairs": SQL_WINNOW_CANDIDATE_PAIRS,
+    "keyword_topk": SQL_KEYWORD_TOPK,
 }
