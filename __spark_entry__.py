@@ -390,6 +390,40 @@ def _stream_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_sessions(df)
 
 
+def _stream_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stream-static enrichment join
+    (streaming/windows.py:streaming_enrich): events drained availableNow
+    in multiple micro-batches, each batch broadcast-joined to a
+    deterministic user-tier dimension. Append mode: every event is
+    emitted exactly once, so the epochs union hash-matches the batch
+    join restated in DuckDB."""
+    from apt_search_engine_spark.streaming.windows import run_enrich_drain
+
+    key = hashlib.md5(f"{sf_dir}|senrich|layout=1".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"aptse_senrich_{key}")
+    inp, ck, out = (os.path.join(base, d) for d in ("in", "ck", "out"))
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        e.select("event_id", "user_id", "value").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(inp)
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("tier"), (F.col("user_id") % 3).cast("string")
+            ).alias("tier"),
+        )
+    )
+    df = run_enrich_drain(spark, inp, dim, ck, out, max_files_per_trigger=2)
+    schema = "event_id long, user_id long, tier string, value double"
+    if df is None:
+        return spark.createDataFrame([], schema)
+    return df.select("event_id", "user_id", "tier", "value")
+
+
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (schema + mapInPandas batch shape) over the
     deterministic synthetic media table; decode is a documented fake.
@@ -455,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_windowed_counts"] = _stream_windowed_q
     q["stream_dedup_keepers"] = _stream_dedup_q
     q["stream_sessionize"] = _stream_sessions_q
+    q["stream_enrich"] = _stream_enrich_q
     return {name: _tuned(fn) for name, fn in q.items()}
 
 
@@ -521,6 +556,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["stream_sessionize"] = stream_sessions_oracle_sql()
+    from apt_search_engine_spark.streaming.windows import (
+        stream_enrich_oracle_sql,
+    )
+
+    out["stream_enrich"] = stream_enrich_oracle_sql()
     from apt_search_engine_spark.extras.multimodal import (
         multimodal_features_sql,
     )

@@ -2800,6 +2800,89 @@ FROM sel
 """
 
 
+# ---------------------------- cardinality sketch: K-minimum-values (KMV)
+_KMV_K = 64
+_KMV_SCALE = float(1 << 60)  # 16^15: 15-hex-digit hash -> [0, 1) fraction
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Per-source distinct-term cardinality via the K-minimum-values
+    sketch (Bar-Yossef et al. 2002): keep the K smallest hash values of
+    the set; estimate |set| = (K-1) / u_K where u_K is the K-th smallest
+    hash as a [0,1) fraction. Unlike HLL (whose register layout is
+    implementation-defined, so Spark and DuckDB estimates can never
+    hash-match), KMV is DETERMINISTIC given the hash — both engines
+    compute the identical estimate bit-for-bit pre-rounding, so this
+    sketch is fully oracle-paired. Sources with fewer than K distinct
+    terms fall back to the exact count (standard KMV behavior; the
+    sketch IS the set there). exact_distinct is emitted alongside so
+    the estimate's error is visible in the result.
+
+    Scale shape: the K smallest per group is a bounded-heap aggregate;
+    here a per-source window row_number (K rows survive per source).
+    KMV sketches merge by union+truncate — the same monoid shape the
+    streaming session state uses — making this the distributed-friendly
+    distinct counter when exact countDistinct's shuffle is too wide."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select("source", F.explode(_raw_arr()).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    h = toks.select("source", F.md5("term").alias("hh"))
+    w = Window.partitionBy("source").orderBy("hh")
+    kth = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == _KMV_K)
+        .select(
+            "source",
+            F.expr("cast(conv(substr(hh, 1, 15), 16, 10) as double)").alias(
+                "uk"
+            ),
+        )
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("term").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("uk").isNull(), F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SCALE) / F.col("uk"), 4
+        )
+    )
+    return exact.join(kth, "source", "left").select(
+        "source", "exact_distinct", est.alias("kmv_estimate")
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok AS term FROM (
+    SELECT source,
+           unnest(string_split_regex(
+             regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), '\\s+'))
+             AS tok
+    FROM documents) WHERE tok <> ''
+), r AS (
+  SELECT source, md5(term) AS hh,
+         row_number() OVER (PARTITION BY source ORDER BY md5(term)) AS rk
+  FROM toks
+), kth AS (
+  SELECT source, (('0x' || substr(hh, 1, 15))::UBIGINT)::DOUBLE AS uk
+  FROM r WHERE rk = {_KMV_K}
+), ex AS (
+  SELECT source, count(DISTINCT term) AS exact_distinct
+  FROM toks GROUP BY source
+)
+SELECT ex.source, ex.exact_distinct,
+       CASE WHEN kth.uk IS NULL THEN ex.exact_distinct::DOUBLE
+            ELSE round({float(_KMV_K - 1)} * {_KMV_SCALE} / kth.uk, 4)
+       END AS kmv_estimate
+FROM ex LEFT JOIN kth USING (source)
+"""
+
+
 # ------------------------------------- keyword extraction: per-doc TF-IDF
 _KEYWORD_K = 3
 
@@ -3341,6 +3424,7 @@ SPARK_QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "winnow_candidate_pairs": q_winnow_candidate_pairs,
     "keyword_topk": q_keyword_topk,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 ORACLE_SQL = {
@@ -3402,4 +3486,5 @@ ORACLE_SQL = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "winnow_candidate_pairs": SQL_WINNOW_CANDIDATE_PAIRS,
     "keyword_topk": SQL_KEYWORD_TOPK,
+    "kmv_distinct": SQL_KMV_DISTINCT,
 }

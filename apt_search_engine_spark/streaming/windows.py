@@ -483,6 +483,57 @@ FROM sessed GROUP BY user_id, session_seq
 """
 
 
+def streaming_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming lookup:
+    each micro-batch of the stream is hash-joined against a static
+    dimension frame (broadcast: the dim is loaded once per batch on the
+    stream side's executors, no stateful shuffle, no watermark needed).
+    Append-compatible: an event is enriched and emitted exactly once,
+    so the drained epochs union IS the batch join of everything
+    streamed. At 100 TB the dim side stays broadcast-sized (or becomes
+    a stream-stream join with watermarks — a different operator)."""
+    return stream.join(F.broadcast(dim), on)
+
+
+def run_enrich_drain(
+    spark: SparkSession,
+    input_dir: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame | None:
+    """Drain an events-shaped directory (event_id, user_id, value)
+    through streaming_enrich against `dim` (keyed by user_id); returns
+    the lazy epoch union (append mode: every event exactly once)."""
+    reader = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    _drain_to_parquet(
+        streaming_enrich(stream, dim, "user_id"),
+        checkpoint_dir,
+        out_dir,
+        "append",
+    )
+    return _epochs_df(spark, out_dir)
+
+
+def stream_enrich_oracle_sql() -> str:
+    """DuckDB oracle for the driver's stream_enrich entry: the batch
+    restatement of the stream-static join — every event joined to the
+    deterministic user-tier dimension (tier = 'tier' || user_id % 3,
+    mirrored in the Spark entry's dim synthesis)."""
+    return """
+SELECT event_id, user_id,
+       'tier' || (user_id % 3)::VARCHAR AS tier,
+       value
+FROM events
+"""
+
+
 def run_conv_stats_drain(
     spark: SparkSession,
     input_dir: str,

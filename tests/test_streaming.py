@@ -680,3 +680,28 @@ def test_interval_fold_is_partition_and_order_invariant():
         assert iv == direct(ts)
 
     check()
+
+
+def test_stream_enrich_exactly_once(spark, tmp_path):
+    """Stream-static enrichment in append mode: every event enriched and
+    emitted exactly once across micro-batches, and a re-drain with no
+    new files adds nothing (checkpoint resume)."""
+    from apt_search_engine_spark.streaming.windows import run_enrich_drain
+
+    inp = str(tmp_path / "en_in")
+    ck = str(tmp_path / "en_ck")
+    out = str(tmp_path / "en_out")
+    rows = [(i, i % 4, float(i)) for i in range(40)]
+    schema = "event_id long, user_id long, value double"
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(inp)
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(4)], "user_id long, tier string"
+    )
+    got = run_enrich_drain(spark, inp, dim, ck, out, max_files_per_trigger=1)
+    assert got.count() == 40
+    assert got.select("event_id").distinct().count() == 40
+    again = run_enrich_drain(spark, inp, dim, ck, out)
+    assert again.count() == 40  # nothing replayed, nothing lost
+    assert {(r.event_id, r.tier) for r in got.collect()} == {
+        (i, f"tier{(i % 4) % 3}") for i in range(40)
+    }
