@@ -250,9 +250,17 @@ def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence-stop variant (quirk Q9 + stale-map return) is the
     library op, verified vs the line-by-line Python oracle in
     tests/test_pagerank.py."""
-    from pyspark.sql import Window
-
     from apt_search_engine_spark.ranking.pagerank import pagerank_fixed
+
+    return pagerank_fixed(
+        spark, _toy_adjacency(spark, sf_dir), n_iters=12
+    ).select("url", F.round("rank", 9).alias("rank"))
+
+
+def _toy_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic toy link graph shared by the pagerank and hits
+    entries: each doc links to the next two doc_ids within its source."""
+    from pyspark.sql import Window
 
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -261,15 +269,23 @@ def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(512)
     )
     w = Window.partitionBy("source").orderBy("url")
-    adj = d.select(
+    return d.select(
         "url",
         F.array_compact(
             F.array(F.lead("url", 1).over(w), F.lead("url", 2).over(w))
         ).alias("out_links"),
     )
-    return pagerank_fixed(spark, adj, n_iters=12).select(
-        "url", F.round("rank", 9).alias("rank")
-    )
+
+
+def _hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (ranking/hits.py): 8 fixed alternating
+    iterations with per-level L2 normalization over the same toy graph
+    as the pagerank entry, hash-verified vs an unrolled DuckDB oracle
+    (renormalization keeps cross-engine sum-order noise at ~1e-16, far
+    inside the round-9 threshold)."""
+    from apt_search_engine_spark.ranking.hits import hits_fixed
+
+    return hits_fixed(spark, _toy_adjacency(spark, sf_dir), n_iters=8)
 
 
 def _stream_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup_pairs"] = _emb_neardup_q
     q["ann_ivf_topk"] = _ann_ivf_q
     q["pagerank"] = _pagerank_q
+    q["hits"] = _hits_q
     q["multimodal_features"] = _multimodal_q
     q["stream_windowed_counts"] = _stream_windowed_q
     q["stream_dedup_keepers"] = _stream_dedup_q
@@ -541,6 +558,9 @@ def oracle_sql() -> dict[str, str]:
     from apt_search_engine_spark.ranking.pagerank import pagerank_fixed_oracle_sql
 
     out["pagerank"] = pagerank_fixed_oracle_sql(n_iters=12)
+    from apt_search_engine_spark.ranking.hits import hits_fixed_oracle_sql
+
+    out["hits"] = hits_fixed_oracle_sql(n_iters=8)
     from apt_search_engine_spark.streaming.windows import (
         windowed_counts_oracle_sql,
     )
