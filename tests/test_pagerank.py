@@ -66,3 +66,26 @@ def test_oracle_quirks():
     r2_single = pagerank_oracle({"a": ["b"], "b": []})
     # duplicates double the contribution terms AND the out-degree, canceling:
     assert r2["b"] == pytest.approx(r2_single["b"], rel=1e-9)
+
+
+def test_hits_star_graph_and_empty(spark):
+    """HITS sanity on a star graph (hub h points at three leaves): the
+    hub concentrates all hub mass (hub=1), leaves split authority
+    equally (1/sqrt(3) each), and leaves have hub 0 / the hub authority
+    0. Empty adjacency returns an empty frame instead of dividing by a
+    zero norm."""
+    import math
+
+    from apt_search_engine_spark.ranking.hits import hits_fixed
+
+    adj = spark.createDataFrame(
+        [("h", ["a", "b", "c"]), ("a", []), ("b", []), ("c", [])],
+        "url string, out_links array<string>",
+    )
+    got = {r.url: (r.authority, r.hub) for r in hits_fixed(spark, adj, 4).collect()}
+    third = round(1 / math.sqrt(3), 9)
+    assert got["h"] == (0.0, 1.0)
+    assert got["a"] == got["b"] == got["c"] == (third, 0.0)
+
+    empty = spark.createDataFrame([], "url string, out_links array<string>")
+    assert hits_fixed(spark, empty, 4).count() == 0
