@@ -388,12 +388,11 @@ def streaming_sessions(stream: DataFrame) -> DataFrame:
     late arrivals that REOPEN and bridge previously separate sessions.
 
     100 TB shape: one shuffle keyed by user_id; state per key is the
-    user's session intervals (three longs each) — in a long-running
-    deployment, closed sessions older than the lateness horizon should
-    be evicted via state timeout after emission to a compacted sink;
-    with the availableNow drains used here the state lives only for the
-    drain. Arrow-batched; the per-batch python is O(intervals), not
-    O(rows)."""
+    user's session intervals (three longs each). This variant retains
+    all state for the drain's lifetime (maximal late-bridging); a
+    long-running deployment uses streaming_sessions_evicting, which
+    closes and frees state at the watermark horizon. Arrow-batched; the
+    per-batch python is O(intervals), not O(rows)."""
     keyed = stream.select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ep_us")
     )
@@ -481,6 +480,117 @@ SELECT user_id, min(ep_us) AS start_us, max(ep_us) AS end_us,
        count(*)::BIGINT AS n_events
 FROM sessed GROUP BY user_id, session_seq
 """
+
+
+_SESS_EVICT_OUT = (
+    "user_id long, start_us long, end_us long, n_events long, closed boolean"
+)
+
+
+def _sessions_evict_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    (uid,) = key
+    if state.hasTimedOut:
+        # the watermark passed last activity + gap: no in-watermark event
+        # can extend these intervals, so they are FINAL — emit closed and
+        # drop the state (the whole point of the evicting variant)
+        starts, ends, counts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(starts),
+                "start_us": list(starts),
+                "end_us": list(ends),
+                "n_events": list(counts),
+                "closed": [True] * len(starts),
+            }
+        )
+        return
+    iv = list(zip(*state.get)) if state.exists else []
+    chunks = [
+        pdf["ep_us"].to_numpy(dtype="int64") for pdf in pdfs if len(pdf)
+    ]
+    if chunks:
+        iv = _fold_events_into_intervals(
+            iv, np.sort(np.concatenate(chunks))
+        )
+        state.update(
+            (
+                [s for s, _, _ in iv],
+                [e for _, e, _ in iv],
+                [n for _, _, n in iv],
+            )
+        )
+        # close the user once the watermark passes last activity + gap;
+        # must stay ahead of the current watermark (very late batches)
+        last_ms = max(e for _, e, _ in iv) // 1000
+        state.setTimeoutTimestamp(
+            max(
+                last_ms + _SESS_GAP_US // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+    yield pd.DataFrame(
+        {
+            "user_id": [uid] * len(iv),
+            "start_us": [s for s, _, _ in iv],
+            "end_us": [e for _, e, _ in iv],
+            "n_events": [n for _, _, n in iv],
+            "closed": [False] * len(iv),
+        }
+    )
+
+
+def streaming_sessions_evicting(
+    stream: DataFrame, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """The bounded-state variant of streaming_sessions: an event-time
+    timeout closes a user's sessions once the watermark passes their
+    last activity + gap, emits them with closed=true, and REMOVES the
+    state — memory is O(users active inside the lateness horizon), not
+    O(all users ever). The trade is explicit: an arrival late enough to
+    have bridged a closed session is, by definition, beyond the
+    watermark and dropped by the engine before reaching the operator —
+    so closing at watermark+gap loses nothing the watermark contract
+    had not already given up. Closed emissions are final; open (
+    closed=false) emissions may still be superseded within a user's
+    horizon."""
+    keyed = stream.withWatermark("ts", watermark_delay).select(
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ep_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _sessions_evict_update,
+        _SESS_EVICT_OUT,
+        _SESS_STATE,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_sessions_evict_drain(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame | None:
+    """Drain an events-shaped directory through the evicting
+    sessionizer; returns the lazy epoch union."""
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        input_dir
+    )
+    _drain_to_parquet(
+        streaming_sessions_evicting(stream, watermark_delay),
+        checkpoint_dir,
+        out_dir,
+        "update",
+    )
+    return _epochs_df(spark, out_dir)
 
 
 def streaming_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:

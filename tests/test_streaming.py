@@ -705,3 +705,67 @@ def test_stream_enrich_exactly_once(spark, tmp_path):
     assert {(r.event_id, r.tier) for r in got.collect()} == {
         (i, f"tier{(i % 4) % 3}") for i in range(40)
     }
+
+
+def test_streaming_sessions_eviction_closes_and_frees_state(spark, tmp_path):
+    """Evicting sessionizer: once the watermark passes a user's last
+    activity + gap, their sessions are emitted closed=true and the state
+    is removed; a later (in-watermark) event for that user starts a
+    FRESH session. Timeouts fire on the micro-batch AFTER the watermark
+    advances, so the fixture drains four file drops on one checkpoint."""
+    import datetime as dt
+
+    from apt_search_engine_spark.streaming.windows import (
+        run_sessions_evict_drain,
+    )
+
+    inp = str(tmp_path / "ev_in")
+    ck = str(tmp_path / "ev_ck")
+    out = str(tmp_path / "ev_out")
+    h = 3600
+    base = 1_700_000_000
+
+    def ts(sec):
+        return dt.datetime.fromtimestamp(base + sec, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    schema = "user_id long, ts timestamp"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        return run_sessions_evict_drain(spark, inp, ck, out)
+
+    drop([(1, ts(0)), (1, ts(1 * h)), (2, ts(0))])  # wm -> t0+1h
+    drop([(2, ts(30 * h))])  # wm -> t0+30h; user1 timeout t0+9h not yet fired
+    got = drop([(3, ts(31 * h))])  # batch sees wm t0+30h -> user1 evicted
+
+    us = 1_000_000
+    closed = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in got.filter("closed").collect()
+    }
+    assert closed == {(1, base * us, (base + h) * us, 2)}
+
+    # user1's state is gone: a fresh in-watermark event opens a NEW
+    # 1-event session instead of resuming anything
+    got = drop([(1, ts(40 * h))])
+    fresh = {
+        (r.start_us, r.end_us, r.n_events)
+        for r in got.filter("user_id = 1 AND NOT closed").collect()
+        if r.start_us >= (base + 40 * h) * us
+    }
+    assert ((base + 40 * h) * us, (base + 40 * h) * us, 1) in fresh
+    # drain 4 advanced the watermark to t0+40h, past user2's timeout
+    # (last activity t0+30h + 8h gap): BOTH of user2's sessions close
+    # as separate final intervals (they were never gap-mergeable)
+    closed2 = {
+        (r.start_us, r.end_us, r.n_events)
+        for r in got.filter("closed AND user_id = 2").collect()
+    }
+    assert closed2 == {
+        (base * us, base * us, 1),
+        ((base + 30 * h) * us, (base + 30 * h) * us, 1),
+    }
