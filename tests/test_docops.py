@@ -127,3 +127,65 @@ def test_stream_sessionize_batch_boundary_invariance(spark, tmp_path):
             }
         )
     assert finals[0] == finals[1] and finals[0]
+
+
+def test_range_join_bucket_equals_naive_inequality_join(spark):
+    """range_join_by_bucket must equal the naive (nested-loop) BETWEEN
+    join on a fixture whose intervals span zero, one, and MANY buckets —
+    the interval-explosion path the driver entry's within-bucket promo
+    windows never exercises."""
+    from apt_search_engine_spark.extras.docops import range_join_by_bucket
+
+    pts = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(200)], "pid long, t long"
+    )
+    iv = spark.createDataFrame(
+        [
+            (0, 5, 5),        # empty (no point inside unless t==5)
+            (1, 10, 12),      # within one bucket
+            (2, 95, 310),     # spans 3+ buckets (bucket=100)
+            (3, 0, 999),      # spans everything
+            (4, 700, 700),    # degenerate point interval
+        ],
+        "iid long, s long, e long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_by_bucket(
+            pts, "t", iv, "s", "e", bucket_us=100
+        ).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .filter("t >= s AND t <= e")
+        .collect()
+    }
+    assert got == want and want
+
+
+def test_kmv_estimate_is_close_to_exact(spark, tmp_path):
+    """KMV sanity on a known-cardinality corpus: with k=64 the standard
+    error is ~1/sqrt(k-2) = 13%, so the (deterministic, seeded-hash)
+    estimate must land within 35% of the true distinct count when
+    n >> k, and be EXACT when n < k (sketch holds the whole set)."""
+    from apt_search_engine_spark.extras.docops import q_kmv_distinct
+
+    docs = [
+        # 'big': 600 distinct tokens spread over docs
+        *[
+            (i, " ".join(f"tok{j}" for j in range(i * 30, i * 30 + 30)), "en", "big", 0)
+            for i in range(20)
+        ],
+        # 'small': 10 distinct tokens (< k -> exact fallback)
+        (100, " ".join(f"w{j}" for j in range(10)), "en", "small", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r.source: r for r in q_kmv_distinct(spark, sf).collect()}
+    assert got["big"].exact_distinct == 600
+    assert abs(got["big"].kmv_estimate - 600) / 600 < 0.35
+    assert got["small"].exact_distinct == 10
+    assert got["small"].kmv_estimate == 10.0  # exact fallback branch
