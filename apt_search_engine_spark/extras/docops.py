@@ -3052,6 +3052,36 @@ GROUP BY ROLLUP (event_type, hr)
 """
 
 
+# ----------------------------------------- event analytics: PIVOT (wide)
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_counts(spark, sf_dir):
+    """PIVOT — long-to-wide per-user event-type counts, the feature-
+    matrix shape ML pipelines hand to trainers. The pivot VALUES are
+    pinned explicitly: with an explicit list Spark plans ONE pass
+    (grouped conditional aggregates, no distinct-values pre-query) and
+    the output schema is stable however the data drifts — both
+    properties you want at 100 TB."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+SQL_PIVOT_COUNTS = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
 # ------------------------------------- event analytics: cohort retention
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort-retention matrix: users are cohorted by the week of
@@ -3425,6 +3455,7 @@ SPARK_QUERIES = {
     "winnow_candidate_pairs": q_winnow_candidate_pairs,
     "keyword_topk": q_keyword_topk,
     "kmv_distinct": q_kmv_distinct,
+    "pivot_counts": q_pivot_counts,
 }
 
 ORACLE_SQL = {
@@ -3487,4 +3518,5 @@ ORACLE_SQL = {
     "winnow_candidate_pairs": SQL_WINNOW_CANDIDATE_PAIRS,
     "keyword_topk": SQL_KEYWORD_TOPK,
     "kmv_distinct": SQL_KMV_DISTINCT,
+    "pivot_counts": SQL_PIVOT_COUNTS,
 }
