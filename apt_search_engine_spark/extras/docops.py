@@ -3052,6 +3052,53 @@ GROUP BY ROLLUP (event_type, hr)
 """
 
 
+# ----------------------- curation: weighted importance-resampling draw
+_WSAMPLE_K = 100
+
+
+def q_weighted_sample(spark, sf_dir):
+    """The draw that consumes q_dsir_weights: a weighted sample WITHOUT
+    replacement via the Gumbel-top-K trick (equivalently
+    Efraimidis-Spirakis 2006 in log form) — key = logweight + Gumbel
+    noise, keep the global top K. The "noise" is a deterministic
+    hash-uniform per doc (same md5-prefix construction as the sampling
+    family), so the draw is seed-stable and cluster-reproducible while
+    being a faithful weighted sample in distribution.
+
+    Parity: every per-row op is scalar IEEE on identical inputs; the
+    only engine divergence is libm ln (<= 1 ulp), contracted by the
+    9 dp key rounding with doc_id tiebreak. Scale shape: orderBy+limit
+    plans TakeOrderedAndProject — per-partition bounded heaps reduced
+    on the driver, never a global sort."""
+    lw = q_dsir_weights(spark, sf_dir).select("doc_id", "dsir_logweight")
+    h = F.expr(
+        "cast(conv(substr(md5(concat('ws|', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as double)"
+    )
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 60) + 2))  # strict (0,1)
+    key = F.round(F.col("dsir_logweight") - F.log(-F.log(u)), 9)
+    return (
+        lw.select("doc_id", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = (
+    "WITH lw AS (SELECT doc_id, dsir_logweight FROM ("
+    + SQL_DSIR_WEIGHTS
+    + f"""))
+SELECT doc_id,
+       round(dsir_logweight - ln(-ln(
+         ((('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 15))::UBIGINT)::DOUBLE + 1.0)
+         / {float((1 << 60) + 2)!r})), 9) AS sample_key
+FROM lw
+ORDER BY sample_key DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+)
+
+
 # ----------------------------------------- event analytics: PIVOT (wide)
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -3456,6 +3503,7 @@ SPARK_QUERIES = {
     "keyword_topk": q_keyword_topk,
     "kmv_distinct": q_kmv_distinct,
     "pivot_counts": q_pivot_counts,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -3519,4 +3567,5 @@ ORACLE_SQL = {
     "keyword_topk": SQL_KEYWORD_TOPK,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "pivot_counts": SQL_PIVOT_COUNTS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

@@ -112,6 +112,11 @@ def test_olap_ops_plan_shapes(spark):
     assert "NestedLoopJoin" not in rj and "CartesianProduct" not in rj, rj
     assert "Join" in rj, rj
 
+    # the weighted draw's global top-K must be bounded heaps
+    # (TakeOrderedAndProject), never a full global sort
+    ws = plan("weighted_sample")
+    assert "TakeOrderedAndProject" in ws, ws
+
 
 def test_translated_topk_is_a_point_lookup(engine):
     """The frame search_df returns contains NO postings scan (the scoring
