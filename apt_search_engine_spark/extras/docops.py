@@ -2941,6 +2941,14 @@ SELECT doc_id, term, weight, rk FROM (
 """
 
 
+def _winnow_fp_of(spark, sf_dir) -> DataFrame:
+    """Fingerprint frame shared by the winnow_fingerprint entry and the
+    candidate-pair join — memoized so the gate computes it once."""
+    return _memo(
+        spark, sf_dir, "winnow_fp", lambda: q_winnow_fingerprint(spark, sf_dir)
+    )
+
+
 # ----------------------------- dedup: winnowing-fingerprint candidate pairs
 _WINNOW_BUCKET_CAP = 20  # drop stop-fingerprints shared by more docs
 _WINNOW_MIN_SHARED = 2  # >= 2 shared selections = candidate pair
@@ -2961,7 +2969,7 @@ def q_winnow_candidate_pairs(spark, sf_dir):
     only within buckets, then a pair-level count filter. Never
     all-pairs."""
     fp = (
-        q_winnow_fingerprint(spark, sf_dir)
+        _winnow_fp_of(spark, sf_dir)
         .select("doc_id", "fingerprint")
         .distinct()
     )
@@ -3070,7 +3078,12 @@ def q_weighted_sample(spark, sf_dir):
     9 dp key rounding with doc_id tiebreak. Scale shape: orderBy+limit
     plans TakeOrderedAndProject — per-partition bounded heaps reduced
     on the driver, never a global sort."""
-    lw = q_dsir_weights(spark, sf_dir).select("doc_id", "dsir_logweight")
+    # the weights frame is shared with the dsir_weights gate entry —
+    # memoize it so the driver's one-session correctness run computes
+    # the DSIR distributions once
+    lw = _memo(
+        spark, sf_dir, "dsir", lambda: q_dsir_weights(spark, sf_dir)
+    ).select("doc_id", "dsir_logweight")
     h = F.expr(
         "cast(conv(substr(md5(concat('ws|', cast(doc_id as string))),"
         " 1, 15), 16, 10) as double)"
@@ -3471,7 +3484,9 @@ SPARK_QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "dup_span_coverage": q_dup_span_coverage,
-    "dsir_weights": q_dsir_weights,
+    "dsir_weights": lambda spark, sf_dir: _memo(
+        spark, sf_dir, "dsir", lambda: q_dsir_weights(spark, sf_dir)
+    ),
     "pmi_topk": q_pmi_topk,
     "domain_stats": q_domain_stats,
     "top_customers": q_top_customers,
@@ -3490,7 +3505,7 @@ SPARK_QUERIES = {
     "ann_batch_topk": q_ann_batch_topk,
     "quota_sample": q_quota_sample,
     "perplexity_buckets": q_perplexity_buckets,
-    "winnow_fingerprint": q_winnow_fingerprint,
+    "winnow_fingerprint": _winnow_fp_of,
     "rollup_counts": q_rollup_counts,
     "cohort_retention": q_cohort_retention,
     "tpch_pricing_summary": q_tpch_pricing_summary,
