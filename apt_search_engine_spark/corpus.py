@@ -156,3 +156,47 @@ def gen_corpus_spark(spark, n_convs: int, seed: int = SEED, partitions: int | No
 
     rng_df = spark.range(0, n_convs, 1, partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(gen, schema=TRANSCRIPTS)
+
+
+def read_transcripts(spark, path: str, fmt: str = "parquet"):
+    """Schema-ENFORCED transcript reader for the formats corpora actually
+    arrive in: parquet (the native contract), json (JSONL — one turn per
+    line, the common interchange for conversation logs), and csv
+    (header row, ISO timestamps). The TRANSCRIPTS schema is applied, not
+    inferred: at 100 TB schema inference is a full extra scan, and type
+    drift between file batches silently corrupts doc identity. Parquet
+    is projected+cast to the contract so extra columns and widened types
+    from upstream writers cannot leak into the analyzer.
+
+    CSV is read with multiLine quoting (text fields may embed newlines),
+    which makes individual files non-splittable — documented trade;
+    prefer JSONL or parquet for bulk ingest at scale. CSV cannot natively
+    distinguish empty string from NULL, so the contract uses the \\N
+    null marker (write with .option("nullValue", "\\\\N") — the reader
+    then round-trips both empty strings and NULLs exactly; pinned in
+    tests/test_build.py)."""
+    from pyspark.sql import functions as F
+
+    from apt_search_engine_spark.schema import TRANSCRIPTS
+
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+        missing = {f.name for f in TRANSCRIPTS} - set(df.columns)
+        if missing:
+            raise ValueError(f"transcripts at {path} missing columns {sorted(missing)}")
+        return df.select(
+            *[F.col(f.name).cast(f.dataType) for f in TRANSCRIPTS]
+        )
+    if fmt in ("json", "jsonl"):
+        return spark.read.schema(TRANSCRIPTS).json(path)
+    if fmt == "csv":
+        return (
+            spark.read.schema(TRANSCRIPTS)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .option("nullValue", "\\N")
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcripts format {fmt!r}")

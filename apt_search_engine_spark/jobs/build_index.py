@@ -2,11 +2,13 @@
 
     spark-submit --py-files aptse.zip apt_search_engine_spark/jobs/build_index.py \
         --input /data/transcripts --index-dir /data/index \
-        [--batches 64] [--max-postings-per-row 32768] [--no-blocks] \
+        [--format parquet|json|csv] [--batches 64] \
+        [--max-postings-per-row 32768] [--no-blocks] \
         [--table <iceberg table>]
 
-Reads the transcripts table (parquet path or a catalog table name per
-BASELINE.json input_hint), runs the 3-stage build (analyze -> range-sharded
+Reads the transcripts table (parquet/JSONL/CSV path via the
+schema-enforced reader in corpus.read_transcripts, or a catalog table
+name per BASELINE.json input_hint), runs the 3-stage build (analyze -> range-sharded
 sorted merge -> compressed blocks) and writes postings + blocks + doc_map +
 lineage
 metrics under --index-dir. Re-running after a crash skips analyze batches
@@ -34,8 +36,11 @@ import time
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet path of the transcripts table")
+    src.add_argument("--input", help="path of the transcripts table")
     src.add_argument("--table", help="catalog (Iceberg) table name")
+    p.add_argument("--format", default="parquet",
+                   choices=("parquet", "json", "jsonl", "csv"),
+                   help="--input file format (schema-enforced reader)")
     p.add_argument("--index-dir", required=True)
     p.add_argument("--batches", type=int, default=64,
                    help="resumable analyze batches (doc-partition granularity)")
@@ -53,9 +58,13 @@ def main(argv=None) -> int:
     from apt_search_engine_spark.indexing.build import IndexBuilder
     from apt_search_engine_spark.session import get_spark
 
+    from apt_search_engine_spark.corpus import read_transcripts
+
     spark = get_spark("aptse-build-index")
     transcripts = (
-        spark.read.table(args.table) if args.table else spark.read.parquet(args.input)
+        spark.read.table(args.table)
+        if args.table
+        else read_transcripts(spark, args.input, args.format)
     )
     t0 = time.time()
     builder = IndexBuilder(

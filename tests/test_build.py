@@ -312,3 +312,48 @@ def test_grouped_merge_equivalence_and_disjoint_segments(spark, corpus_df):
     )
     flat.unpersist()
     assert g == p
+
+
+def test_read_transcripts_formats_roundtrip(spark, tmp_path):
+    """The schema-enforced multi-format reader: the same corpus written
+    as parquet, JSONL and CSV must read back row-identical (including
+    timestamps), and parquet with extra/widened columns is projected
+    back to the contract."""
+    from pyspark.sql import functions as F
+
+    from apt_search_engine_spark.corpus import gen_corpus_spark, read_transcripts
+
+    tr = gen_corpus_spark(spark, 6)
+    want = sorted(tuple(r) for r in tr.collect())
+
+    p = str(tmp_path / "t_parquet")
+    j = str(tmp_path / "t_json")
+    c = str(tmp_path / "t_csv")
+    tr.write.parquet(p)
+    tr.write.json(j)
+    tr.write.option("header", True).option("escape", '"').option(
+        "nullValue", "\\N"
+    ).csv(c)
+    for path, fmt in ((p, "parquet"), (j, "json"), (c, "csv")):
+        got = sorted(tuple(r) for r in read_transcripts(spark, path, fmt).collect())
+        assert got == want, fmt
+
+    # extra column + widened type are projected/cast back to the contract
+    messy = str(tmp_path / "t_messy")
+    tr.withColumn("extra", F.lit(1)).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    ).write.parquet(messy)
+    got = read_transcripts(spark, messy, "parquet")
+    # cast() marks columns nullable, so compare names + types
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in tr.schema
+    ]
+    assert sorted(tuple(r) for r in got.collect()) == want
+
+    # missing contract column fails loudly
+    import pytest as _pytest
+
+    bad = str(tmp_path / "t_bad")
+    tr.drop("text").write.parquet(bad)
+    with _pytest.raises(ValueError, match="missing columns"):
+        read_transcripts(spark, bad, "parquet")
