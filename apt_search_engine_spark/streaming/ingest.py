@@ -50,9 +50,14 @@ def stream_analyze(
     index_dir: str,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    fmt: str = "parquet",
 ):
     """Start (and with available_now=True, drain) the streaming analyze.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. `fmt` selects the incoming file format
+    (parquet, or json for JSONL log drops — the shape append-only
+    conversation logs actually arrive in); the TRANSCRIPTS schema is
+    applied either way, mirroring corpus.read_transcripts' no-inference
+    contract."""
     builder = IndexBuilder(spark, index_dir)
     checkpoint = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
 
@@ -108,10 +113,16 @@ def stream_analyze(
             ]
         )
 
+    fmt = fmt.lower()
+    if fmt not in ("parquet", "json", "jsonl"):
+        raise ValueError(f"unsupported stream format {fmt!r}")
+    reader = spark.readStream.schema(TRANSCRIPTS).option(
+        "maxFilesPerTrigger", 64
+    )
     stream = (
-        spark.readStream.schema(TRANSCRIPTS)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
+        if fmt == "parquet"
+        else reader.json(input_dir)
     )
     writer = (
         stream.writeStream.foreachBatch(process_epoch)

@@ -769,3 +769,25 @@ def test_streaming_sessions_eviction_closes_and_frees_state(spark, tmp_path):
         (base * us, base * us, 1),
         ((base + 30 * h) * us, (base + 30 * h) * us, 1),
     }
+
+
+def test_stream_jsonl_ingest_equals_batch(spark, tmp_path, stream_corpus):
+    """Streaming ingest from JSONL log drops (fmt='json') must produce
+    the same postings as the one-shot batch build — the format a real
+    append-only conversation log arrives in."""
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+    from apt_search_engine_spark.streaming.ingest import compact, stream_analyze
+
+    first, second, full = stream_corpus
+    inp = str(tmp_path / "incoming_jsonl")
+    sdir = str(tmp_path / "stream_index_jsonl")
+    bdir = str(tmp_path / "batch_index_jsonl")
+
+    first.write.mode("append").json(inp)
+    stream_analyze(spark, inp, sdir, fmt="json")
+    second.write.mode("append").json(inp)
+    stream_analyze(spark, inp, sdir, fmt="json")
+    compact(spark, sdir, with_blocks=False)
+
+    IndexBuilder(spark, bdir, n_batches=1).build(full, with_blocks=False)
+    assert _postings_map(spark, sdir) == _postings_map(spark, bdir)
