@@ -357,3 +357,23 @@ def test_read_transcripts_formats_roundtrip(spark, tmp_path):
     tr.drop("text").write.parquet(bad)
     with _pytest.raises(ValueError, match="missing columns"):
         read_transcripts(spark, bad, "parquet")
+
+
+def test_synth_datasource_equals_generator(spark):
+    """The aptse_synth Python DataSource (Spark DataSource V2 in Python)
+    must yield row-identical output to gen_corpus_spark for the same
+    (convs, seed), across a partitioning that splits conversations."""
+    from apt_search_engine_spark.corpus import gen_corpus_spark
+    from apt_search_engine_spark.sources.synth import register
+
+    register(spark)
+    via_source = (
+        spark.read.format("aptse_synth")
+        .option("convs", 7)
+        .option("numPartitions", 3)
+        .load()
+    )
+    assert via_source.rdd.getNumPartitions() == 3
+    got = sorted(tuple(r) for r in via_source.collect())
+    want = sorted(tuple(r) for r in gen_corpus_spark(spark, 7).collect())
+    assert got == want and want
