@@ -199,6 +199,22 @@ def _bm25_wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25 (engine.search_bm25_batch_df): every
+    reference-set query's top-k in ONE pass over the union postings —
+    per-query rows bit-identical to search_bm25_df; oracle is the UNION
+    ALL of the per-query bm25 SQL (search_oracle.bm25_batch_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import BATCH_QUERIES
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_bm25_batch_df(BATCH_QUERIES, k=10)
+        .select(
+            "query_id", "doc_id", F.round("score", 6).alias("score")
+        )
+    )
+
+
 def _simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-bit SimHash (hex encoding) — hash-verified vs DuckDB; the
     xxhash64 int64 variant is the library op (regression-tested in
@@ -494,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_prior_topk"] = _prior_q
     q["search_bm25_topk"] = _bm25_q
     q["search_bm25_wand_topk"] = _bm25_wand_q
+    q["search_bm25_batch_topk"] = _bm25_batch_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

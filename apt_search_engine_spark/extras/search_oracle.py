@@ -46,6 +46,18 @@ CANONICAL_SF_DIR = "/root/testdata/sf0.01"
 NORMAL_QUERY = "table scan query"
 PHRASE_QUERY = '"table hash"'
 BOOLEAN_QUERY = '"table hash" AND merge'
+# the batch entry's reference query set: bag-of-words queries with
+# overlapping terms (the batch plan reads the shared buckets once) plus
+# a no-hit query (empty branch of the UNION ALL). Phrase/boolean queries
+# fall back to the exact per-query plan inside the engine — that branch
+# is parity-tested in tests/test_bm25.py, not gate-oracled, because
+# bm25_topk_sql is the bag-of-words scorer only.
+BATCH_QUERIES = {
+    "q1": NORMAL_QUERY,
+    "q2": "table merge",
+    "q3": "query index join",
+    "q4": "zzz_nonexistent_term",
+}
 
 # Fixed adapter channels (_adapt_documents): title channel is the literal
 # "title" (quirk Q11, Tokenizer.java:143), h1 channel is role == "user".
@@ -496,12 +508,33 @@ topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 
 SELECT doc_id, round(score, 6) AS score FROM topk"""
 
 
+def bm25_batch_topk_sql(
+    stem_values: str,
+    queries: dict[str, str],
+    sf_dir: str = CANONICAL_SF_DIR,
+    k: int = 10,
+) -> str:
+    """Batched multi-query BM25 oracle (engine.search_bm25_batch_df):
+    UNION ALL of the per-query bm25_topk_sql with the query_id stamped —
+    semantically 'each query's top-k, independently', which is exactly
+    the batch plan's per-query contract."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, * FROM (\n"
+        + bm25_topk_sql(stem_values, queries[qid], sf_dir, k)
+        + "\n)"
+        for qid in sorted(queries)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
     """The 5 flagship oracle SQL strings for the given corpus. Raises if
     the corpus is unreadable (callers treat that as 'no oracle')."""
     sv = _corpus_stem_values(sf_dir)
     bm25 = bm25_topk_sql(sv, NORMAL_QUERY, sf_dir)
+    batch = bm25_batch_topk_sql(sv, BATCH_QUERIES, sf_dir)
     return {
+        "search_bm25_batch_topk": batch,
         "search_normal_topk": normal_topk_sql(sv, NORMAL_QUERY),
         "search_phrase_topk": phrase_topk_sql(sv, PHRASE_QUERY),
         "search_boolean_topk": boolean_topk_sql(sv, BOOLEAN_QUERY),

@@ -1023,6 +1023,139 @@ class SearchEngine:
             k,
         )
 
+    def search_bm25_batch_df(
+        self,
+        queries: dict[str, str],
+        k: int = DEFAULT_TOP_K,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """Batched multi-query BM25: the top-k of EVERY query in `queries`
+        ({query_id: query_string}) computed in ONE Spark job, returned as
+        (query_id, doc_id, score). Per-query rows are bit-identical to
+        search_bm25_df (parity pinned in tests/test_bm25.py): same
+        Python-computed idf doubles, same tf-norm expression, same
+        ascending-term per-doc fold — only the execution is shared.
+
+        Scale shape (the query-THROUGHPUT path the north rule's p50
+        latency metric complements): one bucket-pruned scan of the UNION
+        of all queries' terms -> broadcast hash join against the tiny
+        (query_id, term, idf) table fans each posting out to the queries
+        that want it (JVM-side, no per-row Python) -> one aggregate keyed
+        (query_id, doc) -> per-query window top-k -> point-lookup doc_map
+        translation of the <= Q*k surviving ordinals. Amortizes scan,
+        scheduling and shuffle setup across the whole reference query set
+        instead of paying per-query job latency Q times — at 10^12 docs
+        the postings scan dominates, and this reads each pruned bucket
+        once however many queries share it. Phrase/boolean queries need
+        positions and run through the exact per-query plan, unioned in.
+        """
+        self._ensure_fresh()
+        if self.index_dir is None:
+            raise ValueError("search_bm25_batch_df needs a disk index")
+        if not self.total_len:
+            raise ValueError(
+                "index meta has no total_len (pre-v6 layout): rebuild"
+            )
+        out_schema = "query_id string, doc_id string, score double"
+        bag: dict[str, list[str]] = {}
+        fallback: dict[str, str] = {}
+        for qid, qs in queries.items():
+            p = parser.parse(qs)
+            if p.qtype in ("normal", "normal+boolean"):
+                bag[qid] = sorted(
+                    {
+                        w
+                        for w in p.query_words
+                        if w.upper() not in parser.OPERATORS
+                    }
+                )
+            else:
+                fallback[qid] = qs
+        union_words = sorted({w for ws in bag.values() for w in ws})
+        dfs = self.term_dfs(union_words) if union_words else {}
+        qt_rows = [
+            (qid, w, bm25_idf(dfs[w], self.n_docs))
+            for qid, ws in sorted(bag.items())
+            for w in ws
+            if dfs.get(w)
+        ]
+        key = self._key()
+        parts: list[DataFrame] = []
+        if qt_rows:
+            avgdl = self.total_len / self.n_docs
+            k1p1 = k1 + 1.0
+            c0 = k1 * (1.0 - b)
+            c1 = k1 * b / avgdl
+            qt = self.spark.createDataFrame(
+                qt_rows, "query_id string, term string, idf double"
+            )
+            present = sorted({t for _, t, _ in qt_rows})
+            exploded = self._exploded(present, with_occ_dl=True)
+            occ = F.col("occ").cast("double")
+            tfnorm = (occ * F.lit(k1p1)) / (
+                occ + (F.lit(c0) + F.lit(c1) * F.col("dl").cast("double"))
+            )
+            sp = exploded.join(F.broadcast(qt), "term").withColumn(
+                "contrib", F.col("idf") * tfnorm
+            )
+            scored = sp.groupBy("query_id", key).agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list("
+                    "struct(term, contrib))), "
+                    "0D, (acc, x) -> acc + x.contrib)"
+                ).alias("score")
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc(key)
+            )
+            topk = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("query_id", key, "score")
+            )
+            if key == "doc_id":
+                parts.append(topk)
+            else:
+                # bounded materialization (<= Q*k rows), then the same
+                # point-lookup translation as translate_topk: isin over
+                # the ordinal-ordered doc_map files gets parquet min/max
+                # row-group skipping instead of a corpus-sized map scan
+                rows = topk.collect()
+                if rows:
+                    ords = sorted({int(r.doc_ord) for r in rows})
+                    id_map = {
+                        int(m.doc_ord): m.doc_id
+                        for m in self._doc_map()
+                        .filter(F.col("doc_ord").isin(ords))
+                        .collect()
+                    }
+                    parts.append(
+                        self.spark.createDataFrame(
+                            [
+                                (
+                                    r.query_id,
+                                    id_map[int(r.doc_ord)],
+                                    float(r.score),
+                                )
+                                for r in rows
+                            ],
+                            out_schema,
+                        )
+                    )
+        for qid in sorted(fallback):
+            parts.append(
+                self.search_bm25_df(fallback[qid], k, k1, b).select(
+                    F.lit(qid).alias("query_id"), "doc_id", "score"
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
     def search(
         self, query: str, k: int = DEFAULT_TOP_K, with_snippets: bool = True
     ) -> list[dict]:

@@ -144,3 +144,40 @@ def test_bm25_phrase_and_boolean_candidates(engine, oracle):
     bag_scores = dict(bag)
     for d, s in got:
         assert s == bag_scores[d]
+
+
+def test_bm25_batch_matches_per_query(engine):
+    """search_bm25_batch_df: one shared-scan job, per-query rows
+    bit-identical to search_bm25_df — including the phrase fallback
+    union branch and the no-hit query (absent from the output)."""
+    queries = {
+        "a": "travel guide",
+        "b": "the europe tips",
+        "c": '"travel guide"',          # phrase -> per-query fallback
+        "d": "zzz_nonexistent_term",    # no postings -> no rows
+    }
+    got = engine.search_bm25_batch_df(queries, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert "d" not in by_qid
+    for qid in ("a", "b", "c"):
+        exact = [
+            (r.doc_id, r.score)
+            for r in engine.search_bm25_df(queries[qid], k=10).collect()
+        ]
+        assert by_qid.get(qid, []) == exact, qid
+
+
+def test_bm25_batch_empty_and_all_fallback(engine):
+    """Empty query dict -> empty frame with the batch schema; an
+    all-phrase dict exercises the union-only path."""
+    empty = engine.search_bm25_batch_df({}, k=5)
+    assert empty.columns == ["query_id", "doc_id", "score"]
+    assert empty.count() == 0
+    only_phrase = engine.search_bm25_batch_df({"p": '"europe tips"'}, k=5)
+    exact = [
+        (r.doc_id, r.score)
+        for r in engine.search_bm25_df('"europe tips"', k=5).collect()
+    ]
+    assert [(r.doc_id, r.score) for r in only_phrase.collect()] == exact
