@@ -129,6 +129,24 @@ def main() -> None:
                 ),
                 3,
             )
+        # batched multi-query BM25: 4 queries in ONE shared-scan job —
+        # the query-THROUGHPUT path; compare against 4x q_bm25
+        if hasattr(engine, "search_bm25_batch_df"):
+            batch_qs = {
+                "b1": "travel guide",
+                "b2": "europe tips",
+                "b3": "travel europe culture",
+                "b4": "guide tips",
+            }
+            queries["q_bm25_batch4"] = round(
+                _time(
+                    lambda: engine.search_bm25_batch_df(
+                        batch_qs, k=10
+                    ).collect(),
+                    repeat=3,
+                ),
+                3,
+            )
 
         # -- docops / dedup operator sample on the sf documents table -------
         from apt_search_engine_spark.extras.docops import SPARK_QUERIES
