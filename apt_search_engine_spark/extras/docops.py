@@ -424,17 +424,33 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
 def minhash_pairs_df(docs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs over an arbitrary documents frame
     (doc_id, text) — the DataFrame-level surface extras/curate.py
-    composes; the sf_dir entries above wrap it."""
+    composes; the sf_dir entries above wrap it.
+
+    Plan: ONE pass over the band rows — groupBy(b, bv) buckets, then
+    within-bucket pair explosion in JVM array functions. The previous
+    self-join evaluated the bands subtree (shingles + 8 salted md5
+    minhashes over the whole corpus) twice and shuffled both copies;
+    this shuffles the same rows once and never recomputes the subtree.
+    Output is identical: unordered pairs sharing any band bucket, with
+    doc_a < doc_b (array_sort fixes orientation), distinct across bands.
+    Bucket width is bounded for real corpora — bv is the concat of two
+    128-bit minhashes, so a bucket IS a near-dup group; a size-n dup
+    cluster emits its n(n-1)/2 pairs either way (output-bound, not a
+    plan artifact)."""
     bands = _minhash_bands(docs)
-    x, y = bands.alias("x"), bands.alias("y")
+    buckets = (
+        bands.groupBy("b", "bv")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(sequence(0, size(ids) - 2), i -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(ids[i] AS doc_a, y AS doc_b))))"
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.bv") == F.col("y.bv"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
