@@ -179,14 +179,24 @@ def main() -> None:
             ).parquet(cdir)
             canon = spark.read.parquet(cdir)
             c_turns = canon.count()
-            cidx = os.path.join(work, "canonical_index")
-            t0 = time.time()
-            IndexBuilder(spark, cidx, n_batches=1).build(canon)
-            c_sec = time.time() - t0
+            # median of 3 builds: single-run canonical numbers have swung
+            # 2-3x with host contention on this box (BASELINE.md), and this
+            # key is THE round-over-round anchor, so it gets the same
+            # medians-of-repeats treatment as the query keys and the
+            # scaling ladders
+            c_runs = []
+            for i in range(3):
+                cidx = os.path.join(work, f"canonical_index_{i}")
+                t0 = time.time()
+                IndexBuilder(spark, cidx, n_batches=1).build(canon)
+                c_runs.append(time.time() - t0)
+                shutil.rmtree(cidx, ignore_errors=True)
+            c_sec = statistics.median(c_runs)
             queries["index_build_canonical"] = round(c_sec, 3)
             extra = {
                 "canonical_n_turns": int(c_turns),
                 "canonical_turns_per_sec": round(c_turns / c_sec, 1),
+                "canonical_runs_sec": [round(r, 3) for r in c_runs],
             }
 
         # -- scaling-efficiency evidence (committed ladder artifacts) --------
