@@ -185,9 +185,31 @@ def read_transcripts(spark, path: str, fmt: str = "parquet"):
         missing = {f.name for f in TRANSCRIPTS} - set(df.columns)
         if missing:
             raise ValueError(f"transcripts at {path} missing columns {sorted(missing)}")
-        return df.select(
-            *[F.col(f.name).cast(f.dataType) for f in TRANSCRIPTS]
-        )
+        # fail-loud narrowing: plain cast() under the non-ANSI session
+        # silently wraps overflowing ints and NULLs unparseable values —
+        # the exact type-drift corruption this reader exists to stop.
+        # try_cast + raise_error keeps the check lazy (evaluated in the
+        # scan) and is a no-op for columns already at the contract type.
+        def _strict(f):
+            src, tried = F.col(f.name), F.col(f.name).try_cast(f.dataType)
+            return (
+                F.when(
+                    src.isNotNull() & tried.isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"transcripts at {path}: value not losslessly "
+                                f"castable to {f.name} {f.dataType.simpleString()}: "
+                            ),
+                            src.cast("string"),
+                        )
+                    ).cast(f.dataType),
+                )
+                .otherwise(tried)
+                .alias(f.name)
+            )
+
+        return df.select(*[_strict(f) for f in TRANSCRIPTS])
     if fmt in ("json", "jsonl"):
         return spark.read.schema(TRANSCRIPTS).json(path)
     if fmt == "csv":

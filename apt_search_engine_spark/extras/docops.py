@@ -398,7 +398,17 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def _minhash_pairs_plan(spark, sf_dir):
-    return minhash_pairs_df(_docs(spark, sf_dir))
+    # band rows memoized under the same key q_cross_dedup uses, so a gate
+    # run computes the shingle/minhash subtree once for both entries
+    return minhash_pairs_df(
+        _docs(spark, sf_dir),
+        bands=_memo(
+            spark,
+            sf_dir,
+            "minhash_bands",
+            lambda: _minhash_bands(_docs(spark, sf_dir)),
+        ),
+    )
 
 
 def _minhash_bands(docs: DataFrame) -> DataFrame:
@@ -421,7 +431,7 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
 
 
-def minhash_pairs_df(docs: DataFrame) -> DataFrame:
+def minhash_pairs_df(docs: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate pairs over an arbitrary documents frame
     (doc_id, text) — the DataFrame-level surface extras/curate.py
     composes; the sf_dir entries above wrap it.
@@ -437,10 +447,14 @@ def minhash_pairs_df(docs: DataFrame) -> DataFrame:
     128-bit minhashes, so a bucket IS a near-dup group; a size-n dup
     cluster emits its n(n-1)/2 pairs either way (output-bound, not a
     plan artifact)."""
-    bands = _minhash_bands(docs)
+    if bands is None:
+        bands = _minhash_bands(docs)
     buckets = (
+        # collect_set, not collect_list: an input frame with duplicate
+        # doc_id rows must not yield (d, d) self-pairs — the old
+        # self-join's strict doc_a < doc_b could never produce them
         bands.groupBy("b", "bv")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     pair_expr = (
@@ -2142,7 +2156,12 @@ def q_cross_dedup(spark, sf_dir):
         .select("doc_id")
         .withColumn("ex", F.lit(True))
     )
-    bands = _minhash_bands(docs)
+    # memoized: both semi-join sides of `near` reference this subtree, and
+    # unpersisted Spark would recompute the corpus-wide shingle explosion
+    # + 8 md5 min-aggregates once per side
+    bands = _memo(
+        spark, sf_dir, "minhash_bands", lambda: _minhash_bands(docs)
+    )
     near = (
         bands.join(new.select("doc_id"), "doc_id", "left_semi")
         .join(
@@ -2920,18 +2939,23 @@ def q_keyword_topk(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("occ"))
     )
-    n_docs = _docs(spark, sf_dir).count()  # driver-side scalar, one agg
+    # N as a lazy broadcast single-row aggregate (the tfidf_cosine idiom),
+    # not an eager .count(): constructing this frame must not run a job
+    nd = _docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
     df = occ.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("weight"), F.asc("term")
     )
     return (
         occ.join(df, "term")
+        .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("occ") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("occ") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("weight"),
         )
         .withColumn("rk", F.row_number().over(w))
@@ -3309,7 +3333,10 @@ def q_bpe_token_counts(spark, sf_dir):
     return docs.select(
         "doc_id",
         ws.alias("n_ws_tokens"),
-        F.expr(f"regexp_count(lower(text), '{_BPE_PAT}')").alias(
+        # F.lit, not an F.expr f-string: a SQL string literal would eat
+        # the pattern's backslash (\s -> s) and silently count whitespace
+        # runs as punctuation tokens
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_PAT)).alias(
             "n_bpe_tokens"
         ),
     )

@@ -79,6 +79,10 @@ def hits_fixed(
     for _ in range(n_iters):
         auth = _half(hub, "src", "dst")  # authority <- hubs pointing in
         hub = _half(auth, "dst", "src")  # hub <- authorities pointed at
+    # auth/hub are localCheckpointed materializations: edges is no longer
+    # reachable from the returned plan, so release its cached blocks (the
+    # pagerank_fixed persist/unpersist discipline)
+    edges.unpersist()
     return (
         auth.withColumnRenamed("s", "a")
         .join(hub.withColumnRenamed("s", "h"), "url")

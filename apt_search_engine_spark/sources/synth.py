@@ -38,6 +38,10 @@ class _SynthReader(DataSourceReader):
         self.n_parts = int(options.get("numpartitions", 8))
 
     def partitions(self):
+        if self.n_convs <= 0:
+            # one empty range: convs=0 means an empty frame, not a
+            # range()-step-zero crash
+            return [ConvRange(0, 0, self.seed)]
         n = max(1, min(self.n_parts, self.n_convs))
         step = -(-self.n_convs // n)  # ceil
         return [

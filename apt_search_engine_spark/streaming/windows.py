@@ -107,6 +107,29 @@ def _epochs_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(*good)
 
 
+def _run_drain(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    operator,
+    checkpoint_dir: str,
+    out_dir: str,
+    mode: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame | None:
+    """Shared drain shape of every run_*_drain wrapper: schema-enforced
+    file stream -> operator -> availableNow drain -> lazy epoch union.
+    Pass max_files_per_trigger to force multi-batch processing
+    (exercises cross-batch state)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    _drain_to_parquet(
+        operator(reader.parquet(input_dir)), checkpoint_dir, out_dir, mode
+    )
+    return _epochs_df(spark, out_dir)
+
+
 def run_windowed_drain(
     spark: SparkSession,
     input_dir: str,
@@ -120,14 +143,15 @@ def run_windowed_drain(
     `out_dir` (cumulative across drains on the same checkpoint), or None
     when nothing has been emitted. Collect at the call site if and only if
     the result is known-small."""
-    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
-    _drain_to_parquet(
-        windowed_turn_counts(stream, window_duration, watermark_delay),
+    return _run_drain(
+        spark,
+        input_dir,
+        TRANSCRIPTS,
+        lambda s: windowed_turn_counts(s, window_duration, watermark_delay),
         checkpoint_dir,
         out_dir,
         "append",
     )
-    return _epochs_df(spark, out_dir)
 
 
 def windowed_counts_oracle_sql(
@@ -269,14 +293,16 @@ def run_dedup_drain(
     monotone non-increasing and n_seen monotone increasing, so aggregate
     min(keeper_doc_id), max(n_seen). Pass max_files_per_trigger to force
     multi-batch processing (exercises cross-batch state)."""
-    reader = spark.readStream.schema("doc_id long, text string")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
-    _drain_to_parquet(
-        streaming_dedup_keepers(stream), checkpoint_dir, out_dir, "update"
+    return _run_drain(
+        spark,
+        input_dir,
+        "doc_id long, text string",
+        streaming_dedup_keepers,
+        checkpoint_dir,
+        out_dir,
+        "update",
+        max_files_per_trigger,
     )
-    return _epochs_df(spark, out_dir)
 
 
 def dedup_keepers_oracle_sql() -> str:
@@ -445,14 +471,16 @@ def run_sessions_drain(
     """Drain an events-shaped directory (user_id, ts) through
     streaming_sessions; returns the lazy epoch union (None when nothing
     emitted). Finalize with finalize_sessions()."""
-    reader = spark.readStream.schema("user_id long, ts timestamp")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
-    _drain_to_parquet(
-        streaming_sessions(stream), checkpoint_dir, out_dir, "update"
+    return _run_drain(
+        spark,
+        input_dir,
+        "user_id long, ts timestamp",
+        streaming_sessions,
+        checkpoint_dir,
+        out_dir,
+        "update",
+        max_files_per_trigger,
     )
-    return _epochs_df(spark, out_dir)
 
 
 def stream_sessions_oracle_sql() -> str:
@@ -578,19 +606,20 @@ def run_sessions_evict_drain(
     checkpoint_dir: str,
     out_dir: str,
     watermark_delay: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame | None:
     """Drain an events-shaped directory through the evicting
     sessionizer; returns the lazy epoch union."""
-    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
-        input_dir
-    )
-    _drain_to_parquet(
-        streaming_sessions_evicting(stream, watermark_delay),
+    return _run_drain(
+        spark,
+        input_dir,
+        "user_id long, ts timestamp",
+        lambda s: streaming_sessions_evicting(s, watermark_delay),
         checkpoint_dir,
         out_dir,
         "update",
+        max_files_per_trigger,
     )
-    return _epochs_df(spark, out_dir)
 
 
 def streaming_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
@@ -616,19 +645,16 @@ def run_enrich_drain(
     """Drain an events-shaped directory (event_id, user_id, value)
     through streaming_enrich against `dim` (keyed by user_id); returns
     the lazy epoch union (append mode: every event exactly once)."""
-    reader = spark.readStream.schema(
-        "event_id long, user_id long, value double"
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
-    _drain_to_parquet(
-        streaming_enrich(stream, dim, "user_id"),
+    return _run_drain(
+        spark,
+        input_dir,
+        "event_id long, user_id long, value double",
+        lambda s: streaming_enrich(s, dim, "user_id"),
         checkpoint_dir,
         out_dir,
         "append",
+        max_files_per_trigger,
     )
-    return _epochs_df(spark, out_dir)
 
 
 def stream_enrich_oracle_sql() -> str:
@@ -653,8 +679,12 @@ def run_conv_stats_drain(
     """Drain input through stateful_conv_stats; returns the lazy epoch
     union (None when nothing emitted). The final value per conv is its
     max-n_turns row (counts are monotone)."""
-    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_dir)
-    _drain_to_parquet(
-        stateful_conv_stats(stream), checkpoint_dir, out_dir, "update"
+    return _run_drain(
+        spark,
+        input_dir,
+        TRANSCRIPTS,
+        stateful_conv_stats,
+        checkpoint_dir,
+        out_dir,
+        "update",
     )
-    return _epochs_df(spark, out_dir)

@@ -377,3 +377,31 @@ def test_synth_datasource_equals_generator(spark):
     got = sorted(tuple(r) for r in via_source.collect())
     want = sorted(tuple(r) for r in gen_corpus_spark(spark, 7).collect())
     assert got == want and want
+
+
+def test_read_transcripts_rejects_lossy_casts(spark, tmp_path):
+    """A widened upstream value that cannot be represented in the
+    contract type (turn_idx >= 2^31) must raise at scan time, not wrap
+    silently into a corrupted doc identity."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from apt_search_engine_spark.corpus import read_transcripts
+
+    bad = str(tmp_path / "t_overflow")
+    spark.createDataFrame(
+        [("c1", 2**31 + 7, "user", "hello", "", None)],
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp",
+    ).write.parquet(bad)
+    with _pytest.raises(PySparkException, match="not losslessly castable"):
+        read_transcripts(spark, bad, "parquet").collect()
+
+
+def test_synth_datasource_zero_convs_is_empty(spark):
+    """convs=0 must yield an empty frame, not a range()-step-zero crash."""
+    from apt_search_engine_spark.sources.synth import register
+
+    register(spark)
+    df = spark.read.format("aptse_synth").option("convs", 0).load()
+    assert df.count() == 0

@@ -189,3 +189,48 @@ def test_kmv_estimate_is_close_to_exact(spark, tmp_path):
     assert abs(got["big"].kmv_estimate - 600) / 600 < 0.35
     assert got["small"].exact_distinct == 10
     assert got["small"].kmv_estimate == 10.0  # exact fallback branch
+
+
+def test_bpe_token_counts_on_whitespace_heavy_text(spark, tmp_path, duck):
+    """Pin the regex-literal escaping fix: newline/tab/multi-space runs
+    must NOT count as BPE punctuation tokens (an F.expr SQL string
+    literal had eaten the pattern's backslash, turning [^a-z0-9\\s] into
+    [^a-z0-9s]). Spark must agree with the DuckDB oracle pattern on
+    text the driver corpus never exercises (it is single-spaced)."""
+    from apt_search_engine_spark.extras.docops import q_bpe_token_counts
+
+    docs = [
+        (1, "x   y", "en", "s", 0),
+        (2, "tab\there\nnew line, punct!!", "en", "s", 0),
+        (3, "", "en", "s", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r.n_bpe_tokens for r in q_bpe_token_counts(spark, sf).collect()}
+    want = {
+        d: duck.sql(
+            "SELECT len(regexp_extract_all(lower(?), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))",
+            params=[t],
+        ).fetchone()[0]
+        for d, t, *_ in docs
+    }
+    assert got == want
+    assert got[1] == 2  # the space run between x and y is not a token
+
+
+def test_minhash_pairs_no_self_pairs_on_duplicate_doc_ids(spark):
+    """An input frame holding the same doc_id twice (upstream union
+    without dedup) must not emit (d, d) self-pairs — the old self-join's
+    strict doc_a < doc_b guaranteed that, and the bucket-grouping
+    rewrite must too."""
+    from apt_search_engine_spark.extras.docops import minhash_pairs_df
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (1, text), (2, text)], "doc_id long, text string"
+    )
+    pairs = minhash_pairs_df(docs).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
