@@ -174,6 +174,47 @@ def _prior_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deleted_engine(spark: SparkSession, sf_dir: str):
+    """Engine over the shared index with the deterministic ~19% md5
+    tombstone rule applied as an ad-hoc deleted set (no disk mutation —
+    the shared index stays pristine for the other entries). Rule and
+    semantics mirror extras/search_oracle.DELETED_RULE_SQL: deleted docs
+    vanish from results, df/n_docs stay full-corpus (delete-before-purge,
+    indexing/deletes.py). The on-disk tombstone path and purge are
+    equivalence-tested in tests/test_deletes.py."""
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    base = _engine_over(spark, sf_dir)
+    dels = [
+        r.doc_id
+        for r in base._doc_map()
+        .filter(F.substring(F.md5("doc_id"), 1, 1).isin("0", "1", "2"))
+        .select("doc_id")
+        .collect()
+    ]
+    return SearchEngine(spark, index_dir=base.index_dir, deleted_ids=dels)
+
+
+def _deleted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _deleted_engine(spark, sf_dir)
+        .search_df("table scan query", k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _deleted_wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND under deletion: decoded block ordinals are masked
+    against the sorted tombstone array inside the scorer (query/wand.py
+    _live_mask) — bounds stay admissible, results rank+score identical
+    to the exact deleted plan (shared oracle)."""
+    return (
+        _deleted_engine(spark, sf_dir)
+        .search_df_wand("table scan query", k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k (engine.search_bm25_df): the standard scorer over
     the same index — true lexicon df, raw occurrence counts, doc_len
@@ -508,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_wand_topk"] = _wand_q
     q["search_snippets_topk"] = _snippets_q
     q["search_prior_topk"] = _prior_q
+    q["search_deleted_topk"] = _deleted_q
+    q["search_deleted_wand_topk"] = _deleted_wand_q
     q["search_bm25_topk"] = _bm25_q
     q["search_bm25_wand_topk"] = _bm25_wand_q
     q["search_bm25_batch_topk"] = _bm25_batch_q

@@ -181,6 +181,7 @@ def _score_sql(
     gate: str | None,
     k: int = 10,
     with_prior: bool = False,
+    exclude_sql: str | None = None,
 ) -> str:
     """Score `fp` (the filtered postings CTE) exactly like
     SearchEngine._score: contrib = wtf * floor(idf_num/df) * multiplicity,
@@ -205,6 +206,12 @@ def _score_sql(
         if gate is not None
         else ""
     )
+    if exclude_sql is not None:
+        # tombstoned docs never reach the top-k, but df and n_docs stay
+        # full-corpus: Lucene-style delete-before-purge semantics
+        # (indexing/deletes.py; the engine stamps build-time df and the
+        # pre-delete n_docs the same way)
+        gate_sql += f" AND c.doc_id NOT IN ({exclude_sql})"
     if with_prior:
         scored = f"""scored AS (
   SELECT c.doc_id,
@@ -269,6 +276,30 @@ def normal_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
         + _postings_ctes(stem_values)
         + ",\n"
         + _score_sql(filtered, words, gate=None, k=k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+DELETED_RULE_SQL = (
+    "SELECT doc_id FROM docs WHERE substr(md5(doc_id), 1, 1) IN ('0','1','2')"
+)
+
+
+def deleted_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
+    """Normal-path top-k UNDER DELETION: docs matching the deterministic
+    ~19% md5 tombstone rule (mirrored by the Spark entry, which resolves
+    the same rule over doc_map into SearchEngine(deleted_ids=...)) never
+    reach the top-k, while df and n_docs stay full-corpus — the
+    delete-before-purge semantics of indexing/deletes.py."""
+    p = parser.parse(query)
+    words = sorted({w for w in p.query_words if w.upper() not in parser.OPERATORS})
+    present = ", ".join(f"'{t}'" for t in words)
+    filtered = f"fp AS (SELECT * FROM w WHERE term IN ({present}))"
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, words, gate=None, k=k, exclude_sql=DELETED_RULE_SQL)
         + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
     )
 
@@ -542,6 +573,10 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "search_wand_topk": normal_topk_sql(sv, NORMAL_QUERY),
         "search_snippets_topk": snippets_topk_sql(sv, NORMAL_QUERY),
         "search_prior_topk": prior_topk_sql(sv, NORMAL_QUERY),
+        "search_deleted_topk": deleted_topk_sql(sv, NORMAL_QUERY),
+        # WAND under deletion is rank+score identical to the exact
+        # deleted plan (tests/test_deletes.py) — same oracle
+        "search_deleted_wand_topk": deleted_topk_sql(sv, NORMAL_QUERY),
         "search_bm25_topk": bm25,
         # block-max WAND BM25 is rank+score identical to the exact BM25
         # plan (tests/test_bm25.py) — same oracle

@@ -146,7 +146,8 @@ def bm25_idf(df: int, n_docs: int) -> float:
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str | None = None,
                  postings_df: DataFrame | None = None, n_docs: int | None = None,
-                 doc_prior: DataFrame | None = None):
+                 doc_prior: DataFrame | None = None,
+                 deleted_ids: list[str] | None = None):
         """Disk-backed when `index_dir` is given (bucket-pruned scans);
         in-memory when a grouped `postings_df` (+ n_docs) is given —
         used for ad-hoc corpora without a persisted index.
@@ -155,12 +156,22 @@ class SearchEngine:
         per-URL pagerank multiplier (Ranker.java:196,328; typically fed by
         ranking/pagerank.py output). Docs absent from the table score with
         the uniform default 1/n_docs, exactly the reference's absent-key
-        branch. Without it the prior is the uniform constant."""
+        branch. Without it the prior is the uniform constant.
+
+        `deleted_ids` is an OPTIONAL ad-hoc deleted set (doc_id strings)
+        hidden from every query of this engine instance without touching
+        the index on disk; it composes with (unions into) any committed
+        tombstones (indexing/deletes.delete_docs). Deletion semantics are
+        Lucene's: hidden from results immediately, corpus statistics
+        (n_docs, df, avgdl, uniform prior) unchanged until purge_deleted
+        rewrites the index."""
         self.spark = spark
         self.index_dir = index_dir
         self._postings_df = postings_df
         self._lexicon_df = None
         self.doc_prior = doc_prior
+        self.deleted_ids = sorted(set(deleted_ids)) if deleted_ids else None
+        self._deleted_cache: dict[str, object] = {}
         self._df_cache: dict[str, int | None] = {}
         self._reader_cache: dict[str, DataFrame] = {}
         if index_dir is not None:
@@ -207,7 +218,7 @@ class SearchEngine:
         and merge_state.json (the LSM commit marker, streamed indexes
         only). Two os.stat calls — no Spark job."""
         tok = []
-        for name in ("meta.json", "merge_state.json"):
+        for name in ("meta.json", "merge_state.json", "tombstones.json"):
             try:
                 st = os.stat(os.path.join(self.index_dir, name))
                 tok.append((st.st_mtime_ns, st.st_size))
@@ -221,6 +232,7 @@ class SearchEngine:
         committed a new index state under a long-lived engine."""
         self._df_cache.clear()
         self._reader_cache.clear()
+        self._deleted_cache.clear()
         if self.index_dir is not None:
             self._load_meta()
             self._index_state = self._state_token()
@@ -324,6 +336,7 @@ class SearchEngine:
         df = src.select(
             "term", F.explode(F.arrays_zip(*zip_cols)).alias("p")
         ).select("term", *out_cols)
+        df = self._filter_deleted(df, key)
         if with_df:
             # lexicon lookup is a driver-side read of a few pruned rows;
             # stamping df as a literal CASE map keeps the distributed plan
@@ -395,6 +408,63 @@ class SearchEngine:
             os.path.join(self.index_dir, "doc_map")
         ).select("doc_ord", "doc_id")
 
+    def _deleted_keys(self):
+        """The deleted-doc key set in this engine's key space, or None.
+        Disk engines: a SORTED np.int64 array of tombstoned ordinals
+        (committed tombstones ∪ the ctor's ad-hoc deleted_ids resolved
+        via doc_map) — also what the WAND scorers mask with. In-memory
+        engines: the sorted doc_id strings. Memoized per index state
+        (refresh() clears it); None costs nothing on the hot path."""
+        if "keys" in self._deleted_cache:
+            return self._deleted_cache["keys"]
+        keys = None
+        if self._postings_df is not None:
+            keys = self.deleted_ids  # string key space, already sorted
+        else:
+            import numpy as np
+
+            from apt_search_engine_spark.indexing.deletes import (
+                tombstones_df,
+            )
+
+            ords: set[int] = set()
+            tomb = tombstones_df(self.spark, self.index_dir)
+            if tomb is not None:
+                ords.update(
+                    int(r.doc_ord) for r in tomb.select("doc_ord").collect()
+                )
+            if self.deleted_ids:
+                ords.update(
+                    int(r.doc_ord)
+                    for r in self._doc_map()
+                    .filter(F.col("doc_id").isin(self.deleted_ids))
+                    .collect()
+                )
+            if ords:
+                keys = np.array(sorted(ords), dtype=np.int64)
+        self._deleted_cache["keys"] = keys
+        return keys
+
+    def _filter_deleted(self, df: DataFrame, col: str) -> DataFrame:
+        """Drop rows whose `col` is a deleted doc key — applied to the
+        candidate sources (_exploded, _term_doc_set) so every exact plan
+        (normal/phrase/boolean, reference and BM25 scorers, batch mode)
+        excludes tombstoned docs before scoring. Stats intentionally stay
+        stale (module semantics, indexing/deletes.py). Small sets inline
+        as an isin literal (no join, stays in codegen); large ones become
+        a broadcast anti-join."""
+        keys = self._deleted_keys()
+        if keys is None:
+            return df
+        items = [k.item() if hasattr(k, "item") else k for k in keys]
+        if len(items) <= 1024:
+            return df.filter(~F.col(col).isin(items))
+        schema = (
+            f"{col} string" if isinstance(items[0], str) else f"{col} long"
+        )
+        dead = self.spark.createDataFrame([(i,) for i in items], schema)
+        return df.join(F.broadcast(dead), col, "left_anti")
+
     def _bucket(self, term: str) -> int:
         # must match F.pmod(F.xxhash64(term), N) used at build time; the
         # vendored pure-Python XXH64 (functions/xxhash.py) is bit-identical
@@ -430,9 +500,11 @@ class SearchEngine:
             src = self._read(self.postings_path).filter(
                 F.col("term_bucket") == self._bucket(term)
             )
-        return (
-            src.filter(F.col("term") == term)
-            .select(F.explode(F.col(plural)).alias(key))
+        return self._filter_deleted(
+            src.filter(F.col("term") == term).select(
+                F.explode(F.col(plural)).alias(key)
+            ),
+            key,
         )
 
     # -------------------------------------------------------------- P4+P5
@@ -827,6 +899,7 @@ class SearchEngine:
             k,
             idf_num=self.idf_numerator,
             prior_by_ord=self._prior_by_ord(),
+            deleted=self._deleted_keys(),
         )
 
     # ------------------------------------------------------------- public
@@ -1021,6 +1094,7 @@ class SearchEngine:
             k1 * (1.0 - b),
             k1 * b / avgdl,
             k,
+            deleted=self._deleted_keys(),
         )
 
     def search_bm25_batch_df(

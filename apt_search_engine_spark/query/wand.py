@@ -58,6 +58,17 @@ SLICE_ORDS = 8192
 _OUT_SCHEMA = "doc_ord long, score double"
 
 
+def _live_mask(ords: np.ndarray, deleted: np.ndarray) -> np.ndarray:
+    """Boolean mask of `ords` NOT present in the sorted int64 `deleted`
+    array (tombstoned ordinals, indexing/deletes.py). searchsorted
+    membership — vectorized, no Python per element. Deleting docs only
+    removes scores, so the block maxima stay admissible upper bounds and
+    WAND pruning needs no other change."""
+    pos = np.searchsorted(deleted, ords)
+    pos_c = np.minimum(pos, deleted.size - 1)
+    return deleted[pos_c] != ords
+
+
 def translate_topk(spark, topk_ords: DataFrame, doc_map: DataFrame, k: int) -> DataFrame:
     """ord -> doc_id for a top-k result: MATERIALIZE the <=k (doc_ord,
     score) rows (driver-side, bounded by k), then point-look-up doc_map
@@ -94,6 +105,7 @@ def _score_partition_factory(
     prior: float,
     slice_ords: int,
     with_prior_rows: bool = False,
+    deleted: np.ndarray | None = None,
 ):
     """Returns a mapInPandas function closing over the per-term weights
     (floor(6000/df) * multiplicity), k and the DEFAULT prior (uniform
@@ -166,6 +178,8 @@ def _score_partition_factory(
                     ords = codec.decode_doc_ids(bytes(dvb))
                     wtf = codec.decode_tfs(bytes(wvb))
                     m = (ords >= lo) & (ords < hi)  # mask: block may span
+                    if deleted is not None:
+                        m &= _live_mask(ords, deleted)
                     if not m.all():
                         ords, wtf = ords[m], wtf[m]
                     if ords.size:
@@ -231,6 +245,7 @@ def wand_topk(
     slice_ords: int = SLICE_ORDS,
     idf_num: int | None = None,
     prior_by_ord: DataFrame | None = None,
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag-of-words query whose (already
     stemmed) terms and multiplicities are `term_mult`, over a pre-filtered
@@ -299,6 +314,7 @@ def wand_topk(
         _score_partition_factory(
             weights, k, prior, slice_ords,
             with_prior_rows=prior_by_ord is not None,
+            deleted=deleted,
         ),
         _OUT_SCHEMA,
     )
@@ -313,6 +329,7 @@ def _score_partition_bm25_factory(
     c0: float,
     c1: float,
     slice_ords: int,
+    deleted: np.ndarray | None = None,
 ):
     """BM25 variant of the slice scorer. Per-posting contribution is
     idf_t * (occ*k1p1) / (occ + (c0 + c1*dl)) — the SAME IEEE-754
@@ -374,6 +391,8 @@ def _score_partition_bm25_factory(
                     occs = codec.varbyte_decode(bytes(ovb))
                     dls = codec.varbyte_decode(bytes(lvb))
                     m = (ords >= lo) & (ords < hi)
+                    if deleted is not None:
+                        m &= _live_mask(ords, deleted)
                     if not m.all():
                         ords, occs, dls = ords[m], occs[m], dls[m]
                     if ords.size:
@@ -429,6 +448,7 @@ def wand_bm25_topk(
     c1: float,
     k: int,
     slice_ords: int = SLICE_ORDS,
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) under Okapi BM25 via block-max WAND. `idfs`
     and the K(dl) = c0 + c1*dl constants are the caller's Python-computed
@@ -453,7 +473,9 @@ def wand_bm25_topk(
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     partitioned = sliced.repartition(n_parts, "slice").sortWithinPartitions("slice")
     survivors = partitioned.mapInPandas(
-        _score_partition_bm25_factory(idfs, k, k1p1, c0, c1, slice_ords),
+        _score_partition_bm25_factory(
+            idfs, k, k1p1, c0, c1, slice_ords, deleted=deleted
+        ),
         _OUT_SCHEMA,
     )
     return translate_topk(spark, survivors, doc_map, k)

@@ -1,0 +1,148 @@
+"""Document deletion: tombstones, query-time filtering, purge.
+
+Semantics under test (indexing/deletes.py):
+  - delete_docs hides docs from every query path immediately;
+  - surviving docs' scores are UNCHANGED before purge (stats stay
+    full-corpus — the Lucene delete-before-merge contract);
+  - WAND == exact under tombstones (the block mask is rank-preserving);
+  - purge_deleted makes the index bit-equivalent, score-wise, to a
+    fresh build over the surviving corpus, and is idempotent;
+  - a long-lived engine notices a delete commit without manual refresh.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apt_search_engine_spark.corpus import gen_corpus_spark
+from apt_search_engine_spark.indexing.build import IndexBuilder
+from apt_search_engine_spark.indexing.deletes import (
+    delete_docs,
+    purge_deleted,
+    tombstones_df,
+)
+from apt_search_engine_spark.query.engine import SearchEngine
+
+QUERY = "travel guide"
+PHRASE = '"travel guide"'
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return gen_corpus_spark(spark, 40).cache()
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("del_idx"))
+    IndexBuilder(spark, d, n_batches=1).build(corpus)
+    return d
+
+
+def _rows(df):
+    return [(r.doc_id, round(float(r.score), 9)) for r in df.collect()]
+
+
+def test_delete_hides_docs_and_keeps_surviving_scores(spark, corpus, built, tmp_path):
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built, idx)
+    eng = SearchEngine(spark, index_dir=idx)
+    before = _rows(eng.search_df(QUERY, k=10))
+    assert len(before) == 10
+    dead = [before[0][0], before[2][0]]  # two docs IN the top-k
+    n = delete_docs(spark, idx, dead)
+    assert n == 2
+    # same engine instance: freshness token sees the tombstone commit
+    after = _rows(eng.search_df(QUERY, k=10))
+    got_ids = {d for d, _ in after}
+    assert not (set(dead) & got_ids)
+    # stale-stats contract: every surviving doc keeps its exact score
+    before_map = dict(before)
+    for doc, score in after:
+        if doc in before_map:
+            assert score == before_map[doc]
+    # WAND parity under tombstones
+    wand = _rows(eng.search_df_wand(QUERY, k=10))
+    assert wand == after
+    # BM25 paths exclude them too
+    bm = _rows(eng.search_bm25_df(QUERY, k=10))
+    assert not (set(dead) & {d for d, _ in bm})
+    assert _rows(eng.search_bm25_wand_df(QUERY, k=10)) == bm
+    # phrase path (term_doc_set + positions aggregate) excludes them
+    ph = _rows(eng.search_df(PHRASE, k=10))
+    assert not (set(dead) & {d for d, _ in ph})
+    # deleting ids that do not exist is a no-op on the count
+    assert delete_docs(spark, idx, ["no#such_doc"]) == 2
+
+
+def test_purge_equals_fresh_build_over_survivors(spark, corpus, built, tmp_path):
+    import json
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built, idx)
+    eng0 = SearchEngine(spark, index_dir=idx)
+    top = _rows(eng0.search_df(QUERY, k=10))
+    dead = sorted({top[0][0], top[1][0], top[5][0]})
+    delete_docs(spark, idx, dead)
+    purged_n = purge_deleted(spark, idx)
+    assert purged_n == 3
+    assert tombstones_df(spark, idx) is None  # cleared last
+
+    fresh_dir = str(tmp_path / "fresh")
+    survivors = corpus.filter(
+        ~F.concat_ws(
+            "#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 6, "0")
+        ).isin(dead)
+    )
+    IndexBuilder(spark, fresh_dir, n_batches=1).build(survivors)
+
+    purged = SearchEngine(spark, index_dir=idx)
+    fresh = SearchEngine(spark, index_dir=fresh_dir)
+    # corpus stats recomputed == fresh
+    assert purged.n_docs == fresh.n_docs
+    assert purged.total_len == fresh.total_len
+    # reference scorer and BM25, exact and WAND: bit-equal to fresh
+    for q in (QUERY, PHRASE, '"travel guide" AND "europe tips"'):
+        assert _rows(purged.search_df(q, k=10)) == _rows(fresh.search_df(q, k=10))
+    assert _rows(purged.search_bm25_df(QUERY, k=10)) == _rows(
+        fresh.search_bm25_df(QUERY, k=10)
+    )
+    assert _rows(purged.search_df_wand(QUERY, k=10)) == _rows(
+        purged.search_df(QUERY, k=10)
+    )
+    assert _rows(purged.search_bm25_wand_df(QUERY, k=10)) == _rows(
+        purged.search_bm25_df(QUERY, k=10)
+    )
+    # lexicon df parity with the fresh build (stats fully folded out)
+    pl = {
+        (r.term, r.df)
+        for r in spark.read.parquet(f"{idx}/lexicon").collect()
+    }
+    fl = {
+        (r.term, r.df)
+        for r in spark.read.parquet(f"{fresh_dir}/lexicon").collect()
+    }
+    assert pl == fl
+    # meta invariants survive the rewrite
+    meta = json.load(open(f"{idx}/meta.json"))
+    assert meta["n_docs"] == fresh.n_docs
+    # idempotent: purging again with no tombstones touches nothing
+    assert purge_deleted(spark, idx) == 0
+
+
+def test_adhoc_deleted_ids_match_disk_tombstones(spark, built, tmp_path):
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built, idx)
+    base = SearchEngine(spark, index_dir=idx)
+    dead = [r[0] for r in _rows(base.search_df(QUERY, k=3))][:2]
+    adhoc = SearchEngine(spark, index_dir=idx, deleted_ids=dead)
+    adhoc_rows = _rows(adhoc.search_df(QUERY, k=10))
+    delete_docs(spark, idx, dead)
+    disk_rows = _rows(SearchEngine(spark, index_dir=idx).search_df(QUERY, k=10))
+    assert adhoc_rows == disk_rows
