@@ -60,6 +60,8 @@ def _canon(pdf):
         "search_wand_topk",
         "search_snippets_topk",
         "search_prior_topk",
+        "search_deleted_topk",
+        "search_deleted_wand_topk",
         "search_bm25_topk",
     ],
 )
