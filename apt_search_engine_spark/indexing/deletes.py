@@ -118,11 +118,20 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     return n
 
 
-def purge_deleted(spark: SparkSession, index_dir: str) -> int:
+def purge_deleted(
+    spark: SparkSession, index_dir: str, fail_at: str | None = None
+) -> int:
     """Physically remove tombstoned docs from every index table and fold
     their counts out of the corpus statistics. Returns the number of
     docs purged (0 = no tombstones, nothing touched). Idempotent: stats
-    are recomputed from the rewritten tables, never decremented."""
+    are recomputed from the rewritten tables, never decremented.
+
+    `fail_at` injects a crash for recovery tests (tests/test_deletes.py):
+    'staged' = everything staged, nothing swapped; 'half_swapped' =
+    postings swapped, doc tables not; 'pre_meta' = all swaps done, meta
+    and tombstones untouched. At every point the tombstones are still
+    committed, so a reader keeps filtering (filtering already-purged
+    ordinals is a no-op) and a purge re-run heals the index."""
     import numpy as np
 
     from apt_search_engine_spark.config import (
@@ -137,6 +146,13 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> int:
         _flatten_segments_arrow_factory,
         build_lexicon,
     )
+
+    # single-writer maintenance (the compact() contract): stale staged or
+    # half-swapped dirs from a crashed prior run are garbage — collect
+    # them before staging anew
+    for d in os.listdir(index_dir):
+        if "__new_" in d or "__old_" in d:
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
 
     tomb = tombstones_df(spark, index_dir)
     if tomb is None:
@@ -221,9 +237,13 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> int:
     map_new = _filtered_table("doc_map", "doc_ord", [int(o) for o in dead_ords])
     meta_new = _filtered_table("doc_meta", "doc_id", dead_ids)
     len_new = _filtered_table("doc_len", "doc_id", dead_ids)
+    if fail_at == "staged":
+        raise RuntimeError("injected crash: everything staged, nothing swapped")
 
     # ---- swap everything, then recompute meta, then drop tombstones ----
     _swap_dir(staging, postings_dir)
+    if fail_at == "half_swapped":
+        raise RuntimeError("injected crash: postings swapped, doc tables not")
     os_swaps = [(lex_new, os.path.join(index_dir, "lexicon"))]
     if blk_new is not None:
         os_swaps.append((blk_new, blocks_dir))
@@ -236,6 +256,8 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> int:
             os_swaps.append((new_dir, os.path.join(index_dir, name)))
     for new_dir, live_dir in os_swaps:
         _swap_dir(new_dir, live_dir)
+    if fail_at == "pre_meta":
+        raise RuntimeError("injected crash: swaps done, meta/tombstones untouched")
 
     n_docs = spark.read.parquet(os.path.join(index_dir, "doc_map")).count()
     total_len = 0

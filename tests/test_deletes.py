@@ -146,3 +146,41 @@ def test_adhoc_deleted_ids_match_disk_tombstones(spark, built, tmp_path):
     delete_docs(spark, idx, dead)
     disk_rows = _rows(SearchEngine(spark, index_dir=idx).search_df(QUERY, k=10))
     assert adhoc_rows == disk_rows
+
+
+@pytest.mark.parametrize("fail_at", ["staged", "half_swapped", "pre_meta"])
+def test_purge_crash_recovery(spark, corpus, built, tmp_path, fail_at):
+    """A purge crash at any seam leaves a QUERYABLE index (tombstones are
+    cleared last, so the query-time filter still hides the docs) and a
+    re-run heals it to the fully-purged state."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built, idx)
+    eng = SearchEngine(spark, index_dir=idx)
+    top = _rows(eng.search_df(QUERY, k=10))
+    dead = sorted({top[0][0], top[3][0]})
+    delete_docs(spark, idx, dead)
+    want = _rows(SearchEngine(spark, index_dir=idx).search_df(QUERY, k=10))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        purge_deleted(spark, idx, fail_at=fail_at)
+    # crashed index still serves correct (delete-semantics) results
+    crashed = SearchEngine(spark, index_dir=idx)
+    got = _rows(crashed.search_df(QUERY, k=10))
+    assert {d for d, _ in got}.isdisjoint(set(dead))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # re-run heals: tombstones gone, results == a clean one-shot purge
+    assert purge_deleted(spark, idx) == 2
+    assert tombstones_df(spark, idx) is None
+    healed = SearchEngine(spark, index_dir=idx)
+    assert {d for d, _ in _rows(healed.search_df(QUERY, k=10))}.isdisjoint(
+        set(dead)
+    )
+    # no staging/swap garbage left behind
+    import os as _os
+
+    leftovers = [
+        d for d in _os.listdir(idx) if "__new_" in d or "__old_" in d
+    ]
+    assert not leftovers
