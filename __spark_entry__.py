@@ -184,15 +184,20 @@ def _deleted_engine(spark: SparkSession, sf_dir: str):
     equivalence-tested in tests/test_deletes.py."""
     from apt_search_engine_spark.query.engine import SearchEngine
 
-    base = _engine_over(spark, sf_dir)
-    dels = [
-        r.doc_id
-        for r in base._doc_map()
-        .filter(F.substring(F.md5("doc_id"), 1, 1).isin("0", "1", "2"))
-        .select("doc_id")
-        .collect()
-    ]
-    return SearchEngine(spark, index_dir=base.index_dir, deleted_ids=dels)
+    key = f"deleted::{sf_dir}"
+    if key not in _ENGINE_CACHE:
+        base = _engine_over(spark, sf_dir)
+        dels = [
+            r.doc_id
+            for r in base._doc_map()
+            .filter(F.substring(F.md5("doc_id"), 1, 1).isin("0", "1", "2"))
+            .select("doc_id")
+            .collect()
+        ]
+        _ENGINE_CACHE[key] = SearchEngine(
+            spark, index_dir=base.index_dir, deleted_ids=dels
+        )
+    return _ENGINE_CACHE[key]
 
 
 def _deleted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
