@@ -1848,10 +1848,25 @@ class IndexBuilder:
                 )
             else:
                 # stream-analyzed rows (compact bootstrap) can't know
-                # ordinals at arrival: assign now and join
+                # ordinals at arrival: assign now and join. The doc space
+                # comes from the stream-written doc_ids tables when
+                # present (complete: includes empty docs, which emit no
+                # posting rows but ARE documents — T7, and doc_map is the
+                # doc registry deletes/purge rely on); posting-derived
+                # doc_ids are the pre-doc_ids-table fallback.
+                doc_ids_dir = os.path.join(self.index_dir, "doc_ids")
+                if os.path.isdir(doc_ids_dir):
+                    doc_space = (
+                        self.spark.read.parquet(doc_ids_dir)
+                        .select("doc_id")
+                        .unionByName(flat.select("doc_id"))
+                        .distinct()
+                    )
+                else:
+                    doc_space = flat.select("doc_id").distinct()
                 write_doc_map(
                     self.spark,
-                    flat.select("doc_id").distinct(),
+                    doc_space,
                     self.doc_map_dir,
                 )
                 doc_map = self.spark.read.parquet(self.doc_map_dir)

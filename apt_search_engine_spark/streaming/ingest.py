@@ -73,6 +73,20 @@ def stream_analyze(
             builder.analyzed_dir, f"batch={STREAM_BATCH_BASE + epoch_id}"
         )
         flat.write.mode("overwrite").parquet(out)  # idempotent per epoch
+        # the increment's FULL doc_id set — including empty docs, which
+        # produce no posting rows but ARE documents (T7): compact builds
+        # doc_map from this table so the streamed doc_map covers the
+        # whole doc space exactly like the batch build's (doc_map is the
+        # doc registry — deletes resolve against it, purge recounts it)
+        from apt_search_engine_spark.config import doc_id_expr
+
+        df.select(doc_id_expr().alias("doc_id")).distinct().write.mode(
+            "overwrite"
+        ).parquet(
+            os.path.join(
+                index_dir, "doc_ids", f"batch={STREAM_BATCH_BASE + epoch_id}"
+            )
+        )
         stats = (
             spark.read.parquet(out)
             .agg(
@@ -315,6 +329,22 @@ def compact(
             return None
         return sum(counts[b] for b in batch_ids)
 
+    def _increment_doc_ids(spark_, index_dir_, batch_ids, flat_):
+        """Doc_id set of the given analyzed batches: the stream-written
+        doc_ids/batch=N tables when every batch has one (complete —
+        includes empty docs), else derived from the posting rows
+        (pre-doc_ids-table indexes: empty docs absent, a documented
+        vintage gap the purge invariant note covers)."""
+        dirs = [
+            os.path.join(index_dir_, "doc_ids", f"batch={b}")
+            for b in batch_ids
+        ]
+        if dirs and all(os.path.isdir(p) for p in dirs):
+            return (
+                spark_.read.parquet(*dirs).select("doc_id").distinct()
+            )
+        return flat_.select("doc_id").distinct()
+
     bootstrap = (
         not incremental
         or not merged
@@ -378,7 +408,7 @@ def compact(
             "analyzed checkpoint is not supported; rebuild via "
             "IndexBuilder or ingest deltas through the stream path"
         )
-    new_docs = flat.select("doc_id").distinct()
+    new_docs = _increment_doc_ids(spark, index_dir, delta, flat)
     n_new = _turn_counts(set(delta))
     if n_new is None:
         n_new = new_docs.count()

@@ -184,3 +184,61 @@ def test_purge_crash_recovery(spark, corpus, built, tmp_path, fail_at):
         d for d in _os.listdir(idx) if "__new_" in d or "__old_" in d
     ]
     assert not leftovers
+
+
+def test_delete_and_purge_on_streamed_index(spark, corpus, tmp_path):
+    """Full LSM lifecycle: stream increment 1 -> compact -> delete ->
+    stream increment 2 -> compact (tombstones survive the increment;
+    ordinals are stable) -> purge -> score-equal to a fresh batch build
+    over (full corpus minus deleted)."""
+    from apt_search_engine_spark.streaming.ingest import compact, stream_analyze
+
+    inp = str(tmp_path / "incoming")
+    sdir = str(tmp_path / "stream_idx")
+    first = corpus.filter(F.col("conv_id") < "conv_000020")
+    second = corpus.filter(F.col("conv_id") >= "conv_000020")
+
+    first.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+
+    eng = SearchEngine(spark, index_dir=sdir)
+    top = _rows(eng.search_df(QUERY, k=10))
+    dead = sorted({top[0][0], top[1][0]})
+    assert delete_docs(spark, sdir, dead) == 2
+    assert {d for d, _ in _rows(eng.search_df(QUERY, k=10))}.isdisjoint(dead)
+
+    second.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+    # tombstones survive the increment: new docs searchable, dead still hidden
+    after_inc = _rows(SearchEngine(spark, index_dir=sdir).search_df(QUERY, k=10))
+    assert {d for d, _ in after_inc}.isdisjoint(dead)
+
+    assert purge_deleted(spark, sdir) == 2
+    fresh_dir = str(tmp_path / "fresh")
+    survivors = corpus.filter(
+        ~F.concat_ws(
+            "#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 6, "0")
+        ).isin(dead)
+    )
+    IndexBuilder(spark, fresh_dir, n_batches=1).build(survivors)
+    purged = SearchEngine(spark, index_dir=sdir)
+    fresh = SearchEngine(spark, index_dir=fresh_dir)
+    assert purged.n_docs == fresh.n_docs
+    assert purged.total_len == fresh.total_len
+    for q in (QUERY, PHRASE):
+        assert _rows(purged.search_df(q, k=10)) == _rows(fresh.search_df(q, k=10))
+    assert _rows(purged.search_bm25_df(QUERY, k=10)) == _rows(
+        fresh.search_bm25_df(QUERY, k=10)
+    )
+    # a further increment on the purged index keeps state consistent
+    extra = corpus.filter(F.col("conv_id") == "conv_000001").withColumn(
+        "conv_id", F.lit("conv_000099")
+    )
+    extra.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+    again = SearchEngine(spark, index_dir=sdir)
+    assert again.n_docs == fresh.n_docs + extra.count()
+    assert {d for d, _ in _rows(again.search_df(QUERY, k=10))}.isdisjoint(dead)
