@@ -259,6 +259,7 @@ def compact(
     fail_at: str | None = None,
     auto_recompact: bool = True,
     max_segments_per_term: int = 8,
+    auto_purge_frac: float = 0.25,
 ) -> None:
     """Merge analyzed batches into the postings index — INCREMENTALLY by
     default: only batches not yet in merge_state.json are read, their
@@ -520,6 +521,34 @@ def compact(
             max_per_row=builder.max_per_row,
             with_blocks=with_blocks,
         )
+    _maybe_auto_purge(spark, index_dir, n_docs, auto_purge_frac)
+
+
+def _maybe_auto_purge(
+    spark: SparkSession, index_dir: str, n_docs: int, frac: float
+) -> None:
+    """Self-maintenance twin of auto_recompact: when the tombstone count
+    (a two-field json read — no Spark job) crosses `frac` of the corpus,
+    fold the deletes out during the maintenance pass a deployment is
+    already paying for. Below the threshold the only cost deletes impose
+    is the query-time ordinal mask, which is exactly when it is cheap
+    (small sorted array); past it, purging wins back the scan bytes and
+    restores fresh statistics. frac <= 0 disables."""
+    if frac <= 0:
+        return
+    from apt_search_engine_spark.indexing.deletes import (
+        TOMBSTONES_MARKER,
+        purge_deleted,
+    )
+
+    marker = os.path.join(index_dir, TOMBSTONES_MARKER)
+    try:
+        with open(marker) as f:
+            n_deleted = int(json.load(f).get("n_deleted", 0))
+    except (OSError, ValueError):
+        return
+    if n_docs > 0 and n_deleted >= frac * n_docs:
+        purge_deleted(spark, index_dir)
 
 
 # -------------------------------------------------------- re-compaction

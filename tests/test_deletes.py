@@ -242,3 +242,43 @@ def test_delete_and_purge_on_streamed_index(spark, corpus, tmp_path):
     again = SearchEngine(spark, index_dir=sdir)
     assert again.n_docs == fresh.n_docs + extra.count()
     assert {d for d, _ in _rows(again.search_df(QUERY, k=10))}.isdisjoint(dead)
+
+
+def test_compact_auto_purges_past_threshold(spark, corpus, tmp_path):
+    """compact() self-maintains deletes like it self-maintains segment
+    counts: past auto_purge_frac the tombstones are folded out during
+    the maintenance pass; below it they are left to the (cheap)
+    query-time mask."""
+    from apt_search_engine_spark.streaming.ingest import compact, stream_analyze
+
+    inp = str(tmp_path / "incoming")
+    sdir = str(tmp_path / "idx")
+    first = corpus.filter(F.col("conv_id") < "conv_000020")
+    first.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+
+    doc_map = spark.read.parquet(f"{sdir}/doc_map")
+    dead = [r.doc_id for r in doc_map.limit(40).collect()]
+    delete_docs(spark, sdir, dead[:2])  # 2 docs: far below 25%
+
+    second = corpus.filter(F.col("conv_id") >= "conv_000020")
+    second.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+    # below threshold: tombstones still present (query mask, no rewrite)
+    assert tombstones_df(spark, sdir) is not None
+
+    # push past the threshold, next compact purges
+    n_docs = SearchEngine(spark, index_dir=sdir).n_docs
+    more = [r.doc_id for r in doc_map.limit(int(n_docs * 0.3)).collect()]
+    delete_docs(spark, sdir, more)
+    third = corpus.filter(F.col("conv_id") == "conv_000003").withColumn(
+        "conv_id", F.lit("conv_000098")
+    )
+    third.write.mode("append").parquet(inp)
+    stream_analyze(spark, inp, sdir)
+    compact(spark, sdir)
+    assert tombstones_df(spark, sdir) is None  # auto-purged
+    eng = SearchEngine(spark, index_dir=sdir)
+    assert {d for d, _ in _rows(eng.search_df(QUERY, k=10))}.isdisjoint(more)
