@@ -220,6 +220,72 @@ def _deleted_wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (wildcard `s*`) multi-term rewrite: lexicon expansion
+    capped deterministically at 4 of the 6 matching sf0.01 stems
+    (df DESC, term ASC — the cap branch is exercised), then scored as a
+    bag-of-words OR query (extras/search_oracle.prefix_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        PREFIX_MAX_EXPANSIONS,
+        PREFIX_QUERY,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_prefix_df(
+            PREFIX_QUERY, k=10, max_expansions=PREFIX_MAX_EXPANSIONS
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (`sow~1`) multi-term rewrite: Levenshtein-1 lexicon
+    expansion ({slow, row} on the sf0.01 vocabulary), scored as a
+    bag-of-words OR query (extras/search_oracle.fuzzy_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        FUZZY_MAX_DIST,
+        FUZZY_WORD,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_fuzzy_df(FUZZY_WORD, k=10, max_dist=FUZZY_MAX_DIST)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _suggest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-side prefix suggestions: top-df lexicon terms for 's'
+    (engine.suggest_terms_df — one vocab-sized lexicon scan)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        PREFIX_QUERY,
+        SUGGEST_K,
+    )
+
+    return _engine_over(spark, sf_dir).suggest_terms_df(
+        PREFIX_QUERY, k=SUGGEST_K
+    )
+
+
+def _facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over the normal query's OR match set, faceted by a
+    deterministic md5-derived language tag over the doc registry —
+    mirror of extras/search_oracle.FACET_RULE_SQL (element_at and the
+    DuckDB list index are both 1-based)."""
+    eng = _engine_over(spark, sf_dir)
+    facets = eng._doc_map().select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+            (F.ascii(F.substring(F.md5("doc_id"), 3, 1)) % 4 + 1).cast(
+                "int"
+            ),
+        ).alias("facet"),
+    )
+    return eng.facet_counts_df("table scan query", facets)
+
+
 def _bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k (engine.search_bm25_df): the standard scorer over
     the same index — true lexicon df, raw occurrence counts, doc_len
@@ -559,6 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_bm25_topk"] = _bm25_q
     q["search_bm25_wand_topk"] = _bm25_wand_q
     q["search_bm25_batch_topk"] = _bm25_batch_q
+    q["search_prefix_topk"] = _prefix_q
+    q["search_fuzzy_topk"] = _fuzzy_q
+    q["suggest_terms"] = _suggest_q
+    q["facet_counts"] = _facet_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

@@ -31,6 +31,12 @@ def idf_numerator(n_docs: int) -> int:
 # at 10^12 turns return-everything is not a contract we keep, SURVEY.md P9).
 DEFAULT_TOP_K = 10
 
+# Cap on lexicon expansion for multi-term (prefix / fuzzy) queries —
+# Lucene's IndexSearcher.maxClauseCount spirit: a multi-term rewrite never
+# scores more than this many expanded terms (kept deterministically:
+# highest-df expansions win).
+DEFAULT_MAX_EXPANSIONS = 50
+
 # Snippet: only paragraphs <= this length are eligible
 # (server/src/main/java/ranker/Snippeterr.java:8).
 SNIPPET_MAX_LEN = 1000

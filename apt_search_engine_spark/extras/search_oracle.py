@@ -558,6 +558,137 @@ def bm25_batch_topk_sql(
     return "\nUNION ALL\n".join(parts)
 
 
+# Multi-term-rewrite gate parameters (engine.search_prefix_df /
+# search_fuzzy_df / suggest_terms_df / facet_counts_df). Chosen non-vacuous
+# on the canonical sf0.01 vocabulary: prefix 's' matches 6 stems so
+# max_expansions=4 exercises the deterministic cap; 'sow' is within
+# Levenshtein 1 of exactly {slow, row}.
+PREFIX_QUERY = "s"
+PREFIX_MAX_EXPANSIONS = 4
+FUZZY_WORD = "sow"
+FUZZY_MAX_DIST = 1
+SUGGEST_K = 4
+# deterministic (doc_id -> facet) rule the facet gate entry mirrors in
+# Spark (element_at is 1-based there too)
+FACET_RULE_SQL = (
+    "['en', 'de', 'fr', 'es'][ascii(substr(md5(doc_id), 3, 1)) % 4 + 1]"
+)
+
+
+def _expansion_score_sql(exp_cte: str, k: int = 10) -> str:
+    """Score a server-derived expansion set (the prefix/fuzzy multi-term
+    rewrite): the caller supplies an `exp(term)` CTE selecting expanded
+    terms out of `tdf` — per-term true df over the unfiltered postings,
+    which equals the lexicon df the engine's expansion reads. Every
+    expanded term scores with multiplicity 1, true df, and no gate:
+    exactly engine._score over _exploded(with_df=True)."""
+    return f"""tdf AS (SELECT term, count(*) AS df FROM w GROUP BY term),
+{exp_cte},
+fp AS (SELECT w.* FROM w JOIN exp USING (term)),
+contribs AS (
+  SELECT fp.doc_id, fp.term,
+         fp.wtf * ((greatest({IDF_NUMERATOR}, nd.n_docs) // d.df)::DOUBLE)
+           AS contrib
+  FROM fp JOIN tdf d USING (term) CROSS JOIN nd
+),
+scored AS (
+  SELECT doc_id,
+         list_sum(list(contrib ORDER BY term))
+           * (1.0::DOUBLE / (SELECT n_docs FROM nd)) AS score
+  FROM contribs GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, score FROM scored WHERE score <> 0.0
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+
+
+def prefix_topk_sql(
+    stem_values: str,
+    prefix: str = PREFIX_QUERY,
+    k: int = 10,
+    max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> str:
+    """Prefix query `pre*`: expand to the max_expansions highest-df
+    vocabulary terms starting with the prefix (df DESC, term ASC — the
+    engine's deterministic TopTermsRewrite cap), then score the
+    expansion as a bag-of-words OR query."""
+    exp = (
+        f"exp AS (SELECT term FROM tdf WHERE starts_with(term, '{prefix}')\n"
+        f"  ORDER BY df DESC, term ASC LIMIT {max_expansions})"
+    )
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _expansion_score_sql(exp, k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def fuzzy_topk_sql(
+    stem_values: str,
+    word: str = FUZZY_WORD,
+    k: int = 10,
+    max_dist: int = FUZZY_MAX_DIST,
+    max_expansions: int = 50,
+) -> str:
+    """Fuzzy query `word~d`: expand to vocabulary terms within
+    Levenshtein distance d (distance ASC, df DESC, term ASC cap —
+    engine.expand_fuzzy), score as bag-of-words OR. DuckDB's
+    levenshtein == Spark's F.levenshtein (plain unweighted edit
+    distance)."""
+    exp = (
+        f"exp AS (SELECT term FROM tdf\n"
+        f"  WHERE levenshtein(term, '{word}') <= {max_dist}\n"
+        f"  ORDER BY levenshtein(term, '{word}') ASC, df DESC, term ASC\n"
+        f"  LIMIT {max_expansions})"
+    )
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _expansion_score_sql(exp, k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def suggest_terms_sql(
+    stem_values: str, prefix: str = PREFIX_QUERY, k: int = SUGGEST_K
+) -> str:
+    """Server-side suggestions: top-k vocabulary terms by df for a
+    prefix (engine.suggest_terms_df — one lexicon scan)."""
+    return (
+        "WITH "
+        + _agg_ctes(stem_values)
+        + f""",
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM agg GROUP BY term)
+SELECT term, df FROM tdf WHERE starts_with(term, '{prefix}')
+ORDER BY df DESC, term ASC LIMIT {k}"""
+    )
+
+
+def facet_counts_sql(
+    stem_values: str, query: str = NORMAL_QUERY
+) -> str:
+    """Facet counts over the query's OR match set (engine
+    facet_counts_df): distinct matching docs joined to a deterministic
+    md5-derived (doc_id -> facet) table, counted per facet."""
+    p = parser.parse(query)
+    words = sorted({w for w in p.query_words if w.upper() not in parser.OPERATORS})
+    present = ", ".join(f"'{t}'" for t in words)
+    return (
+        "WITH "
+        + _agg_ctes(stem_values)
+        + f""",
+match AS (SELECT DISTINCT doc_id FROM agg WHERE term IN ({present})),
+fac AS (SELECT doc_id, {FACET_RULE_SQL} AS facet FROM docs)
+SELECT facet, count(*)::BIGINT AS n_docs
+FROM match JOIN fac USING (doc_id)
+GROUP BY facet ORDER BY n_docs DESC, facet ASC"""
+    )
+
+
 def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
     """The 5 flagship oracle SQL strings for the given corpus. Raises if
     the corpus is unreadable (callers treat that as 'no oracle')."""
@@ -581,4 +712,8 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         # block-max WAND BM25 is rank+score identical to the exact BM25
         # plan (tests/test_bm25.py) — same oracle
         "search_bm25_wand_topk": bm25,
+        "search_prefix_topk": prefix_topk_sql(sv),
+        "search_fuzzy_topk": fuzzy_topk_sql(sv),
+        "suggest_terms": suggest_terms_sql(sv),
+        "facet_counts": facet_counts_sql(sv),
     }

@@ -33,16 +33,50 @@ if _ROOT not in sys.path:
 
 import argparse
 import json
+import re
 import sys
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+# `pre*` (prefix) or `word~1` / `word~2` (fuzzy) — one bare term only;
+# anything else goes through the reference parser unchanged
+_MULTITERM_RE = re.compile(r"([a-z0-9]+)(?:(\*)|~([12]))")
+
+
 def make_handler(engine):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _suggest(self, u) -> None:
+            """GET /suggest?prefix=...&k=... — server-side query
+            suggestions from the corpus vocabulary (the reference client
+            suggests from one browser's localStorage history; a
+            multi-user deployment needs them server-derived)."""
+            q = parse_qs(u.query)
+            prefix = (q.get("prefix") or [""])[0].strip().lower()
+            if not prefix:
+                self._json(400, {"error": "empty prefix"})
+                return
+            try:
+                k = int((q.get("k") or ["8"])[0])
+            except ValueError:
+                self._json(400, {"error": "k must be an integer"})
+                return
+            k = min(max(1, k), 100)
+            t0 = time.time()
+            rows = engine.suggest_terms_df(prefix, k=k).collect()
+            self._json(
+                200,
+                {
+                    "suggestions": [
+                        {"term": r.term, "df": r.df} for r in rows
+                    ],
+                    "totalTime": int((time.time() - t0) * 1000),
+                },
+            )
 
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -54,6 +88,9 @@ def make_handler(engine):
 
         def do_GET(self):
             u = urlparse(self.path)
+            if u.path == "/suggest":
+                self._suggest(u)
+                return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})
                 return
@@ -78,7 +115,26 @@ def make_handler(engine):
                 self._json(400, {"error": "scorer must be reference|bm25"})
                 return
             t0 = time.time()
-            if scorer == "bm25":
+            # Lucene-style multi-term syntax, resolved at the serve layer
+            # (the reference parser has no wildcards): `pre*` = prefix
+            # expansion, `word~d` = fuzzy with edit distance d in {1,2}.
+            # Expanded queries score as bag-of-words (engine rewrite) and
+            # return the doc_id/score shape like the bm25 scorer.
+            mt = _MULTITERM_RE.fullmatch(query.strip())
+            if mt is not None:
+                word, wild, dist = mt.group(1), mt.group(2), mt.group(3)
+                if wild:
+                    df = engine.search_prefix_df(word, k=page * size)
+                else:
+                    df = engine.search_fuzzy_df(
+                        word, k=page * size, max_dist=int(dist)
+                    )
+                rows = [
+                    {"url": r.doc_id, "score": r.score, "title": "",
+                     "snippet": ""}
+                    for r in df.collect()
+                ]
+            elif scorer == "bm25":
                 # standard Okapi BM25 (extension scorer; no snippet path —
                 # results carry doc_id/score only, url == doc_id shape)
                 got = engine.search_bm25_df(query, k=page * size).collect()

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from apt_search_engine_spark.config import (
+    DEFAULT_MAX_EXPANSIONS,
     DEFAULT_TOP_K,
     N_TERM_BUCKETS,
     idf_numerator,
@@ -929,6 +930,158 @@ class SearchEngine:
         if not words:
             return self._empty_results()
         return self._score(filtered, words, gate, k, dedup_by_url=dedup_by_url)
+
+    # ------------------------------------------------- multi-term rewrite
+    def _lexicon_src(self) -> DataFrame:
+        """The full (term, df) lexicon frame — vocab-sized, NOT postings-
+        sized: at 10^12 turns the vocabulary is O(10^7-10^8) rows, a cheap
+        columnar scan. Prefix/fuzzy expansion cannot bucket-prune (buckets
+        are term hashes), so it pays exactly this one scan."""
+        if self._lexicon_df is not None:
+            return self._lexicon_df
+        return self._read(self.lexicon_path)
+
+    def _cache_dfs(self, rows) -> list[str]:
+        terms = []
+        for r in rows:
+            self._df_cache[r.term] = int(r.df)
+            terms.append(r.term)
+        return terms
+
+    def expand_prefix(
+        self, prefix: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+    ) -> list[str]:
+        """Lucene-style prefix (wildcard `pre*`) expansion against the
+        stored vocabulary: every indexed term starting with `prefix`,
+        capped deterministically at `max_expansions` by (df DESC, term
+        ASC) — the highest-df expansions win, mirroring Lucene's
+        TopTermsRewrite. The prefix is matched verbatim against the
+        (stemmed) lexicon — multi-term queries skip analysis, as in
+        Lucene's MultiTermQuery. Collect is bounded by max_expansions."""
+        if not prefix:
+            return []
+        rows = (
+            self._lexicon_src()
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term", "df")
+            .collect()
+        )
+        return self._cache_dfs(rows)
+
+    def expand_fuzzy(
+        self,
+        word: str,
+        max_dist: int = 1,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> list[str]:
+        """Fuzzy (edit-distance) expansion: every indexed term within
+        Levenshtein distance `max_dist` of `word`, capped at
+        `max_expansions` by (distance ASC, df DESC, term ASC) — closest
+        matches first, ties broken toward frequent terms (Lucene
+        FuzzyQuery's TopTermsBlendedFreqScoringRewrite ordering, minus
+        the blending). Distance runs JVM-side (F.levenshtein) over the
+        vocab-sized lexicon scan."""
+        if not word:
+            return []
+        dist = F.levenshtein(F.col("term"), F.lit(word))
+        rows = (
+            self._lexicon_src()
+            .withColumn("dist", dist)
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term", "df")
+            .collect()
+        )
+        return self._cache_dfs(rows)
+
+    def search_prefix_df(
+        self,
+        prefix: str,
+        k: int = DEFAULT_TOP_K,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """Prefix query `pre*` as a scoring-boolean rewrite: expand
+        against the lexicon, then rank the expansion exactly like a
+        bag-of-words OR query (each expanded term multiplicity 1, true
+        build-time df, no gate) — the reference scorer applied to a
+        server-derived term set. The distributed plan is identical in
+        shape to the normal path: bucket-pruned postings scan over <=
+        max_expansions terms."""
+        self._ensure_fresh()
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self._empty_results()
+        return self._score(
+            self._exploded(terms, with_df=True), sorted(terms), None, k
+        )
+
+    def search_fuzzy_df(
+        self,
+        word: str,
+        k: int = DEFAULT_TOP_K,
+        max_dist: int = 1,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """Fuzzy query `word~max_dist`: Levenshtein expansion against the
+        lexicon, ranked as a bag-of-words OR query over the expansion —
+        same scoring-boolean rewrite as search_prefix_df."""
+        self._ensure_fresh()
+        terms = self.expand_fuzzy(word, max_dist, max_expansions)
+        if not terms:
+            return self._empty_results()
+        return self._score(
+            self._exploded(terms, with_df=True), sorted(terms), None, k
+        )
+
+    def suggest_terms_df(
+        self, prefix: str, k: int = DEFAULT_TOP_K
+    ) -> DataFrame:
+        """Server-side query suggestions: the k highest-df indexed terms
+        starting with `prefix`, as (term, df) — the reference ships
+        suggestions client-side over localStorage history (SURVEY §2);
+        this is the server-side equivalent a multi-user deployment needs,
+        computed from the corpus vocabulary instead of one browser's
+        history. Fully declarative: one lexicon scan -> TakeOrdered(k)."""
+        self._ensure_fresh()
+        if not prefix:
+            return self.spark.createDataFrame([], "term string, df long")
+        return (
+            self._lexicon_src()
+            .filter(F.col("term").startswith(prefix))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
+    def facet_counts_df(self, query: str, facets: DataFrame) -> DataFrame:
+        """Facet counts over the query's OR match set: for each value of
+        `facets` (a (doc_id, facet) table — language, source, date
+        bucket, ...), the number of distinct matching non-deleted docs,
+        as (facet, n_docs) ordered by count DESC. Match set = docs with
+        >= 1 posting of any query word (pure boolean OR — the candidate
+        semantics of P3, before scoring). Plan shape at scale: bucket-
+        pruned postings scan -> distinct doc keys (match-set-sized) ->
+        hash join with the facet table on doc_id -> tiny groupBy."""
+        self._ensure_fresh()
+        parsed = parser.parse(query)
+        words = sorted(
+            {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+        )
+        if not words:
+            return self.spark.createDataFrame([], "facet string, n_docs long")
+        key = self._key()
+        docs = self._exploded(words).select(key).distinct()
+        if key == "doc_ord":
+            docs = docs.join(self._doc_map(), "doc_ord").select("doc_id")
+        return (
+            docs.join(facets.select("doc_id", "facet"), "doc_id")
+            .groupBy("facet")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("facet"))
+        )
 
     def search_bm25_df(
         self,

@@ -1,0 +1,183 @@
+"""Multi-term rewrite (prefix / fuzzy), server-side suggestions, facet
+counts — parity vs an independent in-test expansion over the pure-Python
+oracle's inverted index, plus cap-determinism and empty-expansion shape
+invariants.
+
+Reference context: the reference engine has no multi-term queries (its
+client suggests from localStorage history only); these are the standard
+fulltext-index extensions (Lucene MultiTermQuery / FuzzyQuery /
+faceting) re-expressed over the lexicon + postings layout. Scoring of an
+expansion is the reference's own bag-of-words scorer (R1-R5) applied to
+a server-derived term set, so parity reuses OracleEngine._rank_normal.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _levenshtein(a: str, b: str) -> int:
+    # plain unweighted edit distance (== Spark F.levenshtein / DuckDB
+    # levenshtein), small-vocab test-side recompute
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _oracle_prefix_expansion(oracle, prefix: str, max_exp: int) -> list[str]:
+    cand = [
+        (t, len(docs))
+        for t, docs in oracle.inverted.items()
+        if t.startswith(prefix)
+    ]
+    cand.sort(key=lambda td: (-td[1], td[0]))
+    return [t for t, _ in cand[:max_exp]]
+
+
+def _oracle_fuzzy_expansion(
+    oracle, word: str, max_dist: int, max_exp: int
+) -> list[str]:
+    cand = [
+        (t, _levenshtein(t, word), len(docs))
+        for t, docs in oracle.inverted.items()
+    ]
+    cand = [(t, d, df) for t, d, df in cand if d <= max_dist]
+    cand.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return [t for t, _, _ in cand[:max_exp]]
+
+
+def _oracle_bag_topk(oracle, terms: list[str], k: int = 10):
+    scores = oracle._rank_normal(oracle._docs_for_words(sorted(set(terms))))
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.fixture(scope="module")
+def prefix(oracle):
+    """A prefix matching >= 3 vocabulary stems (picked from the corpus so
+    the test survives vocab regeneration)."""
+    from collections import Counter
+
+    c = Counter(t[:2] for t in oracle.inverted)
+    p, n = c.most_common(1)[0]
+    assert n >= 3, "test corpus vocabulary too small for a prefix test"
+    return p
+
+
+def _assert_rank_identical(got_rows, want_pairs):
+    assert [r.doc_id for r in got_rows] == [d for d, _ in want_pairs]
+    for r, (_, s) in zip(got_rows, want_pairs):
+        assert r.score == pytest.approx(s, rel=1e-9)
+
+
+def test_expand_prefix_matches_oracle_order(engine, oracle, prefix):
+    want_all = _oracle_prefix_expansion(oracle, prefix, 10**6)
+    assert engine.expand_prefix(prefix, max_expansions=10**6) == want_all
+    # the deterministic cap keeps the highest-df expansions
+    cap = max(1, len(want_all) - 1)
+    assert engine.expand_prefix(prefix, max_expansions=cap) == want_all[:cap]
+
+
+def test_prefix_topk_parity(engine, oracle, prefix):
+    for cap in (10**6, 2):
+        got = engine.search_prefix_df(prefix, k=10, max_expansions=cap).collect()
+        want = _oracle_bag_topk(
+            oracle, _oracle_prefix_expansion(oracle, prefix, cap)
+        )
+        _assert_rank_identical(got, want)
+    assert got, "vacuous prefix parity (no hits)"
+
+
+def test_fuzzy_expansion_and_topk_parity(engine, oracle):
+    # mutate a real vocabulary term so distance-1 matches exist
+    base = sorted(oracle.inverted)[len(oracle.inverted) // 2]
+    word = ("z" + base[1:]) if len(base) > 2 else base + "z"
+    want_terms = _oracle_fuzzy_expansion(oracle, word, 1, 50)
+    assert want_terms, "mutation produced no distance-1 neighbors"
+    assert engine.expand_fuzzy(word, max_dist=1, max_expansions=50) == want_terms
+    got = engine.search_fuzzy_df(word, k=10, max_dist=1).collect()
+    _assert_rank_identical(got, _oracle_bag_topk(oracle, want_terms))
+    assert got
+
+
+def test_fuzzy_distance_zero_equals_exact_term(engine, oracle):
+    term = max(oracle.inverted, key=lambda t: (len(oracle.inverted[t]), t))
+    assert engine.expand_fuzzy(term, max_dist=0) == [term]
+
+
+def test_no_match_returns_empty_with_schema(engine):
+    got = engine.search_prefix_df("zzzznope")
+    assert got.columns == ["doc_id", "score"] and got.count() == 0
+    got = engine.search_fuzzy_df("zzzzzzzzzzzznope", max_dist=1)
+    assert got.columns == ["doc_id", "score"] and got.count() == 0
+    assert engine.suggest_terms_df("").count() == 0
+    assert engine.expand_prefix("") == []
+
+
+def test_suggest_terms(engine, oracle, prefix):
+    want = [
+        (t, len(oracle.inverted[t]))
+        for t in _oracle_prefix_expansion(oracle, prefix, 3)
+    ]
+    got = engine.suggest_terms_df(prefix, k=3)
+    assert [tuple(r) for r in got.collect()] == want
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "string",
+        "bigint",
+    ]
+
+
+def test_facet_counts(spark, engine, oracle):
+    from pyspark.sql import functions as F
+
+    # deterministic facet over the full doc registry (doc_map covers
+    # every doc, including empty ones)
+    facets = engine._doc_map().select(
+        "doc_id", F.substring(F.md5("doc_id"), 1, 1).alias("facet")
+    )
+    query = "travel guide"
+    got = {
+        (r.facet, r.n_docs)
+        for r in engine.facet_counts_df(query, facets).collect()
+    }
+    # brute-force expectation: OR match set from the oracle's inverted
+    # index, facet rule recomputed with hashlib
+    import hashlib
+    from collections import Counter
+
+    from apt_search_engine_spark.query import parser
+
+    p = parser.parse(query)
+    words = {w for w in p.query_words if w.upper() not in parser.OPERATORS}
+    match = set()
+    for w in words:
+        match |= set(oracle.inverted.get(w, {}))
+    assert match, "vacuous facet test"
+    want = Counter(
+        hashlib.md5(d.encode()).hexdigest()[0] for d in sorted(match)
+    )
+    assert got == {(f, n) for f, n in want.items()}
+
+
+def test_facet_counts_excludes_deleted(spark, index_dir, oracle):
+    from pyspark.sql import functions as F
+
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    query = "travel guide"
+    words = {"travel", "guid"} & set(oracle.inverted)
+    match = set()
+    for w in words:
+        match |= set(oracle.inverted.get(w, {}))
+    victim = sorted(match)[0]
+    eng = SearchEngine(spark, index_dir, deleted_ids=[victim])
+    facets = eng._doc_map().select(
+        "doc_id", F.lit("all").alias("facet")
+    )
+    n = {r.facet: r.n_docs for r in eng.facet_counts_df(query, facets).collect()}
+    assert n == {"all": len(match) - 1}

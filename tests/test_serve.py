@@ -114,3 +114,56 @@ def test_search_endpoint_contract(engine):
             assert e.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_suggest_and_multiterm_endpoints(engine, oracle):
+    """GET /suggest returns vocabulary-derived completions; `pre*` and
+    `word~1` query syntax routes to the prefix/fuzzy rewrite."""
+    import urllib.error
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        prefix = "tra"  # travel/transcript family in the seeded vocab
+        status, body = _get(
+            f"http://127.0.0.1:{port}/suggest?prefix={prefix}&k=5"
+        )
+        assert status == 200
+        terms = [s["term"] for s in body["suggestions"]]
+        assert terms and all(t.startswith(prefix) for t in terms)
+        dfs = [s["df"] for s in body["suggestions"]]
+        assert dfs == sorted(dfs, reverse=True)
+        # server-computed suggestions match the oracle's inverted index
+        want = sorted(
+            ((t, len(d)) for t, d in oracle.inverted.items()
+             if t.startswith(prefix)),
+            key=lambda td: (-td[1], td[0]),
+        )[:5]
+        assert [(s["term"], s["df"]) for s in body["suggestions"]] == want
+        # empty prefix is a 400
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/suggest?prefix=", timeout=60
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # `pre*` routes to the prefix rewrite (same envelope)
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query=tra*&size=5"
+        )
+        assert status == 200 and 0 < len(body["results"]) <= 5
+        scores = [r["score"] for r in body["results"]]
+        assert scores == sorted(scores, reverse=True)
+        # `word~1` routes to the fuzzy rewrite; 'gravel' ~1 'travel'
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query=gravel~1&size=5"
+        )
+        assert status == 200 and body["results"]
+    finally:
+        httpd.shutdown()
