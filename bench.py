@@ -129,6 +129,16 @@ def main() -> None:
                 ),
                 3,
             )
+        # prefix multi-term rewrite: lexicon expansion (vocab-sized scan,
+        # driver-capped) + bag-of-words scoring of the expansion
+        if hasattr(engine, "search_prefix_df"):
+            queries["q_prefix"] = round(
+                _time(
+                    lambda: engine.search_prefix_df("tra", k=10).collect(),
+                    repeat=3,
+                ),
+                3,
+            )
         # batched multi-query BM25: 4 queries in ONE shared-scan job —
         # the query-THROUGHPUT path; compare against 4x q_bm25
         if hasattr(engine, "search_bm25_batch_df"):

@@ -131,3 +131,29 @@ def test_translated_topk_is_a_point_lookup(engine):
     dm = [ln for ln in scans if "/doc_map" in ln]
     assert len(dm) == 1, plan
     assert "In(doc_ord" in dm[0] or "doc_ord" in dm[0], dm[0]
+
+
+def test_multiterm_plans_stay_jvm_side(engine):
+    """Prefix/fuzzy expansion and scoring, suggestions, and facet counts
+    never leave the JVM (no row-at-a-time or Arrow Python eval), the
+    expansion reads the lexicon (not postings), and the rewrite's scoring
+    plan reads postings exactly once like the normal path."""
+    terms = engine.expand_prefix("tra", max_expansions=8)
+    assert terms
+    scans = _postings_scans(engine._exploded(sorted(terms), with_df=True))
+    assert len(scans) == 1, "\n".join(scans)
+
+    from pyspark.sql import functions as F
+
+    sugg = engine.suggest_terms_df("tra", k=5)
+    facets = engine._doc_map().select(
+        "doc_id", F.substring(F.md5("doc_id"), 1, 1).alias("facet")
+    )
+    fc = engine.facet_counts_df("travel guide", facets)
+    for df in (sugg, fc):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # suggestions: one lexicon scan, bounded top-k (never a global sort)
+    splan = sugg._jdf.queryExecution().executedPlan().toString()
+    assert "/lexicon" in splan and "/postings" not in splan, splan
+    assert "TakeOrderedAndProject" in splan, splan
