@@ -1797,9 +1797,16 @@ class IndexBuilder:
 
         def _lexicon_job():
             # lexicon from flat (term column only — never re-scans the
-            # written nested arrays)
+            # written nested arrays). Term-sorted within each written
+            # file so parquet row-group min/max statistics carry tight
+            # term ranges: prefix scans (StringStartsWith pushdown) and
+            # point lookups skip row groups instead of reading every
+            # bucket file end-to-end — the lexicon analogue of the
+            # ordinal-ordered doc_map point-lookup trick.
             tp = time.time()
-            build_lexicon_from_flat(flat).write.mode("overwrite").partitionBy(
+            build_lexicon_from_flat(flat).sortWithinPartitions(
+                "term_bucket", "term"
+            ).write.mode("overwrite").partitionBy(
                 "term_bucket"
             ).parquet(self.lexicon_dir)
             self._phase("lexicon", tp)

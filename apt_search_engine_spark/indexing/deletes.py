@@ -215,9 +215,10 @@ def purge_deleted(
     # lexicon/blocks derive from the staged postings BEFORE any swap —
     # nothing live is disturbed until everything new exists on disk
     lex_new = os.path.join(index_dir, f"lexicon__new_{uuid.uuid4().hex[:6]}")
-    build_lexicon(staged).write.mode("overwrite").partitionBy(
-        "term_bucket"
-    ).parquet(lex_new)
+    # term-sorted within files like the batch build (row-group stats)
+    build_lexicon(staged).sortWithinPartitions(
+        "term_bucket", "term"
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(lex_new)
     blk_new = None
     if with_blocks:
         blk_new = os.path.join(index_dir, f"blocks__new_{uuid.uuid4().hex[:6]}")

@@ -124,16 +124,14 @@ def make_handler(engine):
             if mt is not None:
                 word, wild, dist = mt.group(1), mt.group(2), mt.group(3)
                 if wild:
-                    df = engine.search_prefix_df(word, k=page * size)
-                else:
-                    df = engine.search_fuzzy_df(
-                        word, k=page * size, max_dist=int(dist)
+                    rows = engine.search_prefix(
+                        word, k=page * size, with_snippets=True
                     )
-                rows = [
-                    {"url": r.doc_id, "score": r.score, "title": "",
-                     "snippet": ""}
-                    for r in df.collect()
-                ]
+                else:
+                    rows = engine.search_fuzzy(
+                        word, k=page * size, max_dist=int(dist),
+                        with_snippets=True,
+                    )
             elif scorer == "bm25":
                 # standard Okapi BM25 (extension scorer; no snippet path —
                 # results carry doc_id/score only, url == doc_id shape)

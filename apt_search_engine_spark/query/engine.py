@@ -986,8 +986,17 @@ class SearchEngine:
         if not word:
             return []
         dist = F.levenshtein(F.col("term"), F.lit(word))
+        # necessary condition precomputed from cheap column stats: a term
+        # within edit distance d differs in length by at most d — the
+        # length band prunes the vocabulary before any DP runs (Lucene
+        # uses a Levenshtein automaton; the band is the cheap declarative
+        # subset of that and costs one codegen'd comparison per row)
+        band = (
+            F.abs(F.length("term") - F.lit(len(word))) <= F.lit(max_dist)
+        )
         rows = (
             self._lexicon_src()
+            .filter(band)
             .withColumn("dist", dist)
             .filter(F.col("dist") <= max_dist)
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
@@ -1390,6 +1399,55 @@ class SearchEngine:
         rows only, off the hot path — SURVEY.md R9)."""
         self._ensure_fresh()
         top = self.search_df(query, k).collect()
+        parsed = parser.parse(query)
+        if parsed.qtype in ("phrase", "phrase+boolean"):
+            snippet_words = parsed.scoring_words
+        else:
+            snippet_words = parsed.segments  # raw segments (Ranker.java:202)
+        return self._assemble(top, snippet_words, with_snippets)
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = DEFAULT_TOP_K,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+        with_snippets: bool = True,
+    ) -> list[dict]:
+        """Full-response prefix search: the prefix rewrite's top-k with
+        the same metadata + snippet assembly as search(); expanded terms
+        highlight in snippets."""
+        self._ensure_fresh()
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return []
+        top = self._score(
+            self._exploded(terms, with_df=True), sorted(terms), None, k
+        ).collect()
+        return self._assemble(top, terms, with_snippets)
+
+    def search_fuzzy(
+        self,
+        word: str,
+        k: int = DEFAULT_TOP_K,
+        max_dist: int = 1,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+        with_snippets: bool = True,
+    ) -> list[dict]:
+        """Full-response fuzzy search (see search_prefix)."""
+        self._ensure_fresh()
+        terms = self.expand_fuzzy(word, max_dist, max_expansions)
+        if not terms:
+            return []
+        top = self._score(
+            self._exploded(terms, with_df=True), sorted(terms), None, k
+        ).collect()
+        return self._assemble(top, terms, with_snippets)
+
+    def _assemble(
+        self, top, snippet_words: list[str], with_snippets: bool
+    ) -> list[dict]:
+        """Metadata join + snippet pick for <=k collected (doc_id, score)
+        rows — driver-side on k rows only (R9/P8)."""
         ids = [r.doc_id for r in top]
         meta = {}
         if ids and self.doc_meta_path is not None:
@@ -1399,11 +1457,6 @@ class SearchEngine:
                 .collect()
             )
             meta = {r.doc_id: r for r in meta_rows}
-        parsed = parser.parse(query)
-        if parsed.qtype in ("phrase", "phrase+boolean"):
-            snippet_words = parsed.scoring_words
-        else:
-            snippet_words = parsed.segments  # raw segments (Ranker.java:202)
         out = []
         for r in top:
             m = meta.get(r.doc_id)

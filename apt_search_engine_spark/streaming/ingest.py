@@ -458,9 +458,11 @@ def compact(
         .select("term", "df", "term_bucket")
     )
     lex_new = os.path.join(index_dir, f"lexicon__new_{cid}")
-    merged_lex.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        lex_new
-    )
+    # term-sorted within files like the batch build: row-group min/max
+    # stays tight for prefix scans / point lookups after every increment
+    merged_lex.sortWithinPartitions("term_bucket", "term").write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(lex_new)
     n_delta_rows = flat.count()
     if fail_at == "staged":
         raise RuntimeError("injected crash: after staging")

@@ -181,3 +181,17 @@ def test_facet_counts_excludes_deleted(spark, index_dir, oracle):
     )
     n = {r.facet: r.n_docs for r in eng.facet_counts_df(query, facets).collect()}
     assert n == {"all": len(match) - 1}
+
+
+def test_search_prefix_full_response(engine, oracle, prefix):
+    rows = engine.search_prefix(prefix, k=5, with_snippets=True)
+    assert rows and len(rows) <= 5
+    want = _oracle_bag_topk(
+        oracle, _oracle_prefix_expansion(oracle, prefix, 50), k=5
+    )
+    assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+    for r in rows:
+        assert set(r) == {"doc_id", "url", "score", "title", "snippet"}
+        # at least one expanded term highlighted somewhere in the top-k
+    assert any("<b>" in r["snippet"] for r in rows)
+    assert engine.search_prefix("zzzznope") == []

@@ -153,7 +153,10 @@ def test_multiterm_plans_stay_jvm_side(engine):
     for df in (sugg, fc):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    # suggestions: one lexicon scan, bounded top-k (never a global sort)
+    # suggestions: one lexicon scan, bounded top-k (never a global sort),
+    # and the prefix is PUSHED to the scan — with the term-sorted lexicon
+    # files this is row-group skipping, not a full vocabulary read
     splan = sugg._jdf.queryExecution().executedPlan().toString()
     assert "/lexicon" in splan and "/postings" not in splan, splan
     assert "TakeOrderedAndProject" in splan, splan
+    assert "StringStartsWith(term,tra)" in splan, splan
