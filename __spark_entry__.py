@@ -286,6 +286,17 @@ def _facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.facet_counts_df("table scan query", facets)
 
 
+def _match_count_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Exact total match count (reference totalCount = full ranked list
+    size; engine.match_count_df) — 1-row (n_matches) aggregate, no
+    sort/limit, phrase gate/candidate semantics included."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine_over(spark, sf_dir).match_count_df(query)
+
+    return run
+
+
 def _bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k (engine.search_bm25_df): the standard scorer over
     the same index — true lexicon df, raw occurrence counts, doc_len
@@ -629,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_fuzzy_topk"] = _fuzzy_q
     q["suggest_terms"] = _suggest_q
     q["facet_counts"] = _facet_q
+    q["search_match_count"] = _match_count_q("table scan query")
+    q["search_phrase_match_count"] = _match_count_q('"table hash"')
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

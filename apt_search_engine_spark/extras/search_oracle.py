@@ -653,6 +653,39 @@ def fuzzy_topk_sql(
     )
 
 
+def match_count_sql(stem_values: str, query: str = NORMAL_QUERY) -> str:
+    """Exact total match count (engine.match_count_df): the size of the
+    FULL ranked list the reference returns (SearchController
+    totalCount) — count of docs with nonzero score under the query's
+    plan, phrase gate/candidate semantics included."""
+    p = parser.parse(query)
+    if p.qtype == "phrase":
+        terms = p.query_words
+        distinct = sorted(set(terms))
+        present = ", ".join(f"'{t}'" for t in distinct)
+        filtered = (
+            _phrase_cand_cte(terms)
+            + f",\nfp AS (SELECT w.* FROM w JOIN cand USING (doc_id)"
+            f" WHERE w.term IN ({present}))"
+        )
+        words = p.scoring_words
+        gate = words[0] if words else None
+    else:
+        words = sorted(
+            {w for w in p.query_words if w.upper() not in parser.OPERATORS}
+        )
+        present = ", ".join(f"'{t}'" for t in words)
+        filtered = f"fp AS (SELECT * FROM w WHERE term IN ({present}))"
+        gate = None
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, words, gate=gate, k=1)
+        + "\nSELECT count(*)::BIGINT AS n_matches FROM scored WHERE score <> 0.0"
+    )
+
+
 def suggest_terms_sql(
     stem_values: str, prefix: str = PREFIX_QUERY, k: int = SUGGEST_K
 ) -> str:
@@ -716,4 +749,6 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "search_fuzzy_topk": fuzzy_topk_sql(sv),
         "suggest_terms": suggest_terms_sql(sv),
         "facet_counts": facet_counts_sql(sv),
+        "search_match_count": match_count_sql(sv, NORMAL_QUERY),
+        "search_phrase_match_count": match_count_sql(sv, PHRASE_QUERY),
     }

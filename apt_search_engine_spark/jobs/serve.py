@@ -114,6 +114,10 @@ def make_handler(engine):
             if scorer not in ("reference", "bm25"):
                 self._json(400, {"error": "scorer must be reference|bm25"})
                 return
+            # count=exact adds the reference's true totalCount (full
+            # ranked-list size) as `totalMatches` — an extra aggregate
+            # job, so opt-in per request
+            want_exact_count = (q.get("count") or [""])[0] == "exact"
             t0 = time.time()
             # Lucene-style multi-term syntax, resolved at the serve layer
             # (the reference parser has no wildcards): `pre*` = prefix
@@ -144,22 +148,25 @@ def make_handler(engine):
             else:
                 rows = engine.search(query, k=page * size, with_snippets=True)
             sliced = rows[(page - 1) * size : page * size]
-            self._json(
-                200,
-                {
-                    "results": [
-                        {
-                            "url": r["url"],
-                            "score": r["score"],
-                            "title": r["title"],
-                            "snippet": r["snippet"],
-                        }
-                        for r in sliced
-                    ],
-                    "totalCount": len(rows),
-                    "totalTime": int((time.time() - t0) * 1000),
-                },
-            )
+            resp = {
+                "results": [
+                    {
+                        "url": r["url"],
+                        "score": r["score"],
+                        "title": r["title"],
+                        "snippet": r["snippet"],
+                    }
+                    for r in sliced
+                ],
+                "totalCount": len(rows),
+                "totalTime": int((time.time() - t0) * 1000),
+            }
+            if want_exact_count and mt is None and scorer == "reference":
+                resp["totalMatches"] = int(
+                    engine.match_count_df(query).collect()[0].n_matches
+                )
+                resp["totalTime"] = int((time.time() - t0) * 1000)
+            self._json(200, resp)
 
     return Handler
 

@@ -734,6 +734,7 @@ class SearchEngine:
         gate_word: str | None,
         k: int,
         dedup_by_url: bool = False,
+        count_only: bool = False,
     ) -> DataFrame:
         """Score the final filtered postings. df per term = filtered map
         size (quirk Q12); duplicate scoring words multiply; optional
@@ -823,6 +824,12 @@ class SearchEngine:
             .filter(F.col("score") != 0.0)
             .select(key, "score")
         )
+        if count_only:
+            # the reference's totalCount (results.size()) without the
+            # sort/limit or the doc_map translation
+            return scored.agg(
+                F.count("*").cast("long").alias("n_matches")
+            )
         topk = scored.orderBy(F.desc("score"), F.asc(key)).limit(k)
         if key == "doc_id":
             return topk
@@ -912,7 +919,14 @@ class SearchEngine:
         doc_id (reference R10: docs sharing a URL merge scores) and the
         result schema is (url, score)."""
         self._ensure_fresh()
-        parsed = parser.parse(query)
+        filtered, words, gate = self._filtered_plan(parser.parse(query))
+        if not words:
+            return self._empty_results()
+        return self._score(filtered, words, gate, k, dedup_by_url=dedup_by_url)
+
+    def _filtered_plan(self, parsed):
+        """The query-type dispatch shared by search_df and
+        match_count_df: (filtered postings plan, scoring words, gate)."""
         if parsed.qtype == "phrase":
             filtered = self._phrase_filtered(parsed.query_words)
             words = parsed.scoring_words
@@ -927,9 +941,21 @@ class SearchEngine:
             )
             filtered = self._exploded(words, with_df=True)
             gate = None
+        return filtered, words, gate
+
+    def match_count_df(self, query: str) -> DataFrame:
+        """Exact total match count for `query` as a 1-row (n_matches)
+        frame — the size of the FULL ranked list the reference returns
+        (SearchController totalCount; we keep top-k server-side, the P9
+        documented deviation, so the exact count is exposed as its own
+        aggregate). Same retrieval plan as search_df with the sort/limit
+        replaced by one count — no ordering cost, no result
+        materialization."""
+        self._ensure_fresh()
+        filtered, words, gate = self._filtered_plan(parser.parse(query))
         if not words:
-            return self._empty_results()
-        return self._score(filtered, words, gate, k, dedup_by_url=dedup_by_url)
+            return self.spark.createDataFrame([(0,)], "n_matches long")
+        return self._score(filtered, words, gate, k=0, count_only=True)
 
     # ------------------------------------------------- multi-term rewrite
     def _lexicon_src(self) -> DataFrame:

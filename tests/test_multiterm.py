@@ -195,3 +195,25 @@ def test_search_prefix_full_response(engine, oracle, prefix):
         # at least one expanded term highlighted somewhere in the top-k
     assert any("<b>" in r["snippet"] for r in rows)
     assert engine.search_prefix("zzzznope") == []
+
+
+def test_match_count_equals_full_oracle_list(engine, oracle):
+    """match_count_df == size of the FULL ranked list the reference
+    returns (totalCount), on normal and phrase plans."""
+    for query in ("travel guide", '"travel guide"', "zzznope"):
+        got = engine.match_count_df(query).collect()
+        assert len(got) == 1
+        want = len(oracle.search(query, k=10**9))
+        assert got[0].n_matches == want, query
+    # deleted docs leave the count (delete-before-purge)
+    victim = next(iter(oracle.inverted["travel"]))
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    eng2 = SearchEngine(
+        engine.spark, engine.index_dir, deleted_ids=[victim]
+    )
+    base = engine.match_count_df("travel guide").collect()[0].n_matches
+    assert (
+        eng2.match_count_df("travel guide").collect()[0].n_matches
+        == base - 1
+    )

@@ -167,3 +167,28 @@ def test_suggest_and_multiterm_endpoints(engine, oracle):
         assert status == 200 and body["results"]
     finally:
         httpd.shutdown()
+
+
+def test_exact_count_param(engine, oracle):
+    """`count=exact` adds the reference's true totalCount (full ranked
+    list size) as totalMatches."""
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query=travel%20guide&size=3"
+            "&count=exact"
+        )
+        assert status == 200
+        assert body["totalMatches"] == len(oracle.search("travel guide", k=10**9))
+        # absent without the param
+        _, body2 = _get(
+            f"http://127.0.0.1:{port}/search?query=travel%20guide&size=3"
+        )
+        assert "totalMatches" not in body2
+    finally:
+        httpd.shutdown()
