@@ -239,6 +239,23 @@ def _prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix rewrite on the block-max WAND hot path — rank+score
+    identical to the exact rewrite (shared oracle)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        PREFIX_MAX_EXPANSIONS,
+        PREFIX_QUERY,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_prefix_wand_df(
+            PREFIX_QUERY, k=10, max_expansions=PREFIX_MAX_EXPANSIONS
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (`sow~1`) multi-term rewrite: Levenshtein-1 lexicon
     expansion ({slow, row} on the sf0.01 vocabulary), scored as a
@@ -637,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_bm25_wand_topk"] = _bm25_wand_q
     q["search_bm25_batch_topk"] = _bm25_batch_q
     q["search_prefix_topk"] = _prefix_q
+    q["search_prefix_wand_topk"] = _prefix_wand_q
     q["search_fuzzy_topk"] = _fuzzy_q
     q["suggest_terms"] = _suggest_q
     q["facet_counts"] = _facet_q

@@ -746,6 +746,9 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         # plan (tests/test_bm25.py) — same oracle
         "search_bm25_wand_topk": bm25,
         "search_prefix_topk": prefix_topk_sql(sv),
+        # WAND over the expansion is rank+score identical to the exact
+        # rewrite (tests/test_multiterm.py) — same oracle
+        "search_prefix_wand_topk": prefix_topk_sql(sv),
         "search_fuzzy_topk": fuzzy_topk_sql(sv),
         "suggest_terms": suggest_terms_sql(sv),
         "facet_counts": facet_counts_sql(sv),

@@ -878,15 +878,25 @@ class SearchEngine:
         ):
             # no compressed companion (built with --no-blocks): exact plan
             return self.search_df(query, k)
-        from apt_search_engine_spark.query.wand import wand_topk
-
         words = [
             w for w in parsed.query_words if w.upper() not in parser.OPERATORS
         ]
+        return self._wand_topk_for_terms(words, k)
+
+    def _has_blocks(self) -> bool:
+        return self.index_dir is not None and os.path.isdir(
+            os.path.join(self.index_dir, "blocks")
+        )
+
+    def _wand_topk_for_terms(self, words: list[str], k: int) -> DataFrame:
+        """Block-max WAND over a bag of distinct terms (multiplicity 1 —
+        the exact normal path dedups words, so scores match it
+        bit-for-bit). Shared by the parsed normal path and the
+        prefix/fuzzy multi-term rewrite."""
+        from apt_search_engine_spark.query.wand import wand_topk
+
         if not words:
             return self._empty_results()
-        # the exact path scores each distinct word once (engine normal path
-        # dedups words), so multiplicity is 1
         term_mult = {w: 1 for w in words}
         buckets = sorted({self._bucket(t) for t in term_mult})
         blocks = (
@@ -1070,6 +1080,46 @@ class SearchEngine:
         return self._score(
             self._exploded(terms, with_df=True), sorted(terms), None, k
         )
+
+    def search_prefix_wand_df(
+        self,
+        prefix: str,
+        k: int = DEFAULT_TOP_K,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """Prefix rewrite on the block-max WAND hot path: the expansion
+        is a bag of distinct terms, exactly the shape the pruned scorer
+        serves — rank+score identical to search_prefix_df (the exact
+        plan), parity pinned in tests/test_multiterm.py. Falls back to
+        the exact plan without a blocks companion."""
+        self._ensure_fresh()
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self._empty_results()
+        if not self._has_blocks():
+            return self._score(
+                self._exploded(terms, with_df=True), sorted(terms), None, k
+            )
+        return self._wand_topk_for_terms(sorted(terms), k)
+
+    def search_fuzzy_wand_df(
+        self,
+        word: str,
+        k: int = DEFAULT_TOP_K,
+        max_dist: int = 1,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """Fuzzy rewrite on the block-max WAND hot path (see
+        search_prefix_wand_df)."""
+        self._ensure_fresh()
+        terms = self.expand_fuzzy(word, max_dist, max_expansions)
+        if not terms:
+            return self._empty_results()
+        if not self._has_blocks():
+            return self._score(
+                self._exploded(terms, with_df=True), sorted(terms), None, k
+            )
+        return self._wand_topk_for_terms(sorted(terms), k)
 
     def suggest_terms_df(
         self, prefix: str, k: int = DEFAULT_TOP_K

@@ -217,3 +217,22 @@ def test_match_count_equals_full_oracle_list(engine, oracle):
         eng2.match_count_df("travel guide").collect()[0].n_matches
         == base - 1
     )
+
+
+def test_prefix_fuzzy_wand_equal_exact(engine, oracle, prefix):
+    """The block-max WAND rewrite path is rank+score identical to the
+    exact rewrite plan (the shared-oracle contract)."""
+    exact = engine.search_prefix_df(prefix, k=10).collect()
+    wand = engine.search_prefix_wand_df(prefix, k=10).collect()
+    assert [r.doc_id for r in wand] == [r.doc_id for r in exact]
+    for w, e in zip(wand, exact):
+        assert w.score == pytest.approx(e.score, rel=1e-9)
+
+    base = sorted(oracle.inverted)[len(oracle.inverted) // 2]
+    word = ("z" + base[1:]) if len(base) > 2 else base + "z"
+    exact = engine.search_fuzzy_df(word, k=10, max_dist=1).collect()
+    wand = engine.search_fuzzy_wand_df(word, k=10, max_dist=1).collect()
+    assert [r.doc_id for r in wand] == [r.doc_id for r in exact]
+    for w, e in zip(wand, exact):
+        assert w.score == pytest.approx(e.score, rel=1e-9)
+    assert exact, "vacuous WAND-rewrite parity"
