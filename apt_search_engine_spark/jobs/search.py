@@ -56,6 +56,41 @@ def main(argv=None) -> int:
     spark = get_spark("aptse-search")
     engine = SearchEngine(spark, index_dir=args.index_dir)
     t0 = time.time()
+    # Lucene-style multi-term syntax (same rule as jobs/serve.py):
+    # `pre*` = prefix expansion, `word~1` / `word~2` = fuzzy
+    from apt_search_engine_spark.jobs.serve import _MULTITERM_RE
+
+    mt = _MULTITERM_RE.fullmatch(args.query.strip())
+    if mt is not None:
+        word, wild, dist = mt.group(1), mt.group(2), mt.group(3)
+        if args.no_snippets or args.exact:
+            if wild:
+                df = (
+                    engine.search_prefix_df(word, k=args.k)
+                    if args.exact
+                    else engine.search_prefix_wand_df(word, k=args.k)
+                )
+            else:
+                df = (
+                    engine.search_fuzzy_df(word, k=args.k, max_dist=int(dist))
+                    if args.exact
+                    else engine.search_fuzzy_wand_df(
+                        word, k=args.k, max_dist=int(dist)
+                    )
+                )
+            results = [
+                {"doc_id": r.doc_id, "score": r.score} for r in df.collect()
+            ]
+        elif wild:
+            results = engine.search_prefix(word, k=args.k, with_snippets=True)
+        else:
+            results = engine.search_fuzzy(
+                word, k=args.k, max_dist=int(dist), with_snippets=True
+            )
+        ms = int((time.time() - t0) * 1000)
+        print(json.dumps({"results": results, "totalCount": len(results),
+                          "totalTime": ms}))
+        return 0
     if args.scorer == "bm25":
         df = engine.search_bm25_df(args.query, k=args.k)
         results = [{"doc_id": r.doc_id, "score": r.score} for r in df.collect()]
