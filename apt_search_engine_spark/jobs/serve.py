@@ -118,6 +118,15 @@ def make_handler(engine):
             # ranked-list size) as `totalMatches` — an extra aggregate
             # job, so opt-in per request
             want_exact_count = (q.get("count") or [""])[0] == "exact"
+            # field=title|h1|h2|h3 restricts matching to a heading
+            # channel (engine.search_field: title = tool name, h1 = turn
+            # role under the fixture adapter)
+            field = (q.get("field") or [""])[0]
+            if field and field not in ("title", "h1", "h2", "h3"):
+                self._json(
+                    400, {"error": "field must be title|h1|h2|h3"}
+                )
+                return
             t0 = time.time()
             # Lucene-style multi-term syntax, resolved at the serve layer
             # (the reference parser has no wildcards): `pre*` = prefix
@@ -136,6 +145,10 @@ def make_handler(engine):
                         word, k=page * size, max_dist=int(dist),
                         with_snippets=True,
                     )
+            elif field:
+                rows = engine.search_field(
+                    field, query, k=page * size, with_snippets=True
+                )
             elif scorer == "bm25":
                 # standard Okapi BM25 (extension scorer; no snippet path —
                 # results carry doc_id/score only, url == doc_id shape)
@@ -161,7 +174,12 @@ def make_handler(engine):
                 "totalCount": len(rows),
                 "totalTime": int((time.time() - t0) * 1000),
             }
-            if want_exact_count and mt is None and scorer == "reference":
+            if (
+                want_exact_count
+                and mt is None
+                and not field
+                and scorer == "reference"
+            ):
                 resp["totalMatches"] = int(
                     engine.match_count_df(query).collect()[0].n_matches
                 )

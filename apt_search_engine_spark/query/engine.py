@@ -275,12 +275,21 @@ class SearchEngine:
         return "doc_id" if self._postings_df is not None else "doc_ord"
 
     # ------------------------------------------------------------------ P2
+    # heading-channel -> per-posting count array of the segment layout
+    _FIELD_COLS = {
+        "title": "n_titles",
+        "h1": "n_h1s",
+        "h2": "n_h2s",
+        "h3": "n_h3s",
+    }
+
     def _exploded(
         self,
         terms: list[str],
         with_df: bool = False,
         with_occ_dl: bool = False,
         with_positions: bool = False,
+        with_field: str | None = None,
     ) -> DataFrame:
         """Bucket-pruned scan of the distinct `terms`, exploded to
         (term, <key>, wtf[, positions_vb][, occ, dl][, df]) rows — <key>
@@ -334,6 +343,10 @@ class SearchEngine:
                 F.col("p.occs").alias("occ"),
                 F.col("p.dls").alias("dl"),
             ]
+        if with_field is not None:
+            fcol = self._FIELD_COLS[with_field]
+            zip_cols.append(fcol)
+            out_cols.append(F.col(f"p.{fcol}").alias("n_field"))
         df = src.select(
             "term", F.explode(F.arrays_zip(*zip_cols)).alias("p")
         ).select("term", *out_cols)
@@ -1081,6 +1094,38 @@ class SearchEngine:
             self._exploded(terms, with_df=True), sorted(terms), None, k
         )
 
+    def search_field_df(
+        self, field: str, query: str, k: int = DEFAULT_TOP_K
+    ) -> DataFrame:
+        """Fielded search `field:term...` over the heading channels the
+        reference's tag model stores (title = the transcript tool name,
+        h1 = the turn role under the fixture adapter; h2/h3 reserved):
+        every scoring term must have >= 1 occurrence TAGGED with the
+        channel in a doc for that doc to match (T6's substring-count tag
+        assignment decides what counts as 'in the field'). Postings are
+        restricted to n_<field> > 0 and df is recounted over the
+        restriction — the quirk-Q12 semantics the phrase path already
+        has — then the reference scorer runs unchanged. Plan shape ==
+        normal path plus one more small-int array zipped off the same
+        pruned segments (no extra scan)."""
+        if field not in self._FIELD_COLS:
+            raise ValueError(
+                f"field must be one of {sorted(self._FIELD_COLS)}"
+            )
+        self._ensure_fresh()
+        parsed = parser.parse(query)
+        words = sorted(
+            {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+        )
+        if not words:
+            return self._empty_results()
+        sp = (
+            self._exploded(words, with_field=field)
+            .filter(F.col("n_field") > 0)
+            .drop("n_field")
+        )
+        return self._score(sp, words, None, k)
+
     def search_prefix_wand_df(
         self,
         prefix: str,
@@ -1518,6 +1563,18 @@ class SearchEngine:
             self._exploded(terms, with_df=True), sorted(terms), None, k
         ).collect()
         return self._assemble(top, terms, with_snippets)
+
+    def search_field(
+        self,
+        field: str,
+        query: str,
+        k: int = DEFAULT_TOP_K,
+        with_snippets: bool = True,
+    ) -> list[dict]:
+        """Full-response fielded search (see search_field_df)."""
+        top = self.search_field_df(field, query, k).collect()
+        parsed = parser.parse(query)
+        return self._assemble(top, parsed.segments, with_snippets)
 
     def _assemble(
         self, top, snippet_words: list[str], with_snippets: bool

@@ -236,3 +236,52 @@ def test_prefix_fuzzy_wand_equal_exact(engine, oracle, prefix):
     for w, e in zip(wand, exact):
         assert w.score == pytest.approx(e.score, rel=1e-9)
     assert exact, "vacuous WAND-rewrite parity"
+
+
+def _oracle_field_topk(oracle, field: str, terms: list[str], k: int = 10):
+    """Fielded bag-of-words: postings restricted to >=1 occurrence
+    tagged with `field`, df RECOUNTED over the restriction (quirk-Q12
+    semantics), reference scorer otherwise."""
+    term_docs = {}
+    for t in sorted(set(terms)):
+        docs = {
+            d: info
+            for d, info in oracle.inverted.get(t, {}).items()
+            if field in info["tags"]
+        }
+        if docs:
+            term_docs[t] = docs
+    scores = oracle._rank_normal(term_docs)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_field_search_parity(engine, oracle):
+    """Quirk Q11 makes the title channel process the literal string
+    'title', so only the stem 'titl' can carry the title tag — the
+    query mixes it with an untagged word so the field filter actually
+    discriminates. h1 = the turn role: 'use'/'user' substring-match the
+    processed 'user' role (the reference's Q3 substring tagging)."""
+    for field, query in (("title", "titles artful"), ("h1", "use user")):
+        got = engine.search_field_df(field, query, k=10).collect()
+        from apt_search_engine_spark.query import parser
+
+        p = parser.parse(query)
+        words = sorted(
+            {w for w in p.query_words if w.upper() not in parser.OPERATORS}
+        )
+        want = _oracle_field_topk(oracle, field, words)
+        assert [r.doc_id for r in got] == [d for d, _ in want], (field, query)
+        for r, (_, s) in zip(got, want):
+            assert r.score == pytest.approx(s, rel=1e-9)
+        assert got, f"vacuous fielded parity for {field}"
+    # a term absent from the channel matches nothing
+    assert engine.search_field_df("title", "zzznope").count() == 0
+    with pytest.raises(ValueError):
+        engine.search_field_df("body", "travel")
+
+
+def test_field_search_full_response(engine):
+    rows = engine.search_field("h1", "use user", k=3)
+    assert rows
+    for r in rows:
+        assert set(r) == {"doc_id", "url", "score", "title", "snippet"}

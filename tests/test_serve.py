@@ -192,3 +192,31 @@ def test_exact_count_param(engine, oracle):
         assert "totalMatches" not in body2
     finally:
         httpd.shutdown()
+
+
+def test_field_param(engine):
+    """field=h1 restricts matching to the heading channel; bad field is
+    a 400."""
+    import urllib.error
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query=use%20user&size=3&field=h1"
+        )
+        assert status == 200 and body["results"]
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query=x&field=body",
+                timeout=60,
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
