@@ -303,6 +303,24 @@ def _facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.facet_counts_df("table scan query", facets)
 
 
+def _near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/3 proximity: 'table NEAR/3 hash' — strict superset of the
+    adjacent-phrase entry's candidates, scored with the phrase path's
+    filtered-df + first-word-gate semantics
+    (extras/search_oracle.near_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        NEAR_SLOP,
+        NEAR_W1,
+        NEAR_W2,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_near_df(NEAR_W1, NEAR_W2, slop=NEAR_SLOP, k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _match_count_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
     """Exact total match count (reference totalCount = full ranked list
     size; engine.match_count_df) — 1-row (n_matches) aggregate, no
@@ -660,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_counts"] = _facet_q
     q["search_match_count"] = _match_count_q("table scan query")
     q["search_phrase_match_count"] = _match_count_q('"table hash"')
+    q["search_near_topk"] = _near_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

@@ -653,6 +653,42 @@ def fuzzy_topk_sql(
     )
 
 
+# NEAR gate parameters: 'table NEAR/3 hash' — a strict superset of the
+# adjacent phrase "table hash" (non-vacuous AND discriminative vs the
+# phrase entry's candidate set)
+NEAR_W1, NEAR_W2, NEAR_SLOP = "table", "hash", 3
+
+
+def near_topk_sql(
+    stem_values: str,
+    w1: str = NEAR_W1,
+    w2: str = NEAR_W2,
+    slop: int = NEAR_SLOP,
+    k: int = 10,
+) -> str:
+    """NEAR/slop proximity (engine.search_near_df): candidates = docs
+    where some position of stem(w1) and some position of stem(w2) lie
+    within `slop` of each other (either order); scoring = the phrase
+    path's filtered-df recount + first-word gate."""
+    t1, t2 = parser.stem(w1.strip().lower()), parser.stem(w2.strip().lower())
+    words = sorted({t1, t2})
+    present = ", ".join(f"'{t}'" for t in words)
+    filtered = f"""cand AS (
+  SELECT a.doc_id FROM agg a JOIN agg b USING (doc_id)
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+    AND len(list_filter(a.ps,
+          x -> len(list_filter(b.ps, y -> abs(x - y) <= {slop})) > 0)) > 0
+),
+fp AS (SELECT w.* FROM w JOIN cand USING (doc_id) WHERE w.term IN ({present}))"""
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, words, gate=t1, k=k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
 def match_count_sql(stem_values: str, query: str = NORMAL_QUERY) -> str:
     """Exact total match count (engine.match_count_df): the size of the
     FULL ranked list the reference returns (SearchController
@@ -754,4 +790,5 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "facet_counts": facet_counts_sql(sv),
         "search_match_count": match_count_sql(sv, NORMAL_QUERY),
         "search_phrase_match_count": match_count_sql(sv, PHRASE_QUERY),
+        "search_near_topk": near_topk_sql(sv),
     }

@@ -128,6 +128,54 @@ def _phrase_match_udf(terms: list[str]):
     return _m
 
 
+def _near_match_udf(w1: str, w2: str, slop: int):
+    """Fused NEAR/slop proximity filter over per-doc aggregated rows:
+    true when some occurrence of `w1` and some occurrence of `w2` lie
+    within `slop` positions of each other (either order). Same batch
+    shape as the phrase filter: one vectorized varbyte decode, doc-
+    strided position keys, and a single searchsorted probe per side —
+    the left/right nearest `w2` key of every `w1` key decides the
+    match, and slop << 2^33 (the row stride) makes cross-doc pairs
+    impossible by construction. No per-row Python."""
+    from apt_search_engine_spark.indexing import codec
+
+    stride = np.int64(1) << 33
+
+    @F.pandas_udf("boolean")
+    def _m(ts: pd.Series, vbs: pd.Series) -> pd.Series:
+        n = len(vbs)
+        if n == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        counts = np.fromiter((len(r) for r in vbs), np.int64, n)
+        flat_vb = [bytes(v) for row in vbs for v in row]
+        flat_t = np.array([t for row in ts for t in row])
+        arrs = codec.decode_doc_ids_many(flat_vb)
+        lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        def keys_of(term):
+            sel = np.flatnonzero(flat_t == term)
+            if sel.size == 0:
+                return np.empty(0, np.int64)
+            cat = np.concatenate([arrs[j] for j in sel])
+            return np.repeat(row_of[sel], lens[sel]) * stride + cat
+
+        a, b = keys_of(w1), keys_of(w2)
+        out = np.zeros(n, dtype=bool)
+        if a.size and b.size:
+            idx = np.searchsorted(b, a)
+            near = np.zeros(a.size, dtype=bool)
+            right = idx < b.size
+            near[right] = b[idx[right]] - a[right] <= slop
+            left = idx > 0
+            near[left] |= a[left] - b[idx[left] - 1] <= slop
+            if near.any():
+                out[np.unique(a[near] // stride)] = True
+        return pd.Series(out)
+
+    return _m
+
+
 # -- BM25 (the standard scorer offered alongside reference parity) --------
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -544,6 +592,17 @@ class SearchEngine:
         semi-join) and Spark recomputed it each time. A term absent
         from the lexicon empties the intersection outright (P4 semantics:
         no doc can contain all terms)."""
+        return self._proximity_filtered(
+            terms, _phrase_match_udf(terms), with_occ_dl=with_occ_dl
+        )
+
+    def _proximity_filtered(
+        self, terms: list[str], match_udf, with_occ_dl: bool = False
+    ) -> DataFrame:
+        """Shared P4+positions machinery: candidate-bounded single-scan
+        aggregate of `terms`' postings, filtered by `match_udf` (the
+        fused Arrow positions predicate — exact adjacency for phrases,
+        window proximity for NEAR), survivors re-exploded."""
         distinct = sorted(set(terms))
         if not terms:
             return self._empty_postings(with_occ_dl=with_occ_dl)
@@ -578,7 +637,7 @@ class SearchEngine:
         # map_from_entries/array_intersect fold (that chain cost ~2x
         # this shape's wall on head-term phrases at bench scale).
         matched = per_doc.filter(
-            _phrase_match_udf(terms)(
+            match_udf(
                 F.expr("transform(ps, x -> x.term)"),
                 F.expr("transform(ps, x -> x.positions_vb)"),
             )
@@ -1093,6 +1152,30 @@ class SearchEngine:
         return self._score(
             self._exploded(terms, with_df=True), sorted(terms), None, k
         )
+
+    def search_near_df(
+        self, word1: str, word2: str, slop: int = 3, k: int = DEFAULT_TOP_K
+    ) -> DataFrame:
+        """NEAR/slop proximity query: ranked top-k of docs where the two
+        (analyzed) words occur within `slop` positions of each other in
+        either order — the classic proximity operator the exact-phrase
+        path generalizes to (slop=1 ordered == adjacency; this one is
+        unordered). Candidate bounding and scoring follow the phrase
+        path exactly: rarest-term semi-join before the aggregate, fused
+        Arrow positions predicate, filtered-df recount (Q12) and
+        first-word gate (Q7) — so NEAR results are scored consistently
+        with phrase results."""
+        self._ensure_fresh()
+        t1 = parser.stem(word1.strip().lower())
+        t2 = parser.stem(word2.strip().lower())
+        if not t1 or not t2:
+            return self._empty_results()
+        terms = [t1, t2]
+        filtered = self._proximity_filtered(
+            terms, _near_match_udf(t1, t2, slop)
+        )
+        words = sorted(set(terms))
+        return self._score(filtered, words, t1, k)
 
     def search_field_df(
         self, field: str, query: str, k: int = DEFAULT_TOP_K

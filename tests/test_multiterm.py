@@ -285,3 +285,48 @@ def test_field_search_full_response(engine):
     assert rows
     for r in rows:
         assert set(r) == {"doc_id", "url", "score", "title", "snippet"}
+
+
+def _oracle_near_topk(oracle, t1, t2, slop, k=10):
+    docs1 = oracle.inverted.get(t1, {})
+    docs2 = oracle.inverted.get(t2, {})
+    cand = [
+        d
+        for d in set(docs1) & set(docs2)
+        if any(
+            abs(p - q) <= slop
+            for p in docs1[d]["positions"]
+            for q in docs2[d]["positions"]
+        )
+    ]
+    term_docs = {
+        t: {
+            d: oracle.inverted[t][d]
+            for d in cand
+            if d in oracle.inverted[t]
+        }
+        for t in {t1, t2}
+    }
+    scores = oracle._rank_phrase(term_docs, [t1, t2] if t1 != t2 else [t1])
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_near_parity_and_phrase_superset(engine, oracle):
+    got = engine.search_near_df("travel", "guide", slop=2, k=10).collect()
+    want = _oracle_near_topk(oracle, "travel", "guid", 2)
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, rel=1e-9)
+    assert got, "vacuous NEAR parity"
+
+    # every doc matching the exact adjacent phrase also matches NEAR/2
+    phrase_docs = {
+        r["doc_id"] for r in oracle.search('"travel guide"', k=10**9)
+    }
+    near_docs = {
+        d for d, _ in _oracle_near_topk(oracle, "travel", "guid", 2, k=10**9)
+    }
+    assert phrase_docs <= near_docs and len(near_docs) > len(phrase_docs)
+
+    # no co-occurrence within slop -> empty; absent term -> empty
+    assert engine.search_near_df("travel", "zzznope", slop=2).count() == 0
