@@ -43,6 +43,8 @@ from urllib.parse import parse_qs, urlparse
 # `pre*` (prefix) or `word~1` / `word~2` (fuzzy) — one bare term only;
 # anything else goes through the reference parser unchanged
 _MULTITERM_RE = re.compile(r"([a-z0-9]+)(?:(\*)|~([12]))")
+# `w1 NEAR/3 w2` — unordered proximity within the given slop (1-99)
+_NEAR_RE = re.compile(r"([a-z0-9]+)\s+NEAR/([1-9][0-9]?)\s+([a-z0-9]+)", re.I)
 
 
 def make_handler(engine):
@@ -134,7 +136,14 @@ def make_handler(engine):
             # Expanded queries score as bag-of-words (engine rewrite) and
             # return the doc_id/score shape like the bm25 scorer.
             mt = _MULTITERM_RE.fullmatch(query.strip())
-            if mt is not None:
+            nr = _NEAR_RE.fullmatch(query.strip())
+            if nr is not None:
+                mt = nr  # suppresses the exact-count path like mt does
+                rows = engine.search_near(
+                    nr.group(1), nr.group(3), slop=int(nr.group(2)),
+                    k=page * size, with_snippets=True,
+                )
+            elif mt is not None:
                 word, wild, dist = mt.group(1), mt.group(2), mt.group(3)
                 if wild:
                     rows = engine.search_prefix(

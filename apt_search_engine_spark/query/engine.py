@@ -1647,6 +1647,28 @@ class SearchEngine:
         ).collect()
         return self._assemble(top, terms, with_snippets)
 
+    def search_near(
+        self,
+        word1: str,
+        word2: str,
+        slop: int = 3,
+        k: int = DEFAULT_TOP_K,
+        with_snippets: bool = True,
+    ) -> list[dict]:
+        """Full-response NEAR search (see search_near_df); the two
+        analyzed stems highlight in snippets like a phrase's scoring
+        words."""
+        top = self.search_near_df(word1, word2, slop, k).collect()
+        words = [
+            t
+            for t in (
+                parser.stem(word1.strip().lower()),
+                parser.stem(word2.strip().lower()),
+            )
+            if t
+        ]
+        return self._assemble(top, words, with_snippets)
+
     def search_field(
         self,
         field: str,

@@ -160,3 +160,17 @@ def test_multiterm_plans_stay_jvm_side(engine):
     assert "/lexicon" in splan and "/postings" not in splan, splan
     assert "TakeOrderedAndProject" in splan, splan
     assert "StringStartsWith(term,tra)" in splan, splan
+
+
+def test_near_plan_reads_postings_twice(engine):
+    """NEAR shares the phrase retrieval shape: the fat positions scan
+    once plus the rarest-term narrow probe, nothing re-referenced."""
+    from apt_search_engine_spark.query.engine import _near_match_udf
+
+    scans = _postings_scans(
+        engine._proximity_filtered(
+            ["travel", "guid"], _near_match_udf("travel", "guid", 2)
+        )
+    )
+    assert len(scans) == 2, "\n".join(scans)
+    assert len([ln for ln in scans if "positions_vb" in ln]) == 1

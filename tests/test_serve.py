@@ -220,3 +220,21 @@ def test_field_param(engine):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_near_syntax(engine, oracle):
+    """`w1 NEAR/k w2` routes to the proximity operator with snippets."""
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query=travel%20NEAR/2%20guide&size=3"
+        )
+        assert status == 200 and body["results"]
+        assert any("<b>" in r["snippet"] for r in body["results"])
+    finally:
+        httpd.shutdown()
