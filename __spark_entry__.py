@@ -303,6 +303,18 @@ def _facet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.facet_counts_df("table scan query", facets)
 
 
+def _bm25f_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple BM25F (field-weighted BM25; default weights = the
+    reference tag-weight vector) — Python-literal idf/K constants shared
+    verbatim with extras/search_oracle.bm25f_topk_sql, bit-identical
+    pre-rounding."""
+    return (
+        _engine_over(spark, sf_dir)
+        .search_bm25f_df("table scan query", k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR/3 proximity: 'table NEAR/3 hash' — strict superset of the
     adjacent-phrase entry's candidates, scored with the phrase path's
@@ -679,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_match_count"] = _match_count_q("table scan query")
     q["search_phrase_match_count"] = _match_count_q('"table hash"')
     q["search_near_topk"] = _near_q
+    q["search_bm25f_topk"] = _bm25f_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

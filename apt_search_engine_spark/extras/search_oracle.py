@@ -539,6 +539,72 @@ topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 
 SELECT doc_id, round(score, 6) AS score FROM topk"""
 
 
+def bm25f_topk_sql(
+    stem_values: str,
+    query: str,
+    sf_dir: str = CANONICAL_SF_DIR,
+    k: int = 10,
+) -> str:
+    """Simple BM25F oracle (engine.search_bm25f_df, default weights =
+    the reference tag-weight vector). tagged2 carries per-(doc, term)
+    n_title / n_h1 under the fixed adapter channels; h2/h3 do not exist
+    in the adapter, so their engine-side terms multiply exact zeros and
+    adding them cannot change any IEEE-754 double (x + w*0.0 == x) —
+    the SQL states only the realizable fields, in the same textual
+    left-association as the engine expression."""
+    from apt_search_engine_spark.query.engine import (
+        BM25_B,
+        BM25_K1,
+        BM25F_WEIGHTS,
+        bm25_idf,
+    )
+
+    p = parser.parse(query)
+    words = sorted(
+        {w for w in p.query_words if w.upper() not in parser.OPERATORS}
+    )
+    n_docs, total_len, dfs = _bm25_stats(sf_dir, stem_values, words)
+    words = [w for w in words if dfs.get(w)]
+    if not words:
+        return "SELECT '' AS doc_id, 0.0::DOUBLE AS score WHERE false"
+    avgdl = total_len / n_docs
+    k1p1 = BM25_K1 + 1.0
+    c0 = BM25_K1 * (1.0 - BM25_B)
+    c1 = BM25_K1 * BM25_B / avgdl
+    wt = BM25F_WEIGHTS
+    idf_case = (
+        "CASE a.term "
+        + " ".join(
+            f"WHEN '{t}' THEN {bm25_idf(dfs[t], n_docs)!r}::DOUBLE"
+            for t in words
+        )
+        + " ELSE 0::DOUBLE END"
+    )
+    present = ", ".join(f"'{t}'" for t in words)
+    tfw = (
+        f"({wt['title']!r}::DOUBLE * a.n_title::DOUBLE"
+        f" + {wt['h1']!r}::DOUBLE * a.n_h1::DOUBLE"
+        f" + {wt['body']!r}::DOUBLE *"
+        f" (a.occ::DOUBLE - a.n_title::DOUBLE - a.n_h1::DOUBLE))"
+    )
+    return f"""WITH {_postings_ctes(stem_values)},
+dlen AS (SELECT doc_id, sum(occ) AS dl FROM agg GROUP BY doc_id),
+contribs AS (
+  SELECT a.doc_id, a.term,
+         ({idf_case})
+         * (({tfw} * {k1p1!r}::DOUBLE)
+            / ({tfw} + ({c0!r}::DOUBLE + {c1!r}::DOUBLE * d.dl::DOUBLE))) AS contrib
+  FROM tagged2 a JOIN dlen d USING (doc_id)
+  WHERE a.term IN ({present})
+),
+scored AS (
+  SELECT doc_id, list_sum(list(contrib ORDER BY term)) AS score
+  FROM contribs GROUP BY doc_id
+),
+topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score, 6) AS score FROM topk"""
+
+
 def bm25_batch_topk_sql(
     stem_values: str,
     queries: dict[str, str],
@@ -791,4 +857,5 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "search_match_count": match_count_sql(sv, NORMAL_QUERY),
         "search_phrase_match_count": match_count_sql(sv, PHRASE_QUERY),
         "search_near_topk": near_topk_sql(sv),
+        "search_bm25f_topk": bm25f_topk_sql(sv, NORMAL_QUERY, sf_dir),
     }

@@ -180,6 +180,16 @@ def _near_match_udf(w1: str, w2: str, slop: int):
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# BM25F default field weights = the reference's tag-weight vector
+# (Ranker.java:43-66) applied as field emphasis in the principled scorer
+BM25F_WEIGHTS = {
+    "title": 4.0,
+    "h1": 2.5,
+    "h2": 2.0,
+    "h3": 1.5,
+    "body": 0.5,
+}
+
 
 def bm25_idf(df: int, n_docs: int) -> float:
     """Okapi BM25 idf, Lucene's always-positive variant:
@@ -338,6 +348,7 @@ class SearchEngine:
         with_occ_dl: bool = False,
         with_positions: bool = False,
         with_field: str | None = None,
+        with_all_fields: bool = False,
     ) -> DataFrame:
         """Bucket-pruned scan of the distinct `terms`, exploded to
         (term, <key>, wtf[, positions_vb][, occ, dl][, df]) rows — <key>
@@ -395,6 +406,10 @@ class SearchEngine:
             fcol = self._FIELD_COLS[with_field]
             zip_cols.append(fcol)
             out_cols.append(F.col(f"p.{fcol}").alias("n_field"))
+        if with_all_fields:
+            for name, fcol in self._FIELD_COLS.items():
+                zip_cols.append(fcol)
+                out_cols.append(F.col(f"p.{fcol}").alias(f"n_{name}"))
         df = src.select(
             "term", F.explode(F.arrays_zip(*zip_cols)).alias("p")
         ).select("term", *out_cols)
@@ -1381,6 +1396,107 @@ class SearchEngine:
         )
         sp = filtered.filter(F.col("term").isin(words)).withColumn(
             "contrib", idf_map[F.col("term")] * tfnorm
+        )
+        scored = sp.groupBy(key).agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                "0D, (acc, x) -> acc + x.contrib)"
+            ).alias("score")
+        )
+        topk = (
+            scored.select(key, "score")
+            .orderBy(F.desc("score"), F.asc(key))
+            .limit(k)
+        )
+        if key == "doc_id":
+            return topk
+        from apt_search_engine_spark.query.wand import translate_topk
+
+        return translate_topk(self.spark, topk, self._doc_map(), k)
+
+    def search_bm25f_df(
+        self,
+        query: str,
+        k: int = DEFAULT_TOP_K,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Simple BM25F (Robertson/Zaragoza's field-weighted BM25) over
+        the stored channel tag counts: per-term weighted frequency
+
+          tfw = w_title*n_title + w_h1*n_h1 + w_h2*n_h2 + w_h3*n_h3
+                + w_body*(occ - n_title - n_h1 - n_h2 - n_h3)
+
+        fed through the standard saturation, score(d) = sum_t idf(t) *
+        tfw*(k1+1) / (tfw + K(dl)). Default weights are the reference's
+        own tag-weight vector (Ranker.java:43-66 — title 4.0, h1 2.5,
+        h2 2.0, h3 1.5, body 0.5), i.e. the reference's field emphasis
+        applied inside a principled scorer. The simple variant: one
+        document-level length normalization (dl/avgdl), not per-field
+        lengths — the layout stores a single analyzer-stamped dl, and
+        the per-field generalization would need per-field length
+        columns. Bag-of-words retrieval only (the scorer is field
+        emphasis, not a match predicate — compose with search_field_df
+        to restrict matching). Same no-join plan shape as search_bm25_df
+        with four more small-int arrays zipped off the pruned segments.
+        Float-parity contract as bm25: Python-computed double literals,
+        textual left-association shared with the generated SQL
+        (extras/search_oracle.bm25f_topk_sql)."""
+        self._ensure_fresh()
+        if self.index_dir is None:
+            raise ValueError("search_bm25f_df needs a disk index (doc_len)")
+        if not self.total_len:
+            raise ValueError(
+                "index meta has no total_len (pre-v6 layout): rebuild"
+            )
+        w = dict(BM25F_WEIGHTS)
+        if weights:
+            w.update(weights)
+        key = self._key()
+        parsed = parser.parse(query)
+        words = sorted(
+            {x for x in parsed.query_words if x.upper() not in parser.OPERATORS}
+        )
+        if not words:
+            return self._empty_results()
+        dfs = self.term_dfs(words)
+        words = [x for x in words if dfs.get(x)]
+        if not words:
+            return self._empty_results()
+        filtered = self._exploded(
+            words, with_occ_dl=True, with_all_fields=True
+        )
+        avgdl = self.total_len / self.n_docs
+        k1p1 = k1 + 1.0
+        c0 = k1 * (1.0 - b)
+        c1 = k1 * b / avgdl
+        idf_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in words
+                for x in (t, bm25_idf(dfs[t], self.n_docs))
+            ]
+        )
+        occ = F.col("occ").cast("double")
+        nt = F.col("n_title").cast("double")
+        nh1 = F.col("n_h1").cast("double")
+        nh2 = F.col("n_h2").cast("double")
+        nh3 = F.col("n_h3").cast("double")
+        # textual left-association mirrored in the oracle SQL
+        tfw = (
+            F.lit(w["title"]) * nt
+            + F.lit(w["h1"]) * nh1
+            + F.lit(w["h2"]) * nh2
+            + F.lit(w["h3"]) * nh3
+            + F.lit(w["body"]) * (occ - nt - nh1 - nh2 - nh3)
+        )
+        contrib = idf_map[F.col("term")] * (
+            (tfw * F.lit(k1p1))
+            / (tfw + (F.lit(c0) + F.lit(c1) * F.col("dl").cast("double")))
+        )
+        sp = filtered.filter(F.col("term").isin(words)).withColumn(
+            "contrib", contrib
         )
         scored = sp.groupBy(key).agg(
             F.expr(

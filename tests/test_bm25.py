@@ -181,3 +181,77 @@ def test_bm25_batch_empty_and_all_fallback(engine):
         for r in engine.search_bm25_df('"europe tips"', k=5).collect()
     ]
     assert [(r.doc_id, r.score) for r in only_phrase.collect()] == exact
+
+
+def _python_bm25f(oracle, query: str, weights=None, k: int = 10):
+    """Simple BM25F over the Python oracle's tags: weighted occurrence
+    tfw = sum_f w_f * (occurrences tagged f), body = untagged, fed
+    through the standard saturation (engine.search_bm25f_df)."""
+    from apt_search_engine_spark.query import parser
+    from apt_search_engine_spark.query.engine import BM25F_WEIGHTS
+
+    w = dict(BM25F_WEIGHTS)
+    if weights:
+        w.update(weights)
+    parsed = parser.parse(query)
+    words = sorted(
+        {x for x in parsed.query_words if x.upper() not in parser.OPERATORS}
+    )
+    dl: dict[str, int] = {}
+    for term, docs in oracle.inverted.items():
+        for doc_id, info in docs.items():
+            dl[doc_id] = dl.get(doc_id, 0) + len(info["positions"])
+    n_docs = oracle.n_docs
+    avgdl = sum(dl.values()) / n_docs
+    k1p1 = BM25_K1 + 1.0
+    c0 = BM25_K1 * (1.0 - BM25_B)
+    c1 = BM25_K1 * BM25_B / avgdl
+    words = [x for x in words if oracle.inverted.get(x)]
+    scores: dict[str, float] = {}
+    for t in words:
+        idf = bm25_idf(len(oracle.inverted[t]), n_docs)
+        for doc_id, info in oracle.inverted[t].items():
+            tags = info["tags"]
+            n = {f: sum(1 for x in tags if x == f) for f in
+                 ("title", "h1", "h2", "h3")}
+            body = len(tags) - sum(n.values())
+            tfw = (
+                w["title"] * n["title"]
+                + w["h1"] * n["h1"]
+                + w["h2"] * n["h2"]
+                + w["h3"] * n["h3"]
+                + w["body"] * body
+            )
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * (
+                (tfw * k1p1) / (tfw + (c0 + c1 * dl[doc_id]))
+            )
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("query", ["travel guide", "use user"])
+def test_bm25f_parity(engine, oracle, query):
+    got = engine.search_bm25f_df(query, k=10).collect()
+    want = _python_bm25f(oracle, query)
+    assert [r.doc_id for r in got] == [d for d, _ in want], query
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, rel=1e-9)
+    assert got, f"vacuous BM25F parity for {query!r}"
+
+
+def test_bm25f_field_weights_matter(engine, oracle):
+    """'use user' postings carry h1 tags (role substring) in the seeded
+    corpus, so boosting h1 must change scores vs a flat body weighting —
+    the field emphasis is live, not a pass-through."""
+    flat = {"title": 0.5, "h1": 0.5, "h2": 0.5, "h3": 0.5, "body": 0.5}
+    boosted = {r.doc_id: r.score for r in
+               engine.search_bm25f_df("use user", k=50).collect()}
+    flat_s = {r.doc_id: r.score for r in
+              engine.search_bm25f_df("use user", k=50, weights=flat).collect()}
+    common = set(boosted) & set(flat_s)
+    assert common
+    assert any(boosted[d] != flat_s[d] for d in common)
+    # and the flat weighting equals the Python recompute with the same
+    # weights (weights plumb through, not just the default vector)
+    want = dict(_python_bm25f(oracle, "use user", weights=flat, k=50))
+    for d in flat_s:
+        assert flat_s[d] == pytest.approx(want[d], rel=1e-9)
