@@ -40,10 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--no-snippets", action="store_true")
     p.add_argument(
         "--scorer",
-        choices=("reference", "bm25"),
+        choices=("reference", "bm25", "bm25f"),
         default="reference",
         help="reference = the parity formula tf*floor(N/df)*prior; "
-        "bm25 = standard Okapi BM25 (no snippets path)",
+        "bm25 = standard Okapi BM25; bm25f = field-weighted BM25F "
+        "(reference tag-weight vector) — both without the snippets path",
     )
     return p.parse_args(argv)
 
@@ -108,8 +109,13 @@ def main(argv=None) -> int:
         print(json.dumps({"results": results, "totalCount": len(results),
                           "totalTime": ms}))
         return 0
-    if args.scorer == "bm25":
-        df = engine.search_bm25_df(args.query, k=args.k)
+    if args.scorer in ("bm25", "bm25f"):
+        fn = (
+            engine.search_bm25f_df
+            if args.scorer == "bm25f"
+            else engine.search_bm25_df
+        )
+        df = fn(args.query, k=args.k)
         results = [{"doc_id": r.doc_id, "score": r.score} for r in df.collect()]
     elif args.no_snippets or args.exact:
         df = (

@@ -113,8 +113,10 @@ def make_handler(engine):
             page = max(1, page)
             size = max(1, size)
             scorer = (q.get("scorer") or ["reference"])[0]
-            if scorer not in ("reference", "bm25"):
-                self._json(400, {"error": "scorer must be reference|bm25"})
+            if scorer not in ("reference", "bm25", "bm25f"):
+                self._json(
+                    400, {"error": "scorer must be reference|bm25|bm25f"}
+                )
                 return
             # count=exact adds the reference's true totalCount (full
             # ranked-list size) as `totalMatches` — an extra aggregate
@@ -158,10 +160,16 @@ def make_handler(engine):
                 rows = engine.search_field(
                     field, query, k=page * size, with_snippets=True
                 )
-            elif scorer == "bm25":
-                # standard Okapi BM25 (extension scorer; no snippet path —
-                # results carry doc_id/score only, url == doc_id shape)
-                got = engine.search_bm25_df(query, k=page * size).collect()
+            elif scorer in ("bm25", "bm25f"):
+                # standard Okapi BM25 / field-weighted BM25F (extension
+                # scorers; no snippet path — results carry doc_id/score
+                # only, url == doc_id shape)
+                fn = (
+                    engine.search_bm25f_df
+                    if scorer == "bm25f"
+                    else engine.search_bm25_df
+                )
+                got = fn(query, k=page * size).collect()
                 rows = [
                     {"url": r.doc_id, "score": r.score, "title": "",
                      "snippet": ""}
