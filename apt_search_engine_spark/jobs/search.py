@@ -57,14 +57,14 @@ def main(argv=None) -> int:
     spark = get_spark("aptse-search")
     engine = SearchEngine(spark, index_dir=args.index_dir)
     t0 = time.time()
-    # Lucene-style multi-term syntax (same rules as jobs/serve.py):
-    # `pre*` = prefix expansion, `word~1` / `word~2` = fuzzy,
-    # `w1 NEAR/3 w2` = unordered proximity
-    from apt_search_engine_spark.jobs.serve import _MULTITERM_RE, _NEAR_RE
+    # Lucene-style multi-term syntax (query/parser.py extension grammar,
+    # shared with jobs/serve.py): `pre*` = prefix expansion, `word~1` /
+    # `word~2` = fuzzy, `w1 NEAR/3 w2` = unordered proximity
+    from apt_search_engine_spark.query.parser import MULTITERM_RE, NEAR_RE
 
-    nr = _NEAR_RE.fullmatch(args.query.strip())
+    nr = NEAR_RE.fullmatch(args.query.strip())
     if nr is not None:
-        w1, slop, w2 = nr.group(1), int(nr.group(2)), nr.group(3)
+        w1, slop, w2 = nr.group(1).lower(), int(nr.group(2)), nr.group(3).lower()
         if args.no_snippets or args.exact:
             df = engine.search_near_df(w1, w2, slop=slop, k=args.k)
             results = [
@@ -78,9 +78,9 @@ def main(argv=None) -> int:
         print(json.dumps({"results": results, "totalCount": len(results),
                           "totalTime": ms}))
         return 0
-    mt = _MULTITERM_RE.fullmatch(args.query.strip())
+    mt = MULTITERM_RE.fullmatch(args.query.strip())
     if mt is not None:
-        word, wild, dist = mt.group(1), mt.group(2), mt.group(3)
+        word, wild, dist = mt.group(1).lower(), mt.group(2), mt.group(3)
         if args.no_snippets or args.exact:
             if wild:
                 df = (

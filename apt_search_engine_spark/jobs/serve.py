@@ -33,18 +33,18 @@ if _ROOT not in sys.path:
 
 import argparse
 import json
-import re
 import sys
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
-# `pre*` (prefix) or `word~1` / `word~2` (fuzzy) — one bare term only;
-# anything else goes through the reference parser unchanged
-_MULTITERM_RE = re.compile(r"([a-z0-9]+)(?:(\*)|~([12]))")
-# `w1 NEAR/3 w2` — unordered proximity within the given slop (1-99)
-_NEAR_RE = re.compile(r"([a-z0-9]+)\s+NEAR/([1-9][0-9]?)\s+([a-z0-9]+)", re.I)
+# extension query syntax lives with the parser (query/parser.py); the
+# aliases keep this module the historical import site for the jobs layer
+from apt_search_engine_spark.query.parser import (  # noqa: E402
+    MULTITERM_RE as _MULTITERM_RE,
+    NEAR_RE as _NEAR_RE,
+)
 
 
 def make_handler(engine):
@@ -139,14 +139,34 @@ def make_handler(engine):
             # return the doc_id/score shape like the bm25 scorer.
             mt = _MULTITERM_RE.fullmatch(query.strip())
             nr = _NEAR_RE.fullmatch(query.strip())
+            if (mt is not None or nr is not None) and (
+                scorer != "reference" or field or want_exact_count
+            ):
+                # extension syntax only runs on the reference scorer and
+                # cannot honor field/count yet: 400 beats silently
+                # dropping the caller's explicit params
+                self._json(
+                    400,
+                    {"error": "multi-term/NEAR syntax supports only "
+                              "scorer=reference without field/count"},
+                )
+                return
+            if field and scorer != "reference":
+                self._json(
+                    400,
+                    {"error": "field= requires scorer=reference"},
+                )
+                return
             if nr is not None:
-                mt = nr  # suppresses the exact-count path like mt does
                 rows = engine.search_near(
-                    nr.group(1), nr.group(3), slop=int(nr.group(2)),
+                    nr.group(1).lower(), nr.group(3).lower(),
+                    slop=int(nr.group(2)),
                     k=page * size, with_snippets=True,
                 )
             elif mt is not None:
-                word, wild, dist = mt.group(1), mt.group(2), mt.group(3)
+                word, wild, dist = (
+                    mt.group(1).lower(), mt.group(2), mt.group(3),
+                )
                 if wild:
                     rows = engine.search_prefix(
                         word, k=page * size, with_snippets=True

@@ -162,6 +162,17 @@ def _near_match_udf(w1: str, w2: str, slop: int):
 
         a, b = keys_of(w1), keys_of(w2)
         out = np.zeros(n, dtype=bool)
+        if w1 == w2:
+            # same stem: NEAR means TWO occurrences within slop, not an
+            # occurrence near itself — match on consecutive-position
+            # gaps (arrays ascend within a doc; cross-doc neighbors
+            # differ by >= stride >> slop, so no row check needed)
+            if a.size > 1:
+                gaps = a[1:] - a[:-1]
+                near = gaps <= slop
+                if near.any():
+                    out[np.unique(a[1:][near] // stride)] = True
+            return pd.Series(out)
         if a.size and b.size:
             idx = np.searchsorted(b, a)
             near = np.zeros(a.size, dtype=bool)
@@ -898,6 +909,10 @@ class SearchEngine:
                 .filter(F.col("score") != 0.0)
                 .select("url", "score")
             )
+            if count_only:
+                return scored.agg(
+                    F.count("*").cast("long").alias("n_matches")
+                )
             return scored.orderBy(F.desc("score"), F.asc("url")).limit(k)
 
         raw_by_doc = sp.groupBy(key).agg(
@@ -960,8 +975,7 @@ class SearchEngine:
         parsed = parser.parse(query)
         if (
             parsed.qtype not in ("normal", "normal+boolean")
-            or self.index_dir is None
-            or not os.path.isdir(os.path.join(self.index_dir, "blocks"))
+            or not self._has_blocks()
         ):
             # no compressed companion (built with --no-blocks): exact plan
             return self.search_df(query, k)
@@ -1040,19 +1054,27 @@ class SearchEngine:
             gate = None
         return filtered, words, gate
 
-    def match_count_df(self, query: str) -> DataFrame:
+    def match_count_df(
+        self, query: str, dedup_by_url: bool = False
+    ) -> DataFrame:
         """Exact total match count for `query` as a 1-row (n_matches)
         frame — the size of the FULL ranked list the reference returns
         (SearchController totalCount; we keep top-k server-side, the P9
         documented deviation, so the exact count is exposed as its own
         aggregate). Same retrieval plan as search_df with the sort/limit
         replaced by one count — no ordering cost, no result
-        materialization."""
+        materialization. The reference's scoreTracker is URL-keyed
+        (R10), so on a corpus with url_expr overrides pass
+        `dedup_by_url=True` to count merged URLs instead of doc ids
+        (identical when URLs == doc ids, the transcripts default)."""
         self._ensure_fresh()
         filtered, words, gate = self._filtered_plan(parser.parse(query))
         if not words:
             return self.spark.createDataFrame([(0,)], "n_matches long")
-        return self._score(filtered, words, gate, k=0, count_only=True)
+        return self._score(
+            filtered, words, gate, k=0,
+            dedup_by_url=dedup_by_url, count_only=True,
+        )
 
     # ------------------------------------------------- multi-term rewrite
     def _lexicon_src(self) -> DataFrame:
@@ -1129,6 +1151,14 @@ class SearchEngine:
         )
         return self._cache_dfs(rows)
 
+    def _score_expansion(self, terms: list[str], k: int) -> DataFrame:
+        """Exact bag-of-words scoring of a server-derived expansion:
+        each term multiplicity 1, true build-time df, no gate — the one
+        scoring shape every multi-term rewrite shares."""
+        return self._score(
+            self._exploded(terms, with_df=True), sorted(terms), None, k
+        )
+
     def search_prefix_df(
         self,
         prefix: str,
@@ -1146,9 +1176,7 @@ class SearchEngine:
         terms = self.expand_prefix(prefix, max_expansions)
         if not terms:
             return self._empty_results()
-        return self._score(
-            self._exploded(terms, with_df=True), sorted(terms), None, k
-        )
+        return self._score_expansion(terms, k)
 
     def search_fuzzy_df(
         self,
@@ -1164,9 +1192,7 @@ class SearchEngine:
         terms = self.expand_fuzzy(word, max_dist, max_expansions)
         if not terms:
             return self._empty_results()
-        return self._score(
-            self._exploded(terms, with_df=True), sorted(terms), None, k
-        )
+        return self._score_expansion(terms, k)
 
     def search_near_df(
         self, word1: str, word2: str, slop: int = 3, k: int = DEFAULT_TOP_K
@@ -1240,9 +1266,7 @@ class SearchEngine:
         if not terms:
             return self._empty_results()
         if not self._has_blocks():
-            return self._score(
-                self._exploded(terms, with_df=True), sorted(terms), None, k
-            )
+            return self._score_expansion(terms, k)
         return self._wand_topk_for_terms(sorted(terms), k)
 
     def search_fuzzy_wand_df(
@@ -1259,9 +1283,7 @@ class SearchEngine:
         if not terms:
             return self._empty_results()
         if not self._has_blocks():
-            return self._score(
-                self._exploded(terms, with_df=True), sorted(terms), None, k
-            )
+            return self._score_expansion(terms, k)
         return self._wand_topk_for_terms(sorted(terms), k)
 
     def suggest_terms_df(
@@ -1455,9 +1477,23 @@ class SearchEngine:
             w.update(weights)
         key = self._key()
         parsed = parser.parse(query)
-        words = sorted(
-            {x for x in parsed.query_words if x.upper() not in parser.OPERATORS}
-        )
+        # retrieval (candidate set) follows the query type exactly like
+        # search_bm25_df — the scorers are interchangeable per query
+        cand = None
+        if parsed.qtype == "phrase":
+            cand = self._phrase_filtered(parsed.query_words)
+            words = sorted(set(parsed.query_words))
+        elif parsed.qtype == "phrase+boolean":
+            cand = self._boolean_filtered(parsed)
+            words = sorted(set(parsed.scoring_words))
+        else:
+            words = sorted(
+                {
+                    x
+                    for x in parsed.query_words
+                    if x.upper() not in parser.OPERATORS
+                }
+            )
         if not words:
             return self._empty_results()
         dfs = self.term_dfs(words)
@@ -1467,6 +1503,12 @@ class SearchEngine:
         filtered = self._exploded(
             words, with_occ_dl=True, with_all_fields=True
         )
+        if cand is not None:
+            # the phrase/boolean set algebra decides WHICH docs match;
+            # the field-weighted frame of those docs is what scores
+            filtered = filtered.join(
+                cand.select(key).distinct(), key, "left_semi"
+            )
         avgdl = self.total_len / self.n_docs
         k1p1 = k1 + 1.0
         c0 = k1 * (1.0 - b)
@@ -1495,9 +1537,7 @@ class SearchEngine:
             (tfw * F.lit(k1p1))
             / (tfw + (F.lit(c0) + F.lit(c1) * F.col("dl").cast("double")))
         )
-        sp = filtered.filter(F.col("term").isin(words)).withColumn(
-            "contrib", contrib
-        )
+        sp = filtered.withColumn("contrib", contrib)
         scored = sp.groupBy(key).agg(
             F.expr(
                 "aggregate(array_sort(collect_list(struct(term, contrib))), "
@@ -1740,9 +1780,7 @@ class SearchEngine:
         terms = self.expand_prefix(prefix, max_expansions)
         if not terms:
             return []
-        top = self._score(
-            self._exploded(terms, with_df=True), sorted(terms), None, k
-        ).collect()
+        top = self._score_expansion(terms, k).collect()
         return self._assemble(top, terms, with_snippets)
 
     def search_fuzzy(
@@ -1758,9 +1796,7 @@ class SearchEngine:
         terms = self.expand_fuzzy(word, max_dist, max_expansions)
         if not terms:
             return []
-        top = self._score(
-            self._exploded(terms, with_df=True), sorted(terms), None, k
-        ).collect()
+        top = self._score_expansion(terms, k).collect()
         return self._assemble(top, terms, with_snippets)
 
     def search_near(

@@ -28,6 +28,15 @@ _BOOL_SPLIT = re.compile(r"(?= AND | OR | NOT )|(?<= AND )|(?<= OR )|(?<= NOT )"
 
 OPERATORS = ("AND", "OR", "NOT")
 
+# Extension query syntax (NOT in the reference grammar) recognized by the
+# serving/CLI layers before the reference parser runs: `pre*` (prefix
+# expansion), `word~1` / `word~2` (fuzzy), `w1 NEAR/3 w2` (unordered
+# proximity, slop 1-99). One bare term per wildcard; all case-insensitive
+# (match groups should be lowercased before hitting the engine — the
+# vocabulary is lowercase by analysis).
+MULTITERM_RE = re.compile(r"([a-z0-9]+)(?:(\*)|~([12]))", re.I)
+NEAR_RE = re.compile(r"([a-z0-9]+)\s+NEAR/([1-9][0-9]?)\s+([a-z0-9]+)", re.I)
+
 
 def stem(word: str) -> str:
     """Reference Stemmer.stem lowercases before stemming

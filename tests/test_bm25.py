@@ -255,3 +255,17 @@ def test_bm25f_field_weights_matter(engine, oracle):
     want = dict(_python_bm25f(oracle, "use user", weights=flat, k=50))
     for d in flat_s:
         assert flat_s[d] == pytest.approx(want[d], rel=1e-9)
+
+
+def test_bm25f_phrase_candidates_match_bm25(engine):
+    """Retrieval follows the query type for BOTH scorers (review fix):
+    a phrase query's BM25F candidates are exactly the BM25 phrase
+    candidates — only the scoring differs."""
+    q = '"travel guide"'
+    f_docs = {r.doc_id for r in engine.search_bm25f_df(q, k=10**6).collect()}
+    b_docs = {r.doc_id for r in engine.search_bm25_df(q, k=10**6).collect()}
+    assert f_docs == b_docs and f_docs
+    # and strictly fewer than the bag-of-words candidate set
+    bag = {r.doc_id for r in
+           engine.search_bm25f_df("travel guide", k=10**6).collect()}
+    assert f_docs < bag

@@ -330,3 +330,48 @@ def test_near_parity_and_phrase_superset(engine, oracle):
 
     # no co-occurrence within slop -> empty; absent term -> empty
     assert engine.search_near_df("travel", "zzznope", slop=2).count() == 0
+
+
+def test_near_same_stem_requires_two_occurrences(engine, oracle):
+    """'travel NEAR/1 travel' must mean TWO occurrences within the slop,
+    not an occurrence near itself (review fix)."""
+    got = {r.doc_id for r in
+           engine.search_near_df("travel", "travel", slop=1, k=10**6).collect()}
+    docs = oracle.inverted.get("travel", {})
+    want = {
+        d
+        for d, info in docs.items()
+        if any(
+            b - a <= 1
+            for a, b in zip(info["positions"], info["positions"][1:])
+        )
+    }
+    assert got == want
+    # discriminative: some docs contain the term but not twice-within-1
+    assert want and len(want) < len(docs)
+
+
+def test_match_count_dedup_by_url(spark, tmp_path):
+    """With url_expr collisions (all turns of a conversation share a
+    URL), dedup_by_url counts merged URLs — the reference's URL-keyed
+    scoreTracker size — while the default counts doc ids."""
+    from pyspark.sql import functions as F
+
+    from apt_search_engine_spark.corpus import gen_corpus_spark
+    from apt_search_engine_spark.indexing.build import IndexBuilder
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    tr = gen_corpus_spark(spark, 8)
+    d = str(tmp_path / "idx")
+    b = IndexBuilder(spark, d, n_batches=1)
+    b.build(tr, with_blocks=False)
+    b.write_doc_meta(tr, url_expr=F.col("conv_id"))
+    eng = SearchEngine(spark, index_dir=d)
+    n_docs = eng.match_count_df("travel guide").collect()[0].n_matches
+    n_urls = eng.match_count_df(
+        "travel guide", dedup_by_url=True
+    ).collect()[0].n_matches
+    assert 0 < n_urls < n_docs
+    assert n_urls == eng.search_df(
+        "travel guide", k=10**6, dedup_by_url=True
+    ).count()

@@ -238,3 +238,40 @@ def test_near_syntax(engine, oracle):
         assert any("<b>" in r["snippet"] for r in body["results"])
     finally:
         httpd.shutdown()
+
+
+def test_multiterm_param_conflicts_and_case(engine):
+    """Extension syntax + explicit scorer/field/count params is a 400
+    (not a silent drop), and the syntax is case-insensitive."""
+    import urllib.error
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for bad in (
+            "query=tra*&scorer=bm25f",
+            "query=tra*&field=title",
+            "query=tra*&count=exact",
+            "query=travel%20NEAR/2%20guide&count=exact",
+            "query=travel&field=h1&scorer=bm25",
+        ):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/search?{bad}", timeout=60
+                )
+                raise AssertionError(f"expected HTTP 400 for {bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, bad
+        # uppercase wildcard routes to the same rewrite as lowercase
+        _, lo = _get(f"http://127.0.0.1:{port}/search?query=tra*&size=3")
+        _, up = _get(f"http://127.0.0.1:{port}/search?query=Tra*&size=3")
+        assert [r["url"] for r in up["results"]] == [
+            r["url"] for r in lo["results"]
+        ]
+        assert lo["results"]
+    finally:
+        httpd.shutdown()
