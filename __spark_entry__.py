@@ -333,6 +333,74 @@ def _near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wildcard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General wildcard `s*a*`: LIKE expansion over the lexicon (4
+    matching sf0.01 stems, capped at 3 by df DESC / term ASC — the cap
+    branch is exercised), scored as a bag-of-words OR query
+    (extras/search_oracle.wildcard_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        WILDCARD_MAX_EXPANSIONS,
+        WILDCARD_PATTERN,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_wildcard_df(
+            WILDCARD_PATTERN, k=10, max_expansions=WILDCARD_MAX_EXPANSIONS
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _wildcard_wand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard rewrite on the block-max WAND hot path — rank+score
+    identical to the exact rewrite (shared oracle)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        WILDCARD_MAX_EXPANSIONS,
+        WILDCARD_PATTERN,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_wildcard_wand_df(
+            WILDCARD_PATTERN, k=10, max_expansions=WILDCARD_MAX_EXPANSIONS
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _spell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell correction over a fixed typo list: nearest vocabulary stem
+    by (levenshtein ASC, df DESC, term ASC) within dist 2 for each
+    out-of-vocabulary word; in-vocab words and hopeless strings yield no
+    row (extras/search_oracle.spell_correct_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        SPELL_MAX_DIST,
+        SPELL_WORDS,
+    )
+
+    return _engine_over(spark, sf_dir).suggest_spelling_df(
+        SPELL_WORDS, max_dist=SPELL_MAX_DIST, k=1
+    )
+
+
+def _mlt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this from a fixed seed doc: the seed's top-5 terms by
+    occ * floor(idf_num/df) (integer selection score — the cap lands on
+    a tie broken term ASC on both sides), scored as a bag-of-words OR
+    query with the seed excluded (extras/search_oracle.mlt_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        MLT_DOC,
+        MLT_MAX_TERMS,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .more_like_this_df(MLT_DOC, k=10, max_terms=MLT_MAX_TERMS)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _match_count_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
     """Exact total match count (reference totalCount = full ranked list
     size; engine.match_count_df) — 1-row (n_matches) aggregate, no
@@ -692,6 +760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_phrase_match_count"] = _match_count_q('"table hash"')
     q["search_near_topk"] = _near_q
     q["search_bm25f_topk"] = _bm25f_q
+    q["search_wildcard_topk"] = _wildcard_q
+    q["search_wildcard_wand_topk"] = _wildcard_wand_q
+    q["spell_correct"] = _spell_q
+    q["more_like_this_topk"] = _mlt_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

@@ -37,6 +37,12 @@ DEFAULT_TOP_K = 10
 # highest-df expansions win).
 DEFAULT_MAX_EXPANSIONS = 50
 
+# More-like-this: how many of the seed document's most characteristic
+# terms (by occ * floor(idf_num/df), integer — deterministically
+# reproducible in SQL) feed the bag-of-words rewrite (Lucene
+# MoreLikeThis.DEFAULT_MAX_QUERY_TERMS).
+DEFAULT_MLT_MAX_TERMS = 25
+
 # Snippet: only paragraphs <= this length are eligible
 # (server/src/main/java/ranker/Snippeterr.java:8).
 SNIPPET_MAX_LEN = 1000

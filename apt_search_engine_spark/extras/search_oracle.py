@@ -634,6 +634,20 @@ PREFIX_MAX_EXPANSIONS = 4
 FUZZY_WORD = "sow"
 FUZZY_MAX_DIST = 1
 SUGGEST_K = 4
+# General wildcard gate fixture: `s*a*` matches {scan, small, spark,
+# stream} on the sf0.01 vocabulary; the cap of 3 exercises the
+# deterministic (df DESC, term ASC) TopTermsRewrite branch.
+WILDCARD_PATTERN = "s*a*"
+WILDCARD_MAX_EXPANSIONS = 3
+# Spell-correction gate fixture: two dist-1 typos, two dist-2 typos, one
+# in-vocabulary word (must yield no row) and one hopeless string (no
+# candidate within max_dist — no row).
+SPELL_WORDS = ["jion", "scan", "strean", "tabel", "windoq", "zzzzqq"]
+SPELL_MAX_DIST = 2
+# More-like-this gate fixture: seed doc + a term cap that lands on a
+# selection-score tie (broken term ASC on both sides).
+MLT_DOC = "src0#000000"
+MLT_MAX_TERMS = 5
 # deterministic (doc_id -> facet) rule the facet gate entry mirrors in
 # Spark (element_at is 1-based there too)
 FACET_RULE_SQL = (
@@ -641,13 +655,19 @@ FACET_RULE_SQL = (
 )
 
 
-def _expansion_score_sql(exp_cte: str, k: int = 10) -> str:
+def _expansion_score_sql(
+    exp_cte: str, k: int = 10, exclude_doc: str | None = None
+) -> str:
     """Score a server-derived expansion set (the prefix/fuzzy multi-term
     rewrite): the caller supplies an `exp(term)` CTE selecting expanded
     terms out of `tdf` — per-term true df over the unfiltered postings,
     which equals the lexicon df the engine's expansion reads. Every
     expanded term scores with multiplicity 1, true df, and no gate:
-    exactly engine._score over _exploded(with_df=True)."""
+    exactly engine._score over _exploded(with_df=True). `exclude_doc`
+    drops one doc before the top-k (the more-like-this seed)."""
+    excl = (
+        f" AND doc_id <> '{exclude_doc}'" if exclude_doc is not None else ""
+    )
     return f"""tdf AS (SELECT term, count(*) AS df FROM w GROUP BY term),
 {exp_cte},
 fp AS (SELECT w.* FROM w JOIN exp USING (term)),
@@ -664,7 +684,7 @@ scored AS (
   FROM contribs GROUP BY doc_id
 ),
 topk AS (
-  SELECT doc_id, score FROM scored WHERE score <> 0.0
+  SELECT doc_id, score FROM scored WHERE score <> 0.0{excl}
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
 
@@ -715,6 +735,101 @@ def fuzzy_topk_sql(
         + _postings_ctes(stem_values)
         + ",\n"
         + _expansion_score_sql(exp, k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def wildcard_topk_sql(
+    stem_values: str,
+    pattern: str = WILDCARD_PATTERN,
+    k: int = 10,
+    max_expansions: int = WILDCARD_MAX_EXPANSIONS,
+) -> str:
+    """General wildcard query (`te*t` shape, engine.search_wildcard_df):
+    expand to the max_expansions highest-df vocabulary terms matching
+    the glob as SQL LIKE (`*` -> %, `?` -> _; engine._glob_to_like),
+    capped (df DESC, term ASC), then score the expansion as a
+    bag-of-words OR query."""
+    like = pattern.replace("*", "%").replace("?", "_")
+    exp = (
+        f"exp AS (SELECT term FROM tdf WHERE term LIKE '{like}'\n"
+        f"  ORDER BY df DESC, term ASC LIMIT {max_expansions})"
+    )
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _expansion_score_sql(exp, k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+    )
+
+
+def spell_correct_sql(
+    stem_values: str,
+    words: list[str] | None = None,
+    max_dist: int = SPELL_MAX_DIST,
+    k: int = 1,
+) -> str:
+    """Spell correction (engine.suggest_spelling_df): for each input
+    word whose analyzed stem is NOT in the vocabulary, the k nearest
+    vocabulary terms by (levenshtein ASC, df DESC, term ASC) within
+    max_dist. The (word, stem) pairs are computed with the engine's
+    stemmer at SQL-gen time (same VALUES-table pattern as the corpus
+    stem map); DuckDB's levenshtein == Spark's F.levenshtein."""
+    words = SPELL_WORDS if words is None else words
+    wl = ", ".join(
+        f"('{w}', '{parser.stem(w)}')" for w in sorted(set(words))
+    )
+    return (
+        "WITH "
+        + _agg_ctes(stem_values)
+        + f""",
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM agg GROUP BY term),
+wl(word, stem) AS (VALUES {wl}),
+unknown AS (
+  SELECT word, stem FROM wl
+  WHERE stem NOT IN (SELECT term FROM tdf)
+),
+cand AS (
+  SELECT u.word, t.term AS suggestion,
+         levenshtein(t.term, u.stem)::INT AS dist, t.df,
+         row_number() OVER (
+           PARTITION BY u.word
+           ORDER BY levenshtein(t.term, u.stem) ASC, t.df DESC, t.term ASC
+         ) AS rnk
+  FROM unknown u JOIN tdf t
+    ON abs(length(t.term) - length(u.stem)) <= {max_dist}
+   AND levenshtein(t.term, u.stem) <= {max_dist}
+)
+SELECT word, suggestion, dist, df FROM cand WHERE rnk <= {k}
+ORDER BY word ASC, dist ASC, df DESC, suggestion ASC"""
+    )
+
+
+def mlt_topk_sql(
+    stem_values: str,
+    doc_id: str = MLT_DOC,
+    k: int = 10,
+    max_terms: int = MLT_MAX_TERMS,
+) -> str:
+    """More-like-this (engine.more_like_this_df): select the seed doc's
+    max_terms most characteristic terms by occ * floor(idf_num/df) —
+    integer arithmetic, ties broken term ASC, reproducing
+    engine.mlt_terms exactly — then score them as a bag-of-words OR
+    query with the seed itself excluded before the top-k."""
+    exp = f"""seedv AS (SELECT term, occ FROM agg WHERE doc_id = '{doc_id}'),
+exp AS (
+  SELECT s.term
+  FROM seedv s JOIN tdf d USING (term) CROSS JOIN nd
+  ORDER BY s.occ * (greatest({IDF_NUMERATOR}, nd.n_docs) // d.df) DESC,
+           s.term ASC
+  LIMIT {max_terms}
+)"""
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _expansion_score_sql(exp, k, exclude_doc=doc_id)
         + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
     )
 
@@ -858,4 +973,10 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "search_phrase_match_count": match_count_sql(sv, PHRASE_QUERY),
         "search_near_topk": near_topk_sql(sv),
         "search_bm25f_topk": bm25f_topk_sql(sv, NORMAL_QUERY, sf_dir),
+        "search_wildcard_topk": wildcard_topk_sql(sv),
+        # WAND over the wildcard expansion is rank+score identical to
+        # the exact rewrite (tests/test_multiterm.py) — same oracle
+        "search_wildcard_wand_topk": wildcard_topk_sql(sv),
+        "spell_correct": spell_correct_sql(sv),
+        "more_like_this_topk": mlt_topk_sql(sv),
     }

@@ -4,6 +4,11 @@
         --index-dir /data/index --query '"travel guide" AND "europe tips"' \
         [-k 10] [--exact] [--no-snippets]
 
+Extension syntax: `pre*` (prefix), `te*t` / `t?st` (wildcard), `word~1`
+(fuzzy), `w1 NEAR/3 w2` (proximity); `--mlt DOC_ID` ranks the corpus
+against a seed document's characteristic terms (more-like-this). A
+zero-hit plain query returns a `didYouMean` spell-corrected rewrite.
+
 Default scorer is block-max WAND for bag-of-words queries (falls back to
 the exact plan for phrase/boolean automatically); --exact forces the
 uncompressed plan; --scorer bm25 switches to the standard Okapi BM25
@@ -34,7 +39,14 @@ import time
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index-dir", required=True)
-    p.add_argument("--query", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query")
+    g.add_argument(
+        "--mlt",
+        metavar="DOC_ID",
+        help="more-like-this: rank the corpus against this document's "
+        "most characteristic terms (seed excluded from results)",
+    )
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--exact", action="store_true")
     p.add_argument("--no-snippets", action="store_true")
@@ -57,10 +69,27 @@ def main(argv=None) -> int:
     spark = get_spark("aptse-search")
     engine = SearchEngine(spark, index_dir=args.index_dir)
     t0 = time.time()
+    if args.mlt is not None:
+        if args.no_snippets or args.exact:
+            df = engine.more_like_this_df(args.mlt, k=args.k)
+            results = [
+                {"doc_id": r.doc_id, "score": r.score} for r in df.collect()
+            ]
+        else:
+            results = engine.more_like_this(args.mlt, k=args.k)
+        ms = int((time.time() - t0) * 1000)
+        print(json.dumps({"results": results, "totalCount": len(results),
+                          "totalTime": ms}))
+        return 0
     # Lucene-style multi-term syntax (query/parser.py extension grammar,
     # shared with jobs/serve.py): `pre*` = prefix expansion, `word~1` /
-    # `word~2` = fuzzy, `w1 NEAR/3 w2` = unordered proximity
-    from apt_search_engine_spark.query.parser import MULTITERM_RE, NEAR_RE
+    # `word~2` = fuzzy, `w1 NEAR/3 w2` = unordered proximity, plus
+    # general wildcards `te*t` / `t?st` / `*ing`
+    from apt_search_engine_spark.query.parser import (
+        MULTITERM_RE,
+        NEAR_RE,
+        WILDCARD_RE,
+    )
 
     nr = NEAR_RE.fullmatch(args.query.strip())
     if nr is not None:
@@ -109,6 +138,26 @@ def main(argv=None) -> int:
         print(json.dumps({"results": results, "totalCount": len(results),
                           "totalTime": ms}))
         return 0
+    wc = WILDCARD_RE.fullmatch(args.query.strip())
+    if wc is not None:
+        pattern = args.query.strip().lower()
+        if args.no_snippets or args.exact:
+            df = (
+                engine.search_wildcard_df(pattern, k=args.k)
+                if args.exact
+                else engine.search_wildcard_wand_df(pattern, k=args.k)
+            )
+            results = [
+                {"doc_id": r.doc_id, "score": r.score} for r in df.collect()
+            ]
+        else:
+            results = engine.search_wildcard(
+                pattern, k=args.k, with_snippets=True
+            )
+        ms = int((time.time() - t0) * 1000)
+        print(json.dumps({"results": results, "totalCount": len(results),
+                          "totalTime": ms}))
+        return 0
     if args.scorer in ("bm25", "bm25f"):
         fn = (
             engine.search_bm25f_df
@@ -127,8 +176,19 @@ def main(argv=None) -> int:
     else:
         results = engine.search(args.query, k=args.k, with_snippets=True)
     ms = int((time.time() - t0) * 1000)
-    print(json.dumps({"results": results, "totalCount": len(results),
-                      "totalTime": ms}))
+    out = {"results": results, "totalCount": len(results), "totalTime": ms}
+    if not results and args.scorer == "reference":
+        # zero hits: offer "did you mean" (out-of-vocab words replaced by
+        # their nearest vocabulary stem; one lexicon scan, empty path only)
+        from apt_search_engine_spark.query.parser import tokenize
+
+        fixes = engine.suggest_spelling(tokenize(args.query))
+        if fixes:
+            out["didYouMean"] = " ".join(
+                fixes.get(w, w) for w in tokenize(args.query)
+            )
+        out["totalTime"] = int((time.time() - t0) * 1000)
+    print(json.dumps(out))
     return 0
 
 

@@ -44,6 +44,8 @@ from urllib.parse import parse_qs, urlparse
 from apt_search_engine_spark.query.parser import (  # noqa: E402
     MULTITERM_RE as _MULTITERM_RE,
     NEAR_RE as _NEAR_RE,
+    WILDCARD_RE as _WILDCARD_RE,
+    tokenize as _tokenize,
 )
 
 
@@ -80,6 +82,70 @@ def make_handler(engine):
                 },
             )
 
+        def _spell(self, u) -> None:
+            """GET /spell?query=...&max_dist=... — spell suggestions for
+            the query's out-of-vocabulary words (engine.suggest_spelling:
+            Lucene DirectSpellChecker shape over the stem vocabulary)."""
+            q = parse_qs(u.query)
+            query = (q.get("query") or [""])[0]
+            words = _tokenize(query)
+            if not words:
+                self._json(400, {"error": "empty query"})
+                return
+            try:
+                max_dist = int((q.get("max_dist") or ["2"])[0])
+            except ValueError:
+                self._json(400, {"error": "max_dist must be an integer"})
+                return
+            max_dist = min(max(1, max_dist), 3)
+            t0 = time.time()
+            rows = engine.suggest_spelling_df(words, max_dist=max_dist).collect()
+            self._json(
+                200,
+                {
+                    "suggestions": [
+                        {"word": r.word, "suggestion": r.suggestion,
+                         "dist": r.dist, "df": r.df}
+                        for r in rows
+                    ],
+                    "totalTime": int((time.time() - t0) * 1000),
+                },
+            )
+
+        def _mlt(self, u) -> None:
+            """GET /mlt?doc=...&k=...&max_terms=... — more-like-this:
+            documents ranked against the seed doc's most characteristic
+            terms (engine.more_like_this), seed excluded."""
+            q = parse_qs(u.query)
+            doc = (q.get("doc") or [""])[0].strip()
+            if not doc:
+                self._json(400, {"error": "empty doc"})
+                return
+            try:
+                k = int((q.get("k") or ["10"])[0])
+                max_terms = int((q.get("max_terms") or ["25"])[0])
+            except ValueError:
+                self._json(400, {"error": "k/max_terms must be integers"})
+                return
+            k = min(max(1, k), 100)
+            max_terms = min(max(1, max_terms), 100)
+            t0 = time.time()
+            rows = engine.more_like_this(
+                doc, k=k, max_terms=max_terms, with_snippets=True
+            )
+            self._json(
+                200,
+                {
+                    "results": [
+                        {"url": r["url"], "score": r["score"],
+                         "title": r["title"], "snippet": r["snippet"]}
+                        for r in rows
+                    ],
+                    "totalCount": len(rows),
+                    "totalTime": int((time.time() - t0) * 1000),
+                },
+            )
+
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -92,6 +158,12 @@ def make_handler(engine):
             u = urlparse(self.path)
             if u.path == "/suggest":
                 self._suggest(u)
+                return
+            if u.path == "/spell":
+                self._spell(u)
+                return
+            if u.path == "/mlt":
+                self._mlt(u)
                 return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})
@@ -139,7 +211,14 @@ def make_handler(engine):
             # return the doc_id/score shape like the bm25 scorer.
             mt = _MULTITERM_RE.fullmatch(query.strip())
             nr = _NEAR_RE.fullmatch(query.strip())
-            if (mt is not None or nr is not None) and (
+            # general wildcard (`te*t` / `t?st` / `*ing`) — only when the
+            # cheaper trailing-star prefix shape didn't already match
+            wc = (
+                _WILDCARD_RE.fullmatch(query.strip())
+                if mt is None and nr is None
+                else None
+            )
+            if (mt is not None or nr is not None or wc is not None) and (
                 scorer != "reference" or field or want_exact_count
             ):
                 # extension syntax only runs on the reference scorer and
@@ -157,7 +236,11 @@ def make_handler(engine):
                     {"error": "field= requires scorer=reference"},
                 )
                 return
-            if nr is not None:
+            if wc is not None:
+                rows = engine.search_wildcard(
+                    query.strip().lower(), k=page * size, with_snippets=True
+                )
+            elif nr is not None:
                 rows = engine.search_near(
                     nr.group(1).lower(), nr.group(3).lower(),
                     slop=int(nr.group(2)),
@@ -211,6 +294,23 @@ def make_handler(engine):
                 "totalCount": len(rows),
                 "totalTime": int((time.time() - t0) * 1000),
             }
+            if (
+                not rows
+                and mt is None
+                and nr is None
+                and wc is None
+                and not field
+                and scorer == "reference"
+            ):
+                # zero hits on a plain query: offer "did you mean" from
+                # the spell suggester (out-of-vocab words replaced by
+                # their nearest vocabulary stem). One lexicon scan, only
+                # on the empty-result path.
+                fixes = engine.suggest_spelling(_tokenize(query))
+                if fixes:
+                    resp["didYouMean"] = " ".join(
+                        fixes.get(w, w) for w in _tokenize(query)
+                    )
             if (
                 want_exact_count
                 and mt is None

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -41,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from apt_search_engine_spark.config import (
     DEFAULT_MAX_EXPANSIONS,
+    DEFAULT_MLT_MAX_TERMS,
     DEFAULT_TOP_K,
     N_TERM_BUCKETS,
     idf_numerator,
@@ -833,6 +835,7 @@ class SearchEngine:
         k: int,
         dedup_by_url: bool = False,
         count_only: bool = False,
+        exclude_doc: str | None = None,
     ) -> DataFrame:
         """Score the final filtered postings. df per term = filtered map
         size (quirk Q12); duplicate scoring words multiply; optional
@@ -926,6 +929,23 @@ class SearchEngine:
             .filter(F.col("score") != 0.0)
             .select(key, "score")
         )
+        if exclude_doc is not None:
+            # drop one document (the more-like-this seed) BEFORE the
+            # top-k limit; in ordinal space the doc_id resolves to its
+            # ordinal via one doc_map point lookup
+            if key == "doc_ord":
+                hit = (
+                    self._doc_map()
+                    .filter(F.col("doc_id") == exclude_doc)
+                    .select("doc_ord")
+                    .collect()
+                )
+                if hit:
+                    scored = scored.filter(
+                        F.col(key) != int(hit[0].doc_ord)
+                    )
+            else:
+                scored = scored.filter(F.col(key) != exclude_doc)
         if count_only:
             # the reference's totalCount (results.size()) without the
             # sort/limit or the doc_map translation
@@ -1151,12 +1171,54 @@ class SearchEngine:
         )
         return self._cache_dfs(rows)
 
-    def _score_expansion(self, terms: list[str], k: int) -> DataFrame:
+    @staticmethod
+    def _glob_to_like(pattern: str) -> str:
+        """Translate a term glob (`*` = any run, `?` = one char) to a SQL
+        LIKE pattern. Vocabulary terms are [a-z0-9]+ by analysis, and the
+        pattern grammar admits only [a-z0-9*?] — no escaping hazards."""
+        if not re.fullmatch(r"[a-z0-9*?]+", pattern):
+            raise ValueError(
+                "wildcard pattern must be [a-z0-9*?]+, got "
+                f"{pattern!r}"
+            )
+        return pattern.replace("*", "%").replace("?", "_")
+
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+    ) -> list[str]:
+        """General wildcard (`te*t`, `t?st`, `*ing`) expansion against
+        the stored vocabulary — the mid-/leading-wildcard generalization
+        of expand_prefix, matched as SQL LIKE over the same vocab-sized
+        lexicon scan and capped by the same deterministic (df DESC, term
+        ASC) TopTermsRewrite rule. Leading wildcards can't narrow the
+        scan (Lucene pays a full term-dict walk there too); the lexicon
+        is vocab-sized, so that is one bounded columnar scan, not a
+        postings scan."""
+        pattern = pattern.strip().lower()
+        if not pattern.strip("*?"):
+            return []  # no literal chars: refuse the vocabulary dump
+        like = self._glob_to_like(pattern)
+        rows = (
+            self._lexicon_src()
+            .filter(F.col("term").like(like))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term", "df")
+            .collect()
+        )
+        return self._cache_dfs(rows)
+
+    def _score_expansion(
+        self, terms: list[str], k: int, exclude_doc: str | None = None
+    ) -> DataFrame:
         """Exact bag-of-words scoring of a server-derived expansion:
         each term multiplicity 1, true build-time df, no gate — the one
-        scoring shape every multi-term rewrite shares."""
+        scoring shape every multi-term rewrite shares. `exclude_doc`
+        drops one doc_id from the ranking before top-k (the
+        more-like-this seed)."""
         return self._score(
-            self._exploded(terms, with_df=True), sorted(terms), None, k
+            self._exploded(terms, with_df=True), sorted(terms), None, k,
+            exclude_doc=exclude_doc,
         )
 
     def search_prefix_df(
@@ -1285,6 +1347,208 @@ class SearchEngine:
         if not self._has_blocks():
             return self._score_expansion(terms, k)
         return self._wand_topk_for_terms(sorted(terms), k)
+
+    def search_wildcard_df(
+        self,
+        pattern: str,
+        k: int = DEFAULT_TOP_K,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """General wildcard query (`te*t`, `t?st`, `*ing`): LIKE
+        expansion against the lexicon, ranked as a bag-of-words OR query
+        over the expansion — the same scoring-boolean rewrite as
+        search_prefix_df, reached when the pattern has a wildcard
+        anywhere but the tail (parser.WILDCARD_RE)."""
+        self._ensure_fresh()
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return self._empty_results()
+        return self._score_expansion(terms, k)
+
+    def search_wildcard_wand_df(
+        self,
+        pattern: str,
+        k: int = DEFAULT_TOP_K,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """Wildcard rewrite on the block-max WAND hot path (see
+        search_prefix_wand_df) — rank+score identical to the exact
+        rewrite."""
+        self._ensure_fresh()
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return self._empty_results()
+        if not self._has_blocks():
+            return self._score_expansion(terms, k)
+        return self._wand_topk_for_terms(sorted(terms), k)
+
+    def suggest_spelling_df(
+        self,
+        words: list[str],
+        max_dist: int = 2,
+        k: int = 1,
+    ) -> DataFrame:
+        """Spell correction ("did you mean"): for every query word whose
+        analyzed stem is NOT in the index vocabulary, the k nearest
+        vocabulary terms by (levenshtein ASC, df DESC, term ASC) within
+        `max_dist` — Lucene DirectSpellChecker semantics over the stem
+        space the index actually stores. Returns (word, suggestion,
+        dist, df) ordered (word ASC, rank ASC); in-vocabulary words and
+        words with no candidate within max_dist produce no row.
+
+        Plan: unknown-word detection is the existing driver-side pruned
+        lexicon lookup (term_dfs); candidates are ONE vocab-sized
+        lexicon scan joined to the tiny broadcast word list under the
+        |len(term) - len(word)| <= max_dist band, ranked per word with a
+        window — no postings touched."""
+        self._ensure_fresh()
+        from apt_search_engine_spark.analysis.analyzer import _admit
+
+        stems: dict[str, str] = {}
+        for w in words:
+            w = w.strip().lower()
+            # never "correct" words the analyzer wouldn't index anyway
+            # (stopwords, single chars, pure digits) — their absence from
+            # the vocabulary is by design, not a typo
+            if w and _admit(w):
+                stems.setdefault(w, parser.stem(w))
+        if not stems:
+            return self.spark.createDataFrame(
+                [], "word string, suggestion string, dist int, df long"
+            )
+        dfs = self.term_dfs(sorted(set(stems.values())))
+        unknown = sorted(
+            w for w, s in stems.items() if dfs.get(s, 0) == 0
+        )
+        if not unknown:
+            return self.spark.createDataFrame(
+                [], "word string, suggestion string, dist int, df long"
+            )
+        wl = self.spark.createDataFrame(
+            [(w, stems[w]) for w in unknown], "word string, stem string"
+        )
+        band = (
+            F.abs(F.length("term") - F.length("stem")) <= F.lit(max_dist)
+        )
+        cand = (
+            self._lexicon_src()
+            .join(F.broadcast(wl), band)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("stem")))
+            .filter(F.col("dist") <= max_dist)
+        )
+        rank = F.row_number().over(
+            Window.partitionBy("word").orderBy(
+                F.asc("dist"), F.desc("df"), F.asc("term")
+            )
+        )
+        return (
+            cand.withColumn("rank", rank)
+            .filter(F.col("rank") <= k)
+            .select(
+                "word",
+                F.col("term").alias("suggestion"),
+                F.col("dist").cast("int").alias("dist"),
+                F.col("df").cast("long").alias("df"),
+            )
+            .orderBy(F.asc("word"), F.asc("dist"), F.desc("df"),
+                     F.asc("suggestion"))
+        )
+
+    def suggest_spelling(self, words: list[str], max_dist: int = 2) -> dict:
+        """Driver-side helper for the serving layer: {word: best
+        suggestion} for the unknown words of a query (one row per word,
+        k=1)."""
+        return {
+            r.word: r.suggestion
+            for r in self.suggest_spelling_df(words, max_dist, k=1).collect()
+        }
+
+    def mlt_terms(
+        self, doc_id: str, max_terms: int = DEFAULT_MLT_MAX_TERMS
+    ) -> list[str]:
+        """More-like-this term selection (Lucene MoreLikeThis): the seed
+        document's `max_terms` most characteristic terms by
+        occ * floor(idf_num / df) — integer arithmetic, so the selection
+        order is exactly reproducible in SQL (ties broken term ASC). The
+        seed's term vector is recovered by re-analyzing its stored
+        doc_meta text driver-side (one doc — the analog of reading one
+        Lucene term vector; occurrence counts are invariant under the
+        sentence-split round trip because analysis splits on whitespace);
+        dfs come from the driver-side pruned lexicon lookup."""
+        if self.doc_meta_path is None:
+            raise ValueError("more_like_this needs a disk index (doc_meta)")
+        rows = (
+            self._read(self.doc_meta_path)
+            .filter(F.col("doc_id") == doc_id)
+            .select("ps")
+            .collect()
+        )
+        if not rows:
+            return []
+        from apt_search_engine_spark.analysis.analyzer import analyze_doc
+
+        text = " ".join(rows[0].ps or [])
+        analyzed = analyze_doc(text)
+        occs = {t: len(v["positions"]) for t, v in analyzed.items()}
+        if not occs:
+            return []
+        dfs = self.term_dfs(sorted(occs))
+        scored = [
+            (occs[t] * (self.idf_numerator // dfs[t]), t)
+            for t in occs
+            if dfs.get(t, 0) > 0
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _, t in scored[:max_terms]]
+
+    def more_like_this_df(
+        self,
+        doc_id: str,
+        k: int = DEFAULT_TOP_K,
+        max_terms: int = DEFAULT_MLT_MAX_TERMS,
+    ) -> DataFrame:
+        """More-like-this: rank the corpus against the seed document's
+        most characteristic terms (mlt_terms), excluding the seed itself
+        from the results — the seed's top-`max_terms` terms scored as a
+        bag-of-words OR query with true build-time dfs, exactly the
+        multi-term rewrite shape (same plan as search_prefix_df plus one
+        doc_map point lookup for the exclusion)."""
+        self._ensure_fresh()
+        terms = self.mlt_terms(doc_id, max_terms)
+        if not terms:
+            return self._empty_results()
+        return self._score_expansion(terms, k, exclude_doc=doc_id)
+
+    def more_like_this(
+        self,
+        doc_id: str,
+        k: int = DEFAULT_TOP_K,
+        max_terms: int = DEFAULT_MLT_MAX_TERMS,
+        with_snippets: bool = True,
+    ) -> list[dict]:
+        """Full-response more-like-this: the MLT top-k with metadata +
+        snippet assembly; the seed's characteristic terms highlight."""
+        self._ensure_fresh()
+        terms = self.mlt_terms(doc_id, max_terms)
+        if not terms:
+            return []
+        top = self._score_expansion(terms, k, exclude_doc=doc_id).collect()
+        return self._assemble(top, terms, with_snippets)
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = DEFAULT_TOP_K,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+        with_snippets: bool = True,
+    ) -> list[dict]:
+        """Full-response wildcard search (see search_prefix)."""
+        self._ensure_fresh()
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return []
+        top = self._score_expansion(terms, k).collect()
+        return self._assemble(top, terms, with_snippets)
 
     def suggest_terms_df(
         self, prefix: str, k: int = DEFAULT_TOP_K

@@ -36,6 +36,15 @@ OPERATORS = ("AND", "OR", "NOT")
 # vocabulary is lowercase by analysis).
 MULTITERM_RE = re.compile(r"([a-z0-9]+)(?:(\*)|~([12]))", re.I)
 NEAR_RE = re.compile(r"([a-z0-9]+)\s+NEAR/([1-9][0-9]?)\s+([a-z0-9]+)", re.I)
+# General wildcard pattern (`te*t`, `t?st`, `*ing`): `*` = any run, `?` =
+# any single char, anywhere in the term. The trailing-star-only shape
+# (`pre*`) is dispatched to the cheaper prefix path by MULTITERM_RE
+# first, so this matches only patterns the prefix rewrite can't serve.
+# Requires at least one wildcard AND at least one literal char (a bare
+# `*` / `??` would be an unbounded vocabulary dump, not a query).
+WILDCARD_RE = re.compile(
+    r"(?=[a-z0-9*?]*[*?])(?=[*?]*[a-z0-9])[a-z0-9*?]+", re.I
+)
 
 
 def stem(word: str) -> str:

@@ -375,3 +375,166 @@ def test_match_count_dedup_by_url(spark, tmp_path):
     assert n_urls == eng.search_df(
         "travel guide", k=10**6, dedup_by_url=True
     ).count()
+
+
+# --------------------------------------------------------------- wildcard
+def _glob_re(pattern: str):
+    import re
+
+    return re.compile(
+        "^"
+        + "".join(
+            ".*" if c == "*" else "." if c == "?" else c for c in pattern
+        )
+        + "$"
+    )
+
+
+def _oracle_wildcard_expansion(oracle, pattern: str, max_exp: int):
+    rex = _glob_re(pattern)
+    cand = [
+        (t, len(docs))
+        for t, docs in oracle.inverted.items()
+        if rex.match(t)
+    ]
+    cand.sort(key=lambda td: (-td[1], td[0]))
+    return [t for t, _ in cand[:max_exp]]
+
+
+@pytest.fixture(scope="module")
+def wildcard_pattern(oracle):
+    """A mid-string wildcard built from a real vocabulary term (first
+    char + '*' + last char) that matches >= 2 stems, so the expansion is
+    non-trivial and survives vocab regeneration."""
+    from collections import Counter
+
+    c = Counter(
+        (t[0], t[-1]) for t in oracle.inverted if len(t) >= 3
+    )
+    (first, last), n = c.most_common(1)[0]
+    assert n >= 2, "corpus vocabulary too small for a wildcard test"
+    return f"{first}*{last}"
+
+
+def test_wildcard_expansion_and_topk_parity(engine, oracle, wildcard_pattern):
+    want_all = _oracle_wildcard_expansion(oracle, wildcard_pattern, 10**6)
+    assert (
+        engine.expand_wildcard(wildcard_pattern, max_expansions=10**6)
+        == want_all
+    )
+    # deterministic cap keeps the highest-df expansions
+    cap = max(1, len(want_all) - 1)
+    assert (
+        engine.expand_wildcard(wildcard_pattern, max_expansions=cap)
+        == want_all[:cap]
+    )
+    got = engine.search_wildcard_df(
+        wildcard_pattern, k=10, max_expansions=50
+    ).collect()
+    _assert_rank_identical(
+        got,
+        _oracle_bag_topk(
+            oracle, _oracle_wildcard_expansion(oracle, wildcard_pattern, 50)
+        ),
+    )
+    assert got, "vacuous wildcard parity (no hits)"
+    # `?` = exactly one char: derive from a real term by replacing its
+    # middle char
+    term = max(oracle.inverted, key=lambda t: (len(oracle.inverted[t]), t))
+    if len(term) >= 3:
+        q = term[: len(term) // 2] + "?" + term[len(term) // 2 + 1 :]
+        assert term in engine.expand_wildcard(q, max_expansions=10**6)
+        assert engine.expand_wildcard(q, max_expansions=10**6) == \
+            _oracle_wildcard_expansion(oracle, q, 10**6)
+
+
+def test_wildcard_wand_equals_exact(engine, wildcard_pattern):
+    exact = engine.search_wildcard_df(wildcard_pattern, k=10).collect()
+    wand = engine.search_wildcard_wand_df(wildcard_pattern, k=10).collect()
+    assert [(r.doc_id, r.score) for r in exact] == [
+        (r.doc_id, r.score) for r in wand
+    ]
+    assert exact
+
+
+def test_wildcard_degenerate_patterns(engine):
+    # no literal chars -> refuse the vocabulary dump
+    assert engine.expand_wildcard("*") == []
+    assert engine.expand_wildcard("?*") == []
+    got = engine.search_wildcard_df("*")
+    assert got.columns == ["doc_id", "score"] and got.count() == 0
+    with pytest.raises(ValueError):
+        engine.expand_wildcard("te%t")  # invalid pattern chars
+
+
+# ------------------------------------------------------ spell correction
+def test_spell_suggestions_match_oracle(engine, oracle):
+    # typo = distance-1 mutation of a real stem (prepend handled by the
+    # length band); expected = nearest vocab stems by (dist, -df, term)
+    base = max(oracle.inverted, key=lambda t: (len(oracle.inverted[t]), t))
+    typo = ("z" + base[1:]) if len(base) > 2 else base + "z"
+    from apt_search_engine_spark.query.parser import stem as _stem
+
+    s = _stem(typo)
+    assert s not in oracle.inverted, "mutation landed on a real stem"
+    cand = [
+        (t, _levenshtein(t, s), len(docs))
+        for t, docs in oracle.inverted.items()
+    ]
+    cand = [c for c in cand if c[1] <= 2]
+    cand.sort(key=lambda x: (x[1], -x[2], x[0]))
+    rows = engine.suggest_spelling_df([typo], max_dist=2, k=3).collect()
+    assert [(r.suggestion, r.dist, r.df) for r in rows] == cand[:3]
+    # best-suggestion helper
+    assert engine.suggest_spelling([typo]) == {typo: cand[0][0]}
+
+
+def test_spell_skips_known_stopword_and_hopeless(engine, oracle):
+    known = next(iter(sorted(oracle.inverted)))
+    # a raw word whose stem is in-vocab: no suggestion row
+    rows = engine.suggest_spelling_df([known, "the", "qqqqqqqqqq"]).collect()
+    assert rows == []
+    assert engine.suggest_spelling([]) == {}
+
+
+# ------------------------------------------------------- more-like-this
+def test_mlt_terms_match_oracle_selection(engine, oracle):
+    from apt_search_engine_spark.config import IDF_NUMERATOR
+
+    seed = sorted(oracle.docs)[0]
+    occ = {
+        t: len(docs[seed]["positions"])
+        for t, docs in oracle.inverted.items()
+        if seed in docs
+    }
+    sel = sorted(
+        (
+            (-(occ[t] * (IDF_NUMERATOR // len(oracle.inverted[t]))), t)
+            for t in occ
+        )
+    )
+    for cap in (5, 10**6):
+        assert engine.mlt_terms(seed, max_terms=cap) == [
+            t for _, t in sel[:cap]
+        ]
+
+
+def test_mlt_topk_excludes_seed_and_matches_oracle(engine, oracle):
+    seed = sorted(oracle.docs)[0]
+    terms = engine.mlt_terms(seed, max_terms=5)
+    assert terms
+    want = [
+        (d, s)
+        for d, s in _oracle_bag_topk(oracle, terms, k=11)
+        if d != seed
+    ][:10]
+    got = engine.more_like_this_df(seed, k=10, max_terms=5).collect()
+    _assert_rank_identical(got, want)
+    assert seed not in {r.doc_id for r in got}
+    # full-response shape
+    full = engine.more_like_this(seed, k=3, max_terms=5)
+    assert full and all(
+        set(r) >= {"doc_id", "url", "score", "title", "snippet"} for r in full
+    )
+    # unknown seed -> empty
+    assert engine.more_like_this_df("no#such#doc").count() == 0

@@ -275,3 +275,68 @@ def test_multiterm_param_conflicts_and_case(engine):
         assert lo["results"]
     finally:
         httpd.shutdown()
+
+
+def test_wildcard_spell_mlt_endpoints(engine, oracle):
+    """`te*t`-shape wildcard routes to the wildcard rewrite; /spell
+    returns suggestions for out-of-vocab words; /mlt ranks against a
+    seed doc with the seed excluded; a zero-hit plain query carries a
+    didYouMean rewrite."""
+    import threading
+    import urllib.error
+    import urllib.parse
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # wildcard query syntax — pick a mid-string pattern from a real
+        # stem so it cannot be served by the prefix path
+        base = max(
+            (t for t in oracle.inverted if len(t) >= 3),
+            key=lambda t: (len(oracle.inverted[t]), t),
+        )
+        pat = urllib.parse.quote(f"{base[0]}*{base[-1]}")
+        status, body = _get(f"http://127.0.0.1:{port}/search?query={pat}")
+        assert status == 200 and body["results"]
+        assert all("url" in r and "snippet" in r for r in body["results"])
+        # wildcard + non-reference scorer must 400, not silently drop
+        try:
+            _get(f"http://127.0.0.1:{port}/search?query={pat}&scorer=bm25")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # /spell: typo from a real stem
+        typo = ("z" + base[1:]) if len(base) > 2 else base + "z"
+        status, body = _get(
+            f"http://127.0.0.1:{port}/spell?query={typo}%20{base}"
+        )
+        assert status == 200
+        got = {s["word"]: s["suggestion"] for s in body["suggestions"]}
+        assert typo in got and base not in got  # in-vocab word: no row
+
+        # /mlt from a real doc
+        seed = sorted(oracle.docs)[0]
+        status, body = _get(
+            f"http://127.0.0.1:{port}/mlt?doc={urllib.parse.quote(seed)}&k=5"
+        )
+        assert status == 200 and body["results"]
+        assert all(r["url"] != seed for r in body["results"])
+        try:
+            _get(f"http://127.0.0.1:{port}/mlt?doc=")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # didYouMean on a zero-hit plain query
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query={typo}"
+        )
+        assert status == 200 and body["results"] == []
+        assert body.get("didYouMean", "").strip(), body
+    finally:
+        httpd.shutdown()
