@@ -146,6 +146,22 @@ def make_handler(engine):
                 },
             )
 
+        def _explain(self, u) -> None:
+            """GET /explain?query=...&doc=... — per-term score breakdown
+            for one (query, doc) pair (engine.explain: Lucene
+            IndexSearcher.explain analog; the reproduced score is
+            bit-exact vs the ranked plan)."""
+            q = parse_qs(u.query)
+            query = (q.get("query") or [""])[0]
+            doc = (q.get("doc") or [""])[0].strip()
+            if not query.strip() or not doc:
+                self._json(400, {"error": "query and doc are required"})
+                return
+            t0 = time.time()
+            exp = engine.explain(query, doc)
+            exp["totalTime"] = int((time.time() - t0) * 1000)
+            self._json(200, exp)
+
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -164,6 +180,9 @@ def make_handler(engine):
                 return
             if u.path == "/mlt":
                 self._mlt(u)
+                return
+            if u.path == "/explain":
+                self._explain(u)
                 return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})

@@ -1096,6 +1096,118 @@ class SearchEngine:
             dedup_by_url=dedup_by_url, count_only=True,
         )
 
+    def explain(self, query: str, doc_id: str) -> dict:
+        """Score explanation (Lucene IndexSearcher.explain analog): how
+        `doc_id`'s score under `query` decomposes into per-term
+        contributions — term, df (quirk-Q12 filtered recount where the
+        query type demands it), floor idf, stored wtf, query-word
+        multiplicity, contrib = wtf * idf * mult — plus the prior and
+        the first-word gate verdict. The final `score` reproduces
+        search_df BIT-EXACTLY (same float association: contributions
+        folded in ascending term order, then * prior), pinned by
+        tests/test_explain.py. Debug surface: runs the query's real
+        filtered plan restricted to one document (dfs still computed
+        over the full plan), never the hot path."""
+        self._ensure_fresh()
+        parsed = parser.parse(query)
+        filtered, words, gate = self._filtered_plan(parsed)
+        out = {
+            "query": query,
+            "qtype": parsed.qtype,
+            "doc_id": doc_id,
+            "matched": False,
+            "gate_word": gate,
+            "terms": [],
+            "prior": None,
+            "score": 0.0,
+        }
+        if not words:
+            return out
+        key = self._key()
+        if key == "doc_id":
+            keyval = doc_id
+        else:
+            hit = (
+                self._doc_map()
+                .filter(F.col("doc_id") == doc_id)
+                .select("doc_ord")
+                .collect()
+            )
+            if not hit:
+                return out
+            keyval = int(hit[0].doc_ord)
+        present = sorted(set(words))
+        sp = filtered.filter(F.col("term").isin(present))
+        if "df" not in sp.columns:
+            # Q12: the recount runs over the FULL filtered plan — the
+            # window must see every candidate, so it precedes the
+            # one-doc restriction
+            sp = sp.withColumn(
+                "df", F.count("*").over(Window.partitionBy("term"))
+            )
+        rows = (
+            sp.filter(F.col(key) == keyval)
+            .select("term", "wtf", "df")
+            .collect()
+        )
+        if not rows:
+            return out
+        terms_present = {r.term for r in rows}
+        if gate is not None and gate not in terms_present:
+            # Q7: docs without the first scoring word never score
+            out["gate_failed"] = True
+            return out
+        mult: dict[str, int] = {}
+        for w in words:
+            mult[w] = mult.get(w, 0) + 1
+        raw = 0.0
+        details = []
+        for r in sorted(rows, key=lambda r: r.term):
+            idf = float(self.idf_numerator // int(r.df))
+            contrib = r.wtf * idf * float(mult[r.term])
+            details.append(
+                {
+                    "term": r.term,
+                    "df": int(r.df),
+                    "idf": idf,
+                    "wtf": r.wtf,
+                    "multiplicity": mult[r.term],
+                    "contrib": contrib,
+                }
+            )
+            raw += contrib
+        prior = self.prior
+        if self.doc_prior is not None:
+            url = doc_id
+            if self.doc_meta_path is not None and os.path.isdir(
+                self.doc_meta_path
+            ):
+                m = (
+                    self._read(self.doc_meta_path)
+                    .filter(F.col("doc_id") == doc_id)
+                    .select("url")
+                    .collect()
+                )
+                if m:
+                    url = m[0].url
+            p = (
+                self.doc_prior.filter(F.col("url") == url)
+                .select(F.col("prior").cast("double").alias("prior"))
+                .collect()
+            )
+            if p:
+                prior = float(p[0].prior)
+        score = raw * prior
+        out.update(
+            {
+                "matched": score != 0.0,
+                "terms": details,
+                "prior": prior,
+                "score": score,
+            }
+        )
+        return out
+
     # ------------------------------------------------- multi-term rewrite
     def _lexicon_src(self) -> DataFrame:
         """The full (term, df) lexicon frame — vocab-sized, NOT postings-
