@@ -401,6 +401,23 @@ def _mlt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synonym_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion over fixed (stem, synonym) pairs —
+    two in-vocab targets plus one absent target that must contribute
+    nothing (extras/search_oracle.synonym_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        SYN_PAIRS,
+        SYN_QUERY,
+    )
+
+    syn = spark.createDataFrame(SYN_PAIRS, "term string, synonym string")
+    return (
+        _engine_over(spark, sf_dir)
+        .search_synonym_df(SYN_QUERY, syn, k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _match_count_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
     """Exact total match count (reference totalCount = full ranked list
     size; engine.match_count_df) — 1-row (n_matches) aggregate, no
@@ -764,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_wildcard_wand_topk"] = _wildcard_wand_q
     q["spell_correct"] = _spell_q
     q["more_like_this_topk"] = _mlt_q
+    q["search_synonym_topk"] = _synonym_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

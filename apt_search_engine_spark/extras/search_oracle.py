@@ -648,6 +648,10 @@ SPELL_MAX_DIST = 2
 # selection-score tie (broken term ASC on both sides).
 MLT_DOC = "src0#000000"
 MLT_MAX_TERMS = 5
+# Query-time synonym gate fixture (stem space): two in-vocabulary
+# synonym targets plus one absent target (must contribute nothing).
+SYN_PAIRS = [("tabl", "row"), ("scan", "stream"), ("queri", "zzz_absent")]
+SYN_QUERY = "table scan query"
 # deterministic (doc_id -> facet) rule the facet gate entry mirrors in
 # Spark (element_at is 1-based there too)
 FACET_RULE_SQL = (
@@ -803,6 +807,40 @@ cand AS (
 )
 SELECT word, suggestion, dist, df FROM cand WHERE rnk <= {k}
 ORDER BY word ASC, dist ASC, df DESC, suggestion ASC"""
+    )
+
+
+def synonym_topk_sql(
+    stem_values: str,
+    query: str = SYN_QUERY,
+    pairs: list[tuple[str, str]] | None = None,
+    k: int = 10,
+) -> str:
+    """Query-time synonym expansion (engine.search_synonym_df): the
+    query's bag-of-words plus each word's mapped synonyms, scored as the
+    standard multi-term rewrite. The expanded term set is derived at
+    SQL-gen time from the same fixed pairs the driver entry feeds the
+    engine; synonyms absent from the vocabulary drop out in the postings
+    join on both sides."""
+    pairs = SYN_PAIRS if pairs is None else pairs
+    p = parser.parse(query)
+    words = sorted(
+        {w for w in p.query_words if w.upper() not in parser.OPERATORS}
+    )
+    terms = set(words)
+    mapping: dict[str, list[str]] = {}
+    for t, s in pairs:
+        mapping.setdefault(t, []).append(s)
+    for w in words:
+        terms.update(mapping.get(w, []))
+    vals = ", ".join(f"('{t}')" for t in sorted(terms))
+    exp = f"exp AS (SELECT term FROM (VALUES {vals}) AS t(term))"
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _expansion_score_sql(exp, k)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
     )
 
 
@@ -979,4 +1017,5 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "search_wildcard_wand_topk": wildcard_topk_sql(sv),
         "spell_correct": spell_correct_sql(sv),
         "more_like_this_topk": mlt_topk_sql(sv),
+        "search_synonym_topk": synonym_topk_sql(sv),
     }

@@ -6,8 +6,10 @@
 
 Extension syntax: `pre*` (prefix), `te*t` / `t?st` (wildcard), `word~1`
 (fuzzy), `w1 NEAR/3 w2` (proximity); `--mlt DOC_ID` ranks the corpus
-against a seed document's characteristic terms (more-like-this). A
-zero-hit plain query returns a `didYouMean` spell-corrected rewrite.
+against a seed document's characteristic terms (more-like-this);
+`--synonyms DIR` expands plain queries through a (term, synonym) stem
+table. A zero-hit plain query returns a `didYouMean` spell-corrected
+rewrite.
 
 Default scorer is block-max WAND for bag-of-words queries (falls back to
 the exact plan for phrase/boolean automatically); --exact forces the
@@ -50,6 +52,12 @@ def parse_args(argv=None):
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--exact", action="store_true")
     p.add_argument("--no-snippets", action="store_true")
+    p.add_argument(
+        "--synonyms",
+        default=None,
+        help="parquet dir of (term, synonym) stem pairs: expand plain "
+        "bag-of-words queries through the table before scoring",
+    )
     p.add_argument(
         "--scorer",
         choices=("reference", "bm25", "bm25f"),
@@ -153,6 +161,31 @@ def main(argv=None) -> int:
         else:
             results = engine.search_wildcard(
                 pattern, k=args.k, with_snippets=True
+            )
+        ms = int((time.time() - t0) * 1000)
+        print(json.dumps({"results": results, "totalCount": len(results),
+                          "totalTime": ms}))
+        return 0
+    if args.synonyms and args.scorer != "reference":
+        # mirror serve's 400: silently dropping the user's synonym table
+        # under a non-reference scorer would be worse than refusing
+        print(
+            json.dumps(
+                {"error": "--synonyms requires --scorer reference"}
+            ),
+            file=sys.stderr,
+        )
+        return 2
+    if args.synonyms:
+        syn = spark.read.parquet(args.synonyms)
+        if args.no_snippets or args.exact:
+            df = engine.search_synonym_df(args.query, syn, k=args.k)
+            results = [
+                {"doc_id": r.doc_id, "score": r.score} for r in df.collect()
+            ]
+        else:
+            results = engine.search_synonym(
+                args.query, syn, k=args.k, with_snippets=True
             )
         ms = int((time.time() - t0) * 1000)
         print(json.dumps({"results": results, "totalCount": len(results),

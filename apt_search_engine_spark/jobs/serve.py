@@ -49,7 +49,7 @@ from apt_search_engine_spark.query.parser import (  # noqa: E402
 )
 
 
-def make_handler(engine):
+def make_handler(engine, synonyms_df=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -222,6 +222,24 @@ def make_handler(engine):
                     400, {"error": "field must be title|h1|h2|h3"}
                 )
                 return
+            # synonyms=1 expands query words through the synonym table
+            # the server was started with (--synonyms; stem space)
+            want_syn = (q.get("synonyms") or [""])[0] == "1"
+            if want_syn and synonyms_df is None:
+                self._json(
+                    400,
+                    {"error": "server started without --synonyms"},
+                )
+                return
+            if want_syn and (
+                scorer != "reference" or field or want_exact_count
+            ):
+                self._json(
+                    400,
+                    {"error": "synonyms=1 supports only scorer=reference "
+                              "without field/count"},
+                )
+                return
             t0 = time.time()
             # Lucene-style multi-term syntax, resolved at the serve layer
             # (the reference parser has no wildcards): `pre*` = prefix
@@ -255,7 +273,22 @@ def make_handler(engine):
                     {"error": "field= requires scorer=reference"},
                 )
                 return
-            if wc is not None:
+            if want_syn and (
+                mt is not None or nr is not None or wc is not None
+            ):
+                # expansion-on-expansion is undefined: 400 beats
+                # silently dropping the caller's synonyms=1
+                self._json(
+                    400,
+                    {"error": "synonyms=1 applies to plain bag-of-words "
+                              "queries only"},
+                )
+                return
+            if want_syn:
+                rows = engine.search_synonym(
+                    query, synonyms_df, k=page * size, with_snippets=True
+                )
+            elif wc is not None:
                 rows = engine.search_wildcard(
                     query.strip().lower(), k=page * size, with_snippets=True
                 )
@@ -345,10 +378,13 @@ def make_handler(engine):
     return Handler
 
 
-def serve(engine, host: str = "127.0.0.1", port: int = 8080):
+def serve(engine, host: str = "127.0.0.1", port: int = 8080,
+          synonyms_df=None):
     """Returns the bound ThreadingHTTPServer (caller runs serve_forever,
     or drives it from a thread in tests)."""
-    return ThreadingHTTPServer((host, port), make_handler(engine))
+    return ThreadingHTTPServer(
+        (host, port), make_handler(engine, synonyms_df=synonyms_df)
+    )
 
 
 def main(argv=None) -> int:
@@ -356,6 +392,11 @@ def main(argv=None) -> int:
     p.add_argument("--index-dir", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument(
+        "--synonyms", default=None,
+        help="parquet dir of (term, synonym) stem pairs; enables the "
+        "synonyms=1 query param",
+    )
     args = p.parse_args(argv)
 
     from apt_search_engine_spark.query.engine import SearchEngine
@@ -363,7 +404,8 @@ def main(argv=None) -> int:
 
     spark = get_spark("aptse-serve")
     engine = SearchEngine(spark, index_dir=args.index_dir)
-    httpd = serve(engine, args.host, args.port)
+    syn = spark.read.parquet(args.synonyms) if args.synonyms else None
+    httpd = serve(engine, args.host, args.port, synonyms_df=syn)
     print(json.dumps({"serving": f"http://{args.host}:{args.port}/search"}))
     try:
         httpd.serve_forever()

@@ -1662,6 +1662,67 @@ class SearchEngine:
         top = self._score_expansion(terms, k).collect()
         return self._assemble(top, terms, with_snippets)
 
+    def expand_synonyms(
+        self, words: list[str], synonyms: DataFrame
+    ) -> list[str]:
+        """Query-time synonym expansion (Lucene SynonymGraphFilter at
+        query time): `synonyms` is a (term, synonym) frame in STEM space
+        (one row per directed pair — symmetry is the table author's
+        choice, as in a Solr synonyms file). Returns the sorted distinct
+        union of the query words and their mapped synonyms. The lookup
+        filters the synonym table by the query's words — bounded by
+        query length x fanout, never table-sized."""
+        if not words:
+            return []
+        rows = (
+            synonyms.filter(F.col("term").isin(sorted(set(words))))
+            .select("synonym")
+            .collect()
+        )
+        terms = set(words)
+        terms.update(r.synonym for r in rows)
+        return sorted(terms)
+
+    def search_synonym_df(
+        self, query: str, synonyms: DataFrame, k: int = DEFAULT_TOP_K
+    ) -> DataFrame:
+        """Bag-of-words search with query-time synonym expansion: each
+        query word contributes itself plus its mapped synonyms, the
+        union scored as the standard multi-term rewrite (each expanded
+        term multiplicity 1, true build-time df — the scoring-boolean
+        shape every rewrite shares). Synonyms absent from the index
+        vocabulary contribute nothing (no postings rows), matching
+        Lucene's behavior for unindexed synonym targets."""
+        self._ensure_fresh()
+        parsed = parser.parse(query)
+        words = sorted(
+            {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+        )
+        terms = self.expand_synonyms(words, synonyms)
+        if not terms:
+            return self._empty_results()
+        return self._score_expansion(terms, k)
+
+    def search_synonym(
+        self,
+        query: str,
+        synonyms: DataFrame,
+        k: int = DEFAULT_TOP_K,
+        with_snippets: bool = True,
+    ) -> list[dict]:
+        """Full-response synonym-expanded search (see search_prefix);
+        expanded terms highlight in snippets."""
+        self._ensure_fresh()
+        parsed = parser.parse(query)
+        words = sorted(
+            {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
+        )
+        terms = self.expand_synonyms(words, synonyms)
+        if not terms:
+            return []
+        top = self._score_expansion(terms, k).collect()
+        return self._assemble(top, terms, with_snippets)
+
     def suggest_terms_df(
         self, prefix: str, k: int = DEFAULT_TOP_K
     ) -> DataFrame:

@@ -139,6 +139,32 @@ def main() -> None:
                 ),
                 3,
             )
+        # general wildcard rewrite (mid-string LIKE over the lexicon) on
+        # the WAND hot path
+        if hasattr(engine, "search_wildcard_wand_df"):
+            queries["q_wildcard"] = round(
+                _time(
+                    lambda: engine.search_wildcard_wand_df(
+                        "t*avel", k=10
+                    ).collect(),
+                    repeat=3,
+                ),
+                3,
+            )
+        # more-like-this: seed-doc term-vector fetch + expansion scoring
+        if hasattr(engine, "more_like_this_df"):
+            seed_row = engine._doc_map().limit(1).collect()
+            if seed_row:
+                seed = seed_row[0].doc_id
+                queries["q_mlt"] = round(
+                    _time(
+                        lambda: engine.more_like_this_df(
+                            seed, k=10
+                        ).collect(),
+                        repeat=3,
+                    ),
+                    3,
+                )
         # batched multi-query BM25: 4 queries in ONE shared-scan job —
         # the query-THROUGHPUT path; compare against 4x q_bm25
         if hasattr(engine, "search_bm25_batch_df"):

@@ -340,3 +340,51 @@ def test_wildcard_spell_mlt_endpoints(engine, oracle):
         assert body.get("didYouMean", "").strip(), body
     finally:
         httpd.shutdown()
+
+
+def test_synonyms_param(spark, engine, oracle):
+    """synonyms=1 expands query words through the server's synonym
+    table; without --synonyms the param 400s."""
+    import threading
+    import urllib.error
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    vocab = sorted(oracle.inverted)
+    w1, syn_target = vocab[0], vocab[-1]
+    syn = spark.createDataFrame(
+        [(w1, syn_target)], "term string, synonym string"
+    )
+    httpd = serve(engine, host="127.0.0.1", port=0, synonyms_df=syn)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query={w1}&synonyms=1"
+        )
+        assert status == 200 and body["results"]
+        # the synonym target's docs join the match set
+        plain_status, plain = _get(
+            f"http://127.0.0.1:{port}/search?query={w1}&size=100"
+        )
+        syn_status, expanded = _get(
+            f"http://127.0.0.1:{port}/search?query={w1}&synonyms=1&size=100"
+        )
+        assert expanded["totalCount"] >= plain["totalCount"]
+    finally:
+        httpd.shutdown()
+
+    # no table loaded -> explicit 400
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        try:
+            _get(f"http://127.0.0.1:{port}/search?query={w1}&synonyms=1")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
