@@ -49,7 +49,27 @@ from apt_search_engine_spark.query.parser import (  # noqa: E402
 )
 
 
-def make_handler(engine, synonyms_df=None):
+def make_handler(engine, synonyms_df=None, cache_size: int = 256):
+    """`cache_size` > 0 enables a driver-side LRU over successful
+    /search responses, keyed by (index state token, full request
+    line): identical repeated queries — the head of any real query
+    distribution — skip their Spark job entirely, and any index
+    commit (build / compact / recompact / purge) naturally invalidates
+    every entry because the state token changes. The X-Cache response
+    header says hit or miss."""
+    import threading
+    from collections import OrderedDict
+
+    lru: OrderedDict = OrderedDict()
+    lru_lock = threading.Lock()
+
+    def _cache_key(path: str):
+        try:
+            tok = engine._state_token()
+        except Exception:
+            return None  # in-memory engines have no commit marker
+        return (tuple(tok) if isinstance(tok, list) else tok, path)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -162,13 +182,37 @@ def make_handler(engine, synonyms_df=None):
             exp["totalTime"] = int((time.time() - t0) * 1000)
             self._json(200, exp)
 
-        def _json(self, code: int, obj) -> None:
-            body = json.dumps(obj).encode()
+        def _json(self, code: int, obj, cache: str | None = None) -> None:
+            body = obj if isinstance(obj, bytes) else json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if cache is not None:
+                self.send_header("X-Cache", cache)
             self.end_headers()
             self.wfile.write(body)
+
+        def _cache_get(self):
+            if cache_size <= 0:
+                return None, None
+            key = _cache_key(self.path)
+            if key is None:
+                return None, None
+            with lru_lock:
+                body = lru.get(key)
+                if body is not None:
+                    lru.move_to_end(key)
+            return key, body
+
+        def _cache_put(self, key, obj) -> bytes:
+            body = json.dumps(obj).encode()
+            if key is not None:
+                with lru_lock:
+                    lru[key] = body
+                    lru.move_to_end(key)
+                    while len(lru) > cache_size:
+                        lru.popitem(last=False)
+            return body
 
         def do_GET(self):
             u = urlparse(self.path)
@@ -186,6 +230,10 @@ def make_handler(engine, synonyms_df=None):
                 return
             if u.path != "/search":
                 self._json(404, {"error": "not found"})
+                return
+            ckey, cbody = self._cache_get()
+            if cbody is not None:
+                self._json(200, cbody, cache="hit")
                 return
             q = parse_qs(u.query)
             query = (q.get("query") or [""])[0]
@@ -373,17 +421,18 @@ def make_handler(engine, synonyms_df=None):
                     engine.match_count_df(query).collect()[0].n_matches
                 )
                 resp["totalTime"] = int((time.time() - t0) * 1000)
-            self._json(200, resp)
+            self._json(200, self._cache_put(ckey, resp), cache="miss")
 
     return Handler
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8080,
-          synonyms_df=None):
+          synonyms_df=None, cache_size: int = 256):
     """Returns the bound ThreadingHTTPServer (caller runs serve_forever,
     or drives it from a thread in tests)."""
     return ThreadingHTTPServer(
-        (host, port), make_handler(engine, synonyms_df=synonyms_df)
+        (host, port),
+        make_handler(engine, synonyms_df=synonyms_df, cache_size=cache_size),
     )
 
 

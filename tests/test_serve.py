@@ -388,3 +388,32 @@ def test_synonyms_param(spark, engine, oracle):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_response_cache_hit_and_key_isolation(engine):
+    """Identical repeated /search requests serve from the driver-side
+    LRU (X-Cache: hit, byte-identical body); different requests miss."""
+    import threading
+    import urllib.request
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def _get_hdr(url):
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.headers.get("X-Cache"), r.read()
+
+    try:
+        url = f"http://127.0.0.1:{port}/search?query=travel%20guide&size=3"
+        c1, b1 = _get_hdr(url)
+        c2, b2 = _get_hdr(url)
+        assert (c1, c2) == ("miss", "hit")
+        assert b1 == b2
+        c3, _ = _get_hdr(url + "&page=2")  # different request -> miss
+        assert c3 == "miss"
+    finally:
+        httpd.shutdown()
