@@ -418,6 +418,24 @@ def _synonym_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sloppy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase '"table hash"~3' (ordered proximity): a superset of
+    the adjacent-phrase entry and a subset of the unordered NEAR entry —
+    the three candidate sets are pairwise distinct on sf0.01
+    (extras/search_oracle.sloppy_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        NEAR_SLOP,
+        NEAR_W1,
+        NEAR_W2,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_near_df(NEAR_W1, NEAR_W2, slop=NEAR_SLOP, k=10, ordered=True)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _match_count_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
     """Exact total match count (reference totalCount = full ranked list
     size; engine.match_count_df) — 1-row (n_matches) aggregate, no
@@ -782,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spell_correct"] = _spell_q
     q["more_like_this_topk"] = _mlt_q
     q["search_synonym_topk"] = _synonym_q
+    q["search_sloppy_topk"] = _sloppy_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

@@ -39,6 +39,16 @@ from apt_search_engine_spark.config import IDF_NUMERATOR, TURN_PAD
 from apt_search_engine_spark.extras.docops import _STOPS_SQL
 from apt_search_engine_spark.query import parser
 
+
+# Spark's F.round on a double is BigDecimal.valueOf(x) (shortest decimal
+# string) rounded HALF_UP; DuckDB's round(double) rounds the raw binary
+# value. On exact .5 decimal boundaries (e.g. a raw score of 0.0643125,
+# whose double is 0.06431249999...) the two disagree by one ulp of the
+# rounded column even when the raw scores are bit-identical. ROUND6
+# reproduces Spark's rule in DuckDB: shortest-string -> exact DECIMAL ->
+# half-away round (== HALF_UP for the positive scores here).
+ROUND6 = "round(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE"
+
 # the driver's DuckDB correctness compare always runs at this scale
 CANONICAL_SF_DIR = "/root/testdata/sf0.01"
 
@@ -276,7 +286,7 @@ def normal_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
         + _postings_ctes(stem_values)
         + ",\n"
         + _score_sql(filtered, words, gate=None, k=k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -300,7 +310,7 @@ def deleted_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
         + _postings_ctes(stem_values)
         + ",\n"
         + _score_sql(filtered, words, gate=None, k=k, exclude_sql=DELETED_RULE_SQL)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -332,7 +342,7 @@ def prior_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
         + pri
         + ",\n"
         + _score_sql(filtered, words, gate=None, k=k, with_prior=True)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -354,7 +364,7 @@ def phrase_topk_sql(stem_values: str, query: str, k: int = 10) -> str:
         + _postings_ctes(stem_values)
         + ",\n"
         + _score_sql(filtered, words, gate=gate, k=k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -390,7 +400,7 @@ fp AS (SELECT w.* FROM w JOIN merged USING (doc_id) WHERE w.term IN ({present}))
         + _postings_ctes(stem_values)
         + ",\n"
         + _score_sql(filtered, words, gate=gate, k=k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -440,7 +450,9 @@ best AS (
                             ORDER BY nseg DESC, freq DESC, pidx ASC) AS rn
   FROM eligible
 )
-SELECT t.doc_id, t.doc_id AS url, round(t.score, 6) AS score, '' AS title,
+SELECT t.doc_id, t.doc_id AS url,
+       round(CAST(CAST(t.score AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS score,
+       '' AS title,
        coalesce(regexp_replace(b.p, '{pat}', '<b>\\0</b>', 'gi'), '') AS snippet
 FROM topk t LEFT JOIN (SELECT doc_id, p FROM best WHERE rn = 1) b USING (doc_id)"""
     )
@@ -536,7 +548,7 @@ scored AS (
   FROM contribs GROUP BY doc_id
 ),
 topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})
-SELECT doc_id, round(score, 6) AS score FROM topk"""
+SELECT doc_id, {ROUND6} AS score FROM topk"""
 
 
 def bm25f_topk_sql(
@@ -602,7 +614,7 @@ scored AS (
   FROM contribs GROUP BY doc_id
 ),
 topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})
-SELECT doc_id, round(score, 6) AS score FROM topk"""
+SELECT doc_id, {ROUND6} AS score FROM topk"""
 
 
 def bm25_batch_topk_sql(
@@ -712,7 +724,7 @@ def prefix_topk_sql(
         + _postings_ctes(stem_values)
         + ",\n"
         + _expansion_score_sql(exp, k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -739,7 +751,7 @@ def fuzzy_topk_sql(
         + _postings_ctes(stem_values)
         + ",\n"
         + _expansion_score_sql(exp, k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -764,7 +776,7 @@ def wildcard_topk_sql(
         + _postings_ctes(stem_values)
         + ",\n"
         + _expansion_score_sql(exp, k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -840,7 +852,7 @@ def synonym_topk_sql(
         + _postings_ctes(stem_values)
         + ",\n"
         + _expansion_score_sql(exp, k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -868,7 +880,7 @@ exp AS (
         + _postings_ctes(stem_values)
         + ",\n"
         + _expansion_score_sql(exp, k, exclude_doc=doc_id)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -904,7 +916,39 @@ fp AS (SELECT w.* FROM w JOIN cand USING (doc_id) WHERE w.term IN ({present}))""
         + _postings_ctes(stem_values)
         + ",\n"
         + _score_sql(filtered, words, gate=t1, k=k)
-        + "\nSELECT doc_id, round(score, 6) AS score FROM topk"
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
+    )
+
+
+def sloppy_topk_sql(
+    stem_values: str,
+    w1: str = NEAR_W1,
+    w2: str = NEAR_W2,
+    slop: int = NEAR_SLOP,
+    k: int = 10,
+) -> str:
+    """Sloppy phrase `"w1 w2"~slop` (engine.search_near_df with
+    ordered=True): candidates require some position of stem(w1)
+    FOLLOWED by a position of stem(w2) within `slop` — a superset of
+    the adjacent phrase (slop 1 in this direction == adjacency) and a
+    subset of unordered NEAR/slop; scoring identical to the phrase
+    path."""
+    t1, t2 = parser.stem(w1.strip().lower()), parser.stem(w2.strip().lower())
+    words = sorted({t1, t2})
+    present = ", ".join(f"'{t}'" for t in words)
+    filtered = f"""cand AS (
+  SELECT a.doc_id FROM agg a JOIN agg b USING (doc_id)
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+    AND len(list_filter(a.ps,
+          x -> len(list_filter(b.ps, y -> y - x BETWEEN 1 AND {slop})) > 0)) > 0
+),
+fp AS (SELECT w.* FROM w JOIN cand USING (doc_id) WHERE w.term IN ({present}))"""
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, words, gate=t1, k=k)
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
     )
 
 
@@ -1018,4 +1062,5 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "spell_correct": spell_correct_sql(sv),
         "more_like_this_topk": mlt_topk_sql(sv),
         "search_synonym_topk": synonym_topk_sql(sv),
+        "search_sloppy_topk": sloppy_topk_sql(sv),
     }

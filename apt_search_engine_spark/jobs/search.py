@@ -96,9 +96,26 @@ def main(argv=None) -> int:
     from apt_search_engine_spark.query.parser import (
         MULTITERM_RE,
         NEAR_RE,
+        SLOPPY_RE,
         WILDCARD_RE,
     )
 
+    sp = SLOPPY_RE.fullmatch(args.query.strip())
+    if sp is not None:
+        w1, w2, slop = sp.group(1).lower(), sp.group(2).lower(), int(sp.group(3))
+        if args.no_snippets or args.exact:
+            df = engine.search_near_df(w1, w2, slop=slop, k=args.k, ordered=True)
+            results = [
+                {"doc_id": r.doc_id, "score": r.score} for r in df.collect()
+            ]
+        else:
+            results = engine.search_near(
+                w1, w2, slop=slop, k=args.k, with_snippets=True, ordered=True
+            )
+        ms = int((time.time() - t0) * 1000)
+        print(json.dumps({"results": results, "totalCount": len(results),
+                          "totalTime": ms}))
+        return 0
     nr = NEAR_RE.fullmatch(args.query.strip())
     if nr is not None:
         w1, slop, w2 = nr.group(1).lower(), int(nr.group(2)), nr.group(3).lower()

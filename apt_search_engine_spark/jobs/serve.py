@@ -44,6 +44,7 @@ from urllib.parse import parse_qs, urlparse
 from apt_search_engine_spark.query.parser import (  # noqa: E402
     MULTITERM_RE as _MULTITERM_RE,
     NEAR_RE as _NEAR_RE,
+    SLOPPY_RE as _SLOPPY_RE,
     WILDCARD_RE as _WILDCARD_RE,
     tokenize as _tokenize,
 )
@@ -296,16 +297,21 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
             # return the doc_id/score shape like the bm25 scorer.
             mt = _MULTITERM_RE.fullmatch(query.strip())
             nr = _NEAR_RE.fullmatch(query.strip())
+            # sloppy phrase `"w1 w2"~k` = ordered proximity
+            sp = _SLOPPY_RE.fullmatch(query.strip()) if nr is None else None
             # general wildcard (`te*t` / `t?st` / `*ing`) — only when the
             # cheaper trailing-star prefix shape didn't already match
             wc = (
                 _WILDCARD_RE.fullmatch(query.strip())
-                if mt is None and nr is None
+                if mt is None and nr is None and sp is None
                 else None
             )
-            if (mt is not None or nr is not None or wc is not None) and (
-                scorer != "reference" or field or want_exact_count
-            ):
+            if (
+                mt is not None
+                or nr is not None
+                or sp is not None
+                or wc is not None
+            ) and (scorer != "reference" or field or want_exact_count):
                 # extension syntax only runs on the reference scorer and
                 # cannot honor field/count yet: 400 beats silently
                 # dropping the caller's explicit params
@@ -322,7 +328,10 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 )
                 return
             if want_syn and (
-                mt is not None or nr is not None or wc is not None
+                mt is not None
+                or nr is not None
+                or sp is not None
+                or wc is not None
             ):
                 # expansion-on-expansion is undefined: 400 beats
                 # silently dropping the caller's synonyms=1
@@ -344,6 +353,12 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 rows = engine.search_near(
                     nr.group(1).lower(), nr.group(3).lower(),
                     slop=int(nr.group(2)),
+                    k=page * size, with_snippets=True,
+                )
+            elif sp is not None:
+                rows = engine.search_near(
+                    sp.group(1).lower(), sp.group(2).lower(),
+                    slop=int(sp.group(3)), ordered=True,
                     k=page * size, with_snippets=True,
                 )
             elif mt is not None:
@@ -398,6 +413,7 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 not rows
                 and mt is None
                 and nr is None
+                and sp is None
                 and wc is None
                 and not field
                 and scorer == "reference"

@@ -130,10 +130,11 @@ def _phrase_match_udf(terms: list[str]):
     return _m
 
 
-def _near_match_udf(w1: str, w2: str, slop: int):
+def _near_match_udf(w1: str, w2: str, slop: int, ordered: bool = False):
     """Fused NEAR/slop proximity filter over per-doc aggregated rows:
     true when some occurrence of `w1` and some occurrence of `w2` lie
-    within `slop` positions of each other (either order). Same batch
+    within `slop` positions of each other (either order; with `ordered`
+    only w1-before-w2 pairs count — the sloppy-phrase shape). Same batch
     shape as the phrase filter: one vectorized varbyte decode, doc-
     strided position keys, and a single searchsorted probe per side —
     the left/right nearest `w2` key of every `w1` key decides the
@@ -180,8 +181,9 @@ def _near_match_udf(w1: str, w2: str, slop: int):
             near = np.zeros(a.size, dtype=bool)
             right = idx < b.size
             near[right] = b[idx[right]] - a[right] <= slop
-            left = idx > 0
-            near[left] |= a[left] - b[idx[left] - 1] <= slop
+            if not ordered:
+                left = idx > 0
+                near[left] |= a[left] - b[idx[left] - 1] <= slop
             if near.any():
                 out[np.unique(a[near] // stride)] = True
         return pd.Series(out)
@@ -1369,17 +1371,24 @@ class SearchEngine:
         return self._score_expansion(terms, k)
 
     def search_near_df(
-        self, word1: str, word2: str, slop: int = 3, k: int = DEFAULT_TOP_K
+        self,
+        word1: str,
+        word2: str,
+        slop: int = 3,
+        k: int = DEFAULT_TOP_K,
+        ordered: bool = False,
     ) -> DataFrame:
         """NEAR/slop proximity query: ranked top-k of docs where the two
         (analyzed) words occur within `slop` positions of each other in
         either order — the classic proximity operator the exact-phrase
-        path generalizes to (slop=1 ordered == adjacency; this one is
-        unordered). Candidate bounding and scoring follow the phrase
-        path exactly: rarest-term semi-join before the aggregate, fused
-        Arrow positions predicate, filtered-df recount (Q12) and
-        first-word gate (Q7) — so NEAR results are scored consistently
-        with phrase results."""
+        path generalizes to (slop=1 ordered == adjacency; default
+        unordered). With `ordered=True` only word1-before-word2 pairs
+        match: the Lucene sloppy-phrase shape, exposed as the
+        `"w1 w2"~k` query syntax. Candidate bounding and scoring follow
+        the phrase path exactly: rarest-term semi-join before the
+        aggregate, fused Arrow positions predicate, filtered-df recount
+        (Q12) and first-word gate (Q7) — so NEAR results are scored
+        consistently with phrase results."""
         self._ensure_fresh()
         t1 = parser.stem(word1.strip().lower())
         t2 = parser.stem(word2.strip().lower())
@@ -1387,7 +1396,7 @@ class SearchEngine:
             return self._empty_results()
         terms = [t1, t2]
         filtered = self._proximity_filtered(
-            terms, _near_match_udf(t1, t2, slop)
+            terms, _near_match_udf(t1, t2, slop, ordered=ordered)
         )
         words = sorted(set(terms))
         return self._score(filtered, words, t1, k)
@@ -2243,11 +2252,14 @@ class SearchEngine:
         slop: int = 3,
         k: int = DEFAULT_TOP_K,
         with_snippets: bool = True,
+        ordered: bool = False,
     ) -> list[dict]:
         """Full-response NEAR search (see search_near_df); the two
         analyzed stems highlight in snippets like a phrase's scoring
         words."""
-        top = self.search_near_df(word1, word2, slop, k).collect()
+        top = self.search_near_df(
+            word1, word2, slop, k, ordered=ordered
+        ).collect()
         words = [
             t
             for t in (

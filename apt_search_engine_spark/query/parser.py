@@ -36,6 +36,11 @@ OPERATORS = ("AND", "OR", "NOT")
 # vocabulary is lowercase by analysis).
 MULTITERM_RE = re.compile(r"([a-z0-9]+)(?:(\*)|~([12]))", re.I)
 NEAR_RE = re.compile(r"([a-z0-9]+)\s+NEAR/([1-9][0-9]?)\s+([a-z0-9]+)", re.I)
+# Sloppy phrase `"w1 w2"~k` (Lucene PhraseQuery with slop, two-word
+# form): ordered proximity — w1 must precede w2 within k positions.
+SLOPPY_RE = re.compile(
+    r'"\s*([a-z0-9]+)\s+([a-z0-9]+)\s*"~([1-9][0-9]?)', re.I
+)
 # General wildcard pattern (`te*t`, `t?st`, `*ing`): `*` = any run, `?` =
 # any single char, anywhere in the term. The trailing-star-only shape
 # (`pre*`) is dispatched to the cheaper prefix path by MULTITERM_RE

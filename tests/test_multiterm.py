@@ -569,3 +569,38 @@ def test_synonym_expansion_and_topk_parity(spark, engine, oracle):
     empty = spark.createDataFrame([], "term string, synonym string")
     plain = engine.search_synonym_df(f"{w1} {w2}", empty, k=10).collect()
     _assert_rank_identical(plain, _oracle_bag_topk(oracle, [w1, w2]))
+
+
+# ---------------------------------------------------- sloppy (ordered) phrase
+def test_sloppy_phrase_ordered_semantics(engine, oracle):
+    """`"w1 w2"~k` (ordered proximity): matches are a superset of the
+    adjacent phrase and a subset of unordered NEAR/k; parity vs a
+    brute-force ordered-window check over the oracle's positions."""
+    from apt_search_engine_spark.query import parser as qp
+
+    w1, w2, slop = "travel", "guide", 3
+    t1, t2 = qp.stem(w1), qp.stem(w2)
+    d1, d2 = oracle.inverted.get(t1, {}), oracle.inverted.get(t2, {})
+
+    def _ordered_match(doc):
+        ps1 = d1[doc]["positions"]
+        ps2 = set(d2[doc]["positions"])
+        return any(x + d in ps2 for x in ps1 for d in range(1, slop + 1))
+
+    want_docs = {d for d in set(d1) & set(d2) if _ordered_match(d)}
+    got = engine.search_near_df(
+        w1, w2, slop=slop, k=10**6, ordered=True
+    ).collect()
+    got_docs = {r.doc_id for r in got}
+    # scoring gate (Q7) keeps only docs containing t1 — all candidates do
+    assert got_docs == want_docs and want_docs
+    # ordering sanity vs unordered NEAR and exact phrase
+    near_docs = {
+        r.doc_id
+        for r in engine.search_near_df(w1, w2, slop=slop, k=10**6).collect()
+    }
+    phrase_docs = {
+        r.doc_id
+        for r in engine.search_df(f'"{w1} {w2}"', k=10**6).collect()
+    }
+    assert phrase_docs <= got_docs <= near_docs
