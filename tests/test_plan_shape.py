@@ -174,3 +174,33 @@ def test_near_plan_reads_postings_twice(engine):
     )
     assert len(scans) == 2, "\n".join(scans)
     assert len([ln for ln in scans if "positions_vb" in ln]) == 1
+
+
+def test_wildcard_spell_synonym_plans_stay_jvm_side(engine, spark):
+    """The newer rewrites keep the same JVM-only contract: wildcard
+    expansion pushes a LIKE to the lexicon scan; spell candidates read
+    the lexicon (never postings) with the levenshtein computed JVM-side;
+    synonym scoring reads postings once like every expansion."""
+    # wildcard: lexicon-only expansion with the LIKE filter in the scan
+    terms = engine.expand_wildcard("t*a*", max_expansions=8)
+    assert terms
+    lex = engine._lexicon_src().filter("term LIKE 't%a%'")
+    lplan = lex._jdf.queryExecution().executedPlan().toString()
+    assert "/postings" not in lplan
+
+    # spell: one lexicon scan, JVM levenshtein, no Python eval
+    sp = engine.suggest_spelling_df(["travvel"], max_dist=2, k=3)
+    splan = sp._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
+    assert "/lexicon" in splan and "/postings" not in splan, splan
+    assert "levenshtein" in splan
+
+    # synonym scoring: postings read exactly once (the bag shape)
+    from pyspark.sql import functions as F
+    syn = spark.createDataFrame(
+        [("travel", "europ")], "term string, synonym string"
+    )
+    words = engine.expand_synonyms(["travel"], syn)
+    from tests.test_plan_shape import _postings_scans  # self-import ok
+    scans = _postings_scans(engine._exploded(sorted(words), with_df=True))
+    assert len(scans) == 1, "\n".join(scans)
