@@ -417,3 +417,32 @@ def test_response_cache_hit_and_key_isolation(engine):
         assert c3 == "miss"
     finally:
         httpd.shutdown()
+
+
+def test_sloppy_phrase_syntax(engine, oracle):
+    """`"w1 w2"~k` routes to the ordered proximity path at the serve
+    layer (subset of the unordered NEAR result set)."""
+    import threading
+    import urllib.parse
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = urllib.parse.quote('"travel guide"~2')
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query={q}&size=100"
+        )
+        assert status == 200 and body["results"]
+        nq = urllib.parse.quote("travel NEAR/2 guide")
+        _, near = _get(
+            f"http://127.0.0.1:{port}/search?query={nq}&size=100"
+        )
+        sloppy_urls = {r["url"] for r in body["results"]}
+        near_urls = {r["url"] for r in near["results"]}
+        assert sloppy_urls <= near_urls
+    finally:
+        httpd.shutdown()
