@@ -138,3 +138,38 @@ def test_merge_refuses_single_source(spark, merged_setup, tmp_path):
     dirs, _, _, _ = merged_setup
     with pytest.raises(ValueError, match="two source"):
         merge_indexes(spark, [dirs[0]], str(tmp_path / "one_out"))
+
+
+def test_merged_index_supports_delete_and_purge(spark, merged_setup, tmp_path):
+    """The merged index participates in the normal lifecycle: tombstone a
+    doc, results drop it immediately, purge rewrites cleanly and stats
+    recount (the docBase renumbering leaves a gap, which later merges
+    handle via max-ordinal offsets)."""
+    import shutil
+
+    from apt_search_engine_spark.indexing.deletes import (
+        delete_docs,
+        purge_deleted,
+    )
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    _, _, out, _ = merged_setup
+    # work on a copy — other tests read the merged index
+    work = str(tmp_path / "m2")
+    shutil.copytree(out, work)
+    eng = SearchEngine(spark, index_dir=work)
+    top = eng.search_df("travel guide", k=5).collect()
+    assert top
+    victim = top[0].doc_id
+    delete_docs(spark, work, [victim])
+    eng = SearchEngine(spark, index_dir=work)
+    assert victim not in {
+        r.doc_id for r in eng.search_df("travel guide", k=5).collect()
+    }
+    n_before = eng.n_docs
+    assert purge_deleted(spark, work) == 1
+    eng = SearchEngine(spark, index_dir=work)
+    assert eng.n_docs == n_before - 1
+    assert victim not in {
+        r.doc_id for r in eng.search_df("travel guide", k=50).collect()
+    }
