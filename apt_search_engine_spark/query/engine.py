@@ -837,7 +837,6 @@ class SearchEngine:
         k: int,
         dedup_by_url: bool = False,
         count_only: bool = False,
-        exclude_doc: str | None = None,
     ) -> DataFrame:
         """Score the final filtered postings. df per term = filtered map
         size (quirk Q12); duplicate scoring words multiply; optional
@@ -931,23 +930,6 @@ class SearchEngine:
             .filter(F.col("score") != 0.0)
             .select(key, "score")
         )
-        if exclude_doc is not None:
-            # drop one document (the more-like-this seed) BEFORE the
-            # top-k limit; in ordinal space the doc_id resolves to its
-            # ordinal via one doc_map point lookup
-            if key == "doc_ord":
-                hit = (
-                    self._doc_map()
-                    .filter(F.col("doc_id") == exclude_doc)
-                    .select("doc_ord")
-                    .collect()
-                )
-                if hit:
-                    scored = scored.filter(
-                        F.col(key) != int(hit[0].doc_ord)
-                    )
-            else:
-                scored = scored.filter(F.col(key) != exclude_doc)
         if count_only:
             # the reference's totalCount (results.size()) without the
             # sort/limit or the doc_map translation
@@ -1322,17 +1304,12 @@ class SearchEngine:
         )
         return self._cache_dfs(rows)
 
-    def _score_expansion(
-        self, terms: list[str], k: int, exclude_doc: str | None = None
-    ) -> DataFrame:
+    def _score_expansion(self, terms: list[str], k: int) -> DataFrame:
         """Exact bag-of-words scoring of a server-derived expansion:
         each term multiplicity 1, true build-time df, no gate — the one
-        scoring shape every multi-term rewrite shares. `exclude_doc`
-        drops one doc_id from the ranking before top-k (the
-        more-like-this seed)."""
+        scoring shape every multi-term rewrite shares."""
         return self._score(
-            self._exploded(terms, with_df=True), sorted(terms), None, k,
-            exclude_doc=exclude_doc,
+            self._exploded(terms, with_df=True), sorted(terms), None, k
         )
 
     def search_prefix_df(
@@ -1598,6 +1575,12 @@ class SearchEngine:
         dfs come from the driver-side pruned lexicon lookup."""
         if self.doc_meta_path is None:
             raise ValueError("more_like_this needs a disk index (doc_meta)")
+        cache = getattr(self, "_mlt_cache", None)
+        if cache is None:
+            cache = self._mlt_cache = {}
+        ck = (doc_id, max_terms)
+        if ck in cache:
+            return list(cache[ck])
         rows = (
             self._read(self.doc_meta_path)
             .filter(F.col("doc_id") == doc_id)
@@ -1605,6 +1588,7 @@ class SearchEngine:
             .collect()
         )
         if not rows:
+            cache[ck] = ()
             return []
         from apt_search_engine_spark.analysis.analyzer import analyze_doc
 
@@ -1612,6 +1596,7 @@ class SearchEngine:
         analyzed = analyze_doc(text)
         occs = {t: len(v["positions"]) for t, v in analyzed.items()}
         if not occs:
+            cache[ck] = ()
             return []
         dfs = self.term_dfs(sorted(occs))
         scored = [
@@ -1620,7 +1605,9 @@ class SearchEngine:
             if dfs.get(t, 0) > 0
         ]
         scored.sort(key=lambda x: (-x[0], x[1]))
-        return [t for _, t in scored[:max_terms]]
+        out = [t for _, t in scored[:max_terms]]
+        cache[ck] = tuple(out)
+        return out
 
     def more_like_this_df(
         self,
@@ -1632,13 +1619,21 @@ class SearchEngine:
         most characteristic terms (mlt_terms), excluding the seed itself
         from the results — the seed's top-`max_terms` terms scored as a
         bag-of-words OR query with true build-time dfs, exactly the
-        multi-term rewrite shape (same plan as search_prefix_df plus one
-        doc_map point lookup for the exclusion)."""
+        multi-term rewrite shape (same plan as search_prefix_df). The
+        seed exclusion scores top-(k+1) and drops the seed AFTER the
+        <=(k+1)-row translation: removing one element from a correctly
+        ordered top-(k+1) and trimming IS the top-k of the rest, and it
+        costs no extra doc_map lookup job."""
         self._ensure_fresh()
         terms = self.mlt_terms(doc_id, max_terms)
         if not terms:
             return self._empty_results()
-        return self._score_expansion(terms, k, exclude_doc=doc_id)
+        top = self._score_expansion(terms, k + 1)
+        return (
+            top.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def more_like_this(
         self,
@@ -1650,10 +1645,10 @@ class SearchEngine:
         """Full-response more-like-this: the MLT top-k with metadata +
         snippet assembly; the seed's characteristic terms highlight."""
         self._ensure_fresh()
-        terms = self.mlt_terms(doc_id, max_terms)
-        if not terms:
+        top = self.more_like_this_df(doc_id, k, max_terms).collect()
+        if not top:
             return []
-        top = self._score_expansion(terms, k, exclude_doc=doc_id).collect()
+        terms = self.mlt_terms(doc_id, max_terms)
         return self._assemble(top, terms, with_snippets)
 
     def search_wildcard(
