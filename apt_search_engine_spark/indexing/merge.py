@@ -69,10 +69,7 @@ def merge_indexes(
     ordinals are shard-local and must not survive the renumbering) and
     overlapping doc_ids (the same doc indexed twice would double-count
     df and score)."""
-    from apt_search_engine_spark.indexing.blocks import (
-        write_blocks,
-        write_doc_map,
-    )
+    from apt_search_engine_spark.indexing.blocks import write_blocks
     from apt_search_engine_spark.indexing.build import (
         _ASSEMBLED_SCHEMA_ORD,
         _COLS_ORD,
@@ -96,34 +93,43 @@ def merge_indexes(
                 "merging (tombstoned ordinals are shard-local)"
             )
 
+    if os.path.isdir(out_dir):
+        raise ValueError(f"out_dir exists: {out_dir}")
+
     # ---- docBase offsets: cumulative ordinal-space size per shard ------
-    # (max ordinal + 1, not n_docs: a purged shard keeps sparse ordinals)
+    # (max ordinal + 1, not n_docs: a purged shard keeps sparse ordinals;
+    # a max ordinal of 0 — one-doc shard — is a real size of 1, so None
+    # must be tested explicitly, never via falsiness)
     maps = [
         spark.read.parquet(os.path.join(s, "doc_map")) for s in src_dirs
     ]
-    sizes = [
-        int(m.agg(F.max("doc_ord")).collect()[0][0] or -1) + 1 for m in maps
-    ]
+    sizes = []
+    for m in maps:
+        mx = m.agg(F.max("doc_ord")).collect()[0][0]
+        sizes.append((-1 if mx is None else int(mx)) + 1)
     offsets = []
     acc = 0
     for n in sizes:
         offsets.append(acc)
         acc += n
 
-    # ---- doc-disjointness check (one distinct count over the union) ----
+    # ---- doc-disjointness check (one pass over the union) --------------
     all_ids = maps[0].select("doc_id")
     for m in maps[1:]:
         all_ids = all_ids.unionByName(m.select("doc_id"))
-    n_union = all_ids.count()
-    n_distinct = all_ids.distinct().count()
-    if n_union != n_distinct:
+    dup = (
+        all_ids.groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
         raise ValueError(
-            f"shards overlap: {n_union - n_distinct} doc_ids appear in "
-            "more than one source index"
+            f"shards overlap: doc_id {dup[0].doc_id!r} appears in more "
+            "than one source index"
         )
 
-    if os.path.isdir(out_dir):
-        raise ValueError(f"out_dir exists: {out_dir}")
     os.makedirs(out_dir)
 
     # ---- doc_map: shifted union, rewritten ordinal-ordered -------------

@@ -77,6 +77,41 @@ def main(argv=None) -> int:
     spark = get_spark("aptse-search")
     engine = SearchEngine(spark, index_dir=args.index_dir)
     t0 = time.time()
+    # conflict validation up front, mirroring serve's 400s: extension
+    # syntax and --mlt run the reference scorer only, and --synonyms
+    # applies to plain bag-of-words queries only — refuse instead of
+    # silently dropping an explicit flag
+    from apt_search_engine_spark.query.parser import (
+        MULTITERM_RE,
+        NEAR_RE,
+        SLOPPY_RE,
+        WILDCARD_RE,
+    )
+
+    qtext = (args.query or "").strip()
+    ext = (
+        SLOPPY_RE.fullmatch(qtext)
+        or NEAR_RE.fullmatch(qtext)
+        or MULTITERM_RE.fullmatch(qtext)
+        or WILDCARD_RE.fullmatch(qtext)
+    )
+    def _refuse(msg: str) -> int:
+        print(json.dumps({"error": msg}), file=sys.stderr)
+        return 2
+
+    if args.scorer != "reference" and (ext is not None or args.mlt):
+        return _refuse(
+            "extension syntax and --mlt support only --scorer reference"
+        )
+    if args.synonyms and (ext is not None or args.mlt):
+        return _refuse(
+            "--synonyms applies to plain bag-of-words queries only"
+        )
+    if args.synonyms and '"' in (args.query or ""):
+        return _refuse(
+            "--synonyms applies to plain bag-of-words queries only "
+            "(phrase/boolean flattening would drop adjacency/NOT semantics)"
+        )
     if args.mlt is not None:
         if args.no_snippets or args.exact:
             df = engine.more_like_this_df(args.mlt, k=args.k)
@@ -92,14 +127,8 @@ def main(argv=None) -> int:
     # Lucene-style multi-term syntax (query/parser.py extension grammar,
     # shared with jobs/serve.py): `pre*` = prefix expansion, `word~1` /
     # `word~2` = fuzzy, `w1 NEAR/3 w2` = unordered proximity, plus
-    # general wildcards `te*t` / `t?st` / `*ing`
-    from apt_search_engine_spark.query.parser import (
-        MULTITERM_RE,
-        NEAR_RE,
-        SLOPPY_RE,
-        WILDCARD_RE,
-    )
-
+    # general wildcards `te*t` / `t?st` / `*ing` and the sloppy phrase
+    # `"w1 w2"~k`
     sp = SLOPPY_RE.fullmatch(args.query.strip())
     if sp is not None:
         w1, w2, slop = sp.group(1).lower(), sp.group(2).lower(), int(sp.group(3))

@@ -151,9 +151,15 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
             k = min(max(1, k), 100)
             max_terms = min(max(1, max_terms), 100)
             t0 = time.time()
-            rows = engine.more_like_this(
-                doc, k=k, max_terms=max_terms, with_snippets=True
-            )
+            try:
+                rows = engine.more_like_this(
+                    doc, k=k, max_terms=max_terms, with_snippets=True
+                )
+            except ValueError as e:
+                # e.g. an index without doc_meta (merge of meta-less
+                # shards): a JSON 400 beats an escaped traceback
+                self._json(400, {"error": str(e)})
+                return
             self._json(
                 200,
                 {
@@ -179,7 +185,11 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 self._json(400, {"error": "query and doc are required"})
                 return
             t0 = time.time()
-            exp = engine.explain(query, doc)
+            try:
+                exp = engine.explain(query, doc)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
             exp["totalTime"] = int((time.time() - t0) * 1000)
             self._json(200, exp)
 
@@ -342,9 +352,15 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 )
                 return
             if want_syn:
-                rows = engine.search_synonym(
-                    query, synonyms_df, k=page * size, with_snippets=True
-                )
+                try:
+                    rows = engine.search_synonym(
+                        query, synonyms_df, k=page * size, with_snippets=True
+                    )
+                except ValueError as e:
+                    # phrase/boolean flattening would silently drop
+                    # adjacency / NOT semantics — refuse instead
+                    self._json(400, {"error": str(e)})
+                    return
             elif wc is not None:
                 rows = engine.search_wildcard(
                     query.strip().lower(), k=page * size, with_snippets=True
@@ -437,7 +453,11 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                     engine.match_count_df(query).collect()[0].n_matches
                 )
                 resp["totalTime"] = int((time.time() - t0) * 1000)
-            self._json(200, self._cache_put(ckey, resp), cache="miss")
+            self._json(
+                200,
+                self._cache_put(ckey, resp),
+                cache="miss" if ckey is not None else None,
+            )
 
     return Handler
 

@@ -307,6 +307,9 @@ class SearchEngine:
         self._df_cache.clear()
         self._reader_cache.clear()
         self._deleted_cache.clear()
+        # the MLT term-selection memo pins the same index state (dfs and
+        # the seed's stored text both feed it)
+        getattr(self, "_mlt_cache", {}).clear()
         if self.index_dir is not None:
             self._load_meta()
             self._index_state = self._state_token()
@@ -1696,9 +1699,17 @@ class SearchEngine:
         term multiplicity 1, true build-time df — the scoring-boolean
         shape every rewrite shares). Synonyms absent from the index
         vocabulary contribute nothing (no postings rows), matching
-        Lucene's behavior for unindexed synonym targets."""
+        Lucene's behavior for unindexed synonym targets. Phrase-family
+        queries are refused: flattening a phrase (or a NOT branch) into
+        an expanded bag would silently drop adjacency/exclusion
+        semantics."""
         self._ensure_fresh()
         parsed = parser.parse(query)
+        if parsed.qtype not in ("normal", "normal+boolean"):
+            raise ValueError(
+                "synonym expansion applies to bag-of-words queries only "
+                f"(got {parsed.qtype})"
+            )
         words = sorted(
             {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
         )
@@ -1715,9 +1726,15 @@ class SearchEngine:
         with_snippets: bool = True,
     ) -> list[dict]:
         """Full-response synonym-expanded search (see search_prefix);
-        expanded terms highlight in snippets."""
+        expanded terms highlight in snippets. Phrase-family queries are
+        refused like search_synonym_df."""
         self._ensure_fresh()
         parsed = parser.parse(query)
+        if parsed.qtype not in ("normal", "normal+boolean"):
+            raise ValueError(
+                "synonym expansion applies to bag-of-words queries only "
+                f"(got {parsed.qtype})"
+            )
         words = sorted(
             {w for w in parsed.query_words if w.upper() not in parser.OPERATORS}
         )

@@ -173,3 +173,34 @@ def test_merged_index_supports_delete_and_purge(spark, merged_setup, tmp_path):
     assert victim not in {
         r.doc_id for r in eng.search_df("travel guide", k=50).collect()
     }
+
+
+def test_merge_single_doc_shard_offsets(spark, tmp_path):
+    """A shard whose only doc has ordinal 0 has ordinal-space size 1 —
+    the falsy-zero `max_ord or -1` bug collapsed the next shard's
+    offset onto it, colliding two different docs on one merged ordinal
+    (review finding)."""
+    from apt_search_engine_spark.corpus import gen_corpus_spark
+
+    tr = gen_corpus_spark(spark, 3).limit(40).cache()
+    one = tr.orderBy("conv_id", "turn_idx").limit(1)
+    rest = tr.subtract(one)
+    a, b_dir, out = (
+        str(tmp_path / "one"),
+        str(tmp_path / "rest"),
+        str(tmp_path / "m"),
+    )
+    IndexBuilder(spark, a, n_batches=1).build(one)
+    IndexBuilder(spark, b_dir, n_batches=1).build(rest)
+    assert (
+        spark.read.parquet(os.path.join(a, "doc_map"))
+        .agg(F.max("doc_ord"))
+        .collect()[0][0]
+        == 0
+    )
+    merge_indexes(spark, [a, b_dir], out)
+    dm = spark.read.parquet(os.path.join(out, "doc_map"))
+    n = dm.count()
+    # dense, collision-free ordinal space over the union
+    assert dm.select("doc_ord").distinct().count() == n
+    assert dm.agg(F.max("doc_ord")).collect()[0][0] == n - 1

@@ -604,3 +604,16 @@ def test_sloppy_phrase_ordered_semantics(engine, oracle):
         for r in engine.search_df(f'"{w1} {w2}"', k=10**6).collect()
     }
     assert phrase_docs <= got_docs <= near_docs
+
+
+def test_synonym_refuses_phrase_family(spark, engine):
+    """Flattening a phrase or NOT branch into the expanded bag would
+    silently drop adjacency/exclusion semantics — the engine refuses
+    (review finding)."""
+    syn = spark.createDataFrame(
+        [("travel", "europ")], "term string, synonym string"
+    )
+    with pytest.raises(ValueError, match="bag-of-words"):
+        engine.search_synonym_df('"travel guide"', syn)
+    with pytest.raises(ValueError, match="bag-of-words"):
+        engine.search_synonym('"travel guide" AND tips', syn)
