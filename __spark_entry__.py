@@ -436,6 +436,24 @@ def _sloppy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sloppy3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-term sloppy phrase '"table hash merge"~4' (Lucene PhraseQuery
+    slop, in-order chains — engine.search_sloppy_df): a strict superset
+    of the exact 3-term phrase, scored with the phrase path's
+    filtered-df + first-word-gate semantics
+    (extras/search_oracle.sloppy3_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        SLOPPY3_SLOP,
+        SLOPPY3_WORDS,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_sloppy_df(list(SLOPPY3_WORDS), slop=SLOPPY3_SLOP, k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _match_count_q(query: str) -> Callable[[SparkSession, str], DataFrame]:
     """Exact total match count (reference totalCount = full ranked list
     size; engine.match_count_df) — 1-row (n_matches) aggregate, no
@@ -801,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["more_like_this_topk"] = _mlt_q
     q["search_synonym_topk"] = _synonym_q
     q["search_sloppy_topk"] = _sloppy_q
+    q["search_sloppy3_topk"] = _sloppy3_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

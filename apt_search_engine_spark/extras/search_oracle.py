@@ -952,6 +952,59 @@ fp AS (SELECT w.* FROM w JOIN cand USING (doc_id) WHERE w.term IN ({present}))""
     )
 
 
+# n-term sloppy gate parameters: '"table hash merge"~4' — 14 matching
+# sf0.01 docs, a strict superset of the slop-0 exact phrase (2 docs)
+SLOPPY3_WORDS = ("table", "hash", "merge")
+SLOPPY3_SLOP = 4
+
+
+def sloppy3_topk_sql(
+    stem_values: str,
+    words: tuple = SLOPPY3_WORDS,
+    slop: int = SLOPPY3_SLOP,
+    k: int = 10,
+) -> str:
+    """N-term sloppy phrase (engine.search_sloppy_df — Lucene
+    PhraseQuery slop, in-order chains): candidates = docs containing a
+    strictly increasing chain p1 < ... < pn over the stems' positions
+    with span p_n - p_1 <= slop + n - 1; scoring = the phrase path's
+    filtered-df recount + first-word gate. The EXISTS chain is restated
+    as nested list_filters (the engine's greedy minimal-chain scan is
+    an equivalent decision procedure)."""
+    stems = [parser.stem(w.strip().lower()) for w in words]
+    assert len(stems) == len(set(stems)) >= 3, "generator wants >=3 distinct stems"
+    budget = slop + len(stems) - 1
+    present = ", ".join(f"'{t}'" for t in stems)
+    joins = ["agg a0"] + [
+        f"JOIN agg a{i} USING (doc_id)" for i in range(1, len(stems))
+    ]
+    conds = " AND ".join(
+        f"a{i}.term = '{t}'" for i, t in enumerate(stems)
+    )
+    # nested EXISTS chain, innermost checks the span budget vs x0
+    inner = f"z{len(stems) - 1} - z0 <= {budget}"
+    for i in range(len(stems) - 1, 0, -1):
+        inner = (
+            f"len(list_filter(a{i}.ps, z{i} -> z{i} > z{i - 1}"
+            f" AND {inner})) > 0"
+        )
+    chain = f"len(list_filter(a0.ps, z0 -> {inner})) > 0"
+    filtered = (
+        "cand AS (\n  SELECT a0.doc_id FROM "
+        + " ".join(joins)
+        + f"\n  WHERE {conds} AND {chain}\n),\n"
+        + f"fp AS (SELECT w.* FROM w JOIN cand USING (doc_id)"
+        f" WHERE w.term IN ({present}))"
+    )
+    return (
+        "WITH "
+        + _postings_ctes(stem_values)
+        + ",\n"
+        + _score_sql(filtered, stems, gate=stems[0], k=k)
+        + "\nSELECT doc_id, " + ROUND6 + " AS score FROM topk"
+    )
+
+
 def match_count_sql(stem_values: str, query: str = NORMAL_QUERY) -> str:
     """Exact total match count (engine.match_count_df): the size of the
     FULL ranked list the reference returns (SearchController
@@ -1063,4 +1116,5 @@ def build_search_oracles(sf_dir: str = CANONICAL_SF_DIR) -> dict[str, str]:
         "more_like_this_topk": mlt_topk_sql(sv),
         "search_synonym_topk": synonym_topk_sql(sv),
         "search_sloppy_topk": sloppy_topk_sql(sv),
+        "search_sloppy3_topk": sloppy3_topk_sql(sv),
     }

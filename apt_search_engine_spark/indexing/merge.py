@@ -85,6 +85,16 @@ def merge_indexes(
     layouts = {m.get("layout") for m in metas}
     if len(layouts) != 1:
         raise ValueError(f"layout versions differ across shards: {layouts}")
+    # two equally-stale shards would otherwise fail mid-merge with an
+    # opaque analysis error (or emit an index stamped with the old
+    # marker) — mirror IndexBuilder's up-front layout guard
+    from apt_search_engine_spark.indexing.build import INDEX_LAYOUT_VERSION
+
+    if metas[0].get("layout") != INDEX_LAYOUT_VERSION:
+        raise ValueError(
+            f"shards have layout {metas[0].get('layout')}, code expects "
+            f"layout {INDEX_LAYOUT_VERSION}: rebuild them into fresh dirs"
+        )
     for s in src_dirs:
         t = tombstones_df(spark, s)
         if t is not None and t.limit(1).count() > 0:

@@ -44,6 +44,7 @@ from urllib.parse import parse_qs, urlparse
 from apt_search_engine_spark.query.parser import (  # noqa: E402
     MULTITERM_RE as _MULTITERM_RE,
     NEAR_RE as _NEAR_RE,
+    SLOPPY_N_RE as _SLOPPY_N_RE,
     SLOPPY_RE as _SLOPPY_RE,
     WILDCARD_RE as _WILDCARD_RE,
     tokenize as _tokenize,
@@ -52,14 +53,37 @@ from apt_search_engine_spark.query.parser import (  # noqa: E402
 
 def make_handler(engine, synonyms_df=None, cache_size: int = 256):
     """`cache_size` > 0 enables a driver-side LRU over successful
-    /search responses, keyed by (index state token, full request
-    line): identical repeated queries — the head of any real query
-    distribution — skip their Spark job entirely, and any index
-    commit (build / compact / recompact / purge) naturally invalidates
-    every entry because the state token changes. The X-Cache response
-    header says hit or miss."""
+    /search responses, keyed by (index state token, synonym-table
+    fingerprint, full request line): identical repeated queries — the
+    head of any real query distribution — skip their Spark job
+    entirely, and any index commit (build / compact / recompact /
+    purge) naturally invalidates every entry because the state token
+    changes. The X-Cache response header says hit or miss; hits report
+    their own (near-zero) totalTime, never the original run's.
+
+    The synonym table is PINNED at handler creation: its rows are
+    collected once and rebuilt as a driver-local DataFrame (synonym
+    tables are config-file-sized, like a Solr synonyms file), so a
+    parquet dir rewritten under a long-lived server can neither change
+    responses mid-life nor serve stale cache entries — the fingerprint
+    in the key records exactly what was pinned."""
+    import hashlib
     import threading
     from collections import OrderedDict
+
+    if synonyms_df is not None:
+        syn_rows = sorted(
+            (r.term, r.synonym)
+            for r in synonyms_df.select("term", "synonym").collect()
+        )
+        synonyms_df = engine.spark.createDataFrame(
+            syn_rows or [("", "")], "term string, synonym string"
+        )
+        if not syn_rows:
+            synonyms_df = synonyms_df.filter("term <> ''")
+        syn_tok = hashlib.md5(repr(syn_rows).encode()).hexdigest()[:16]
+    else:
+        syn_tok = None
 
     lru: OrderedDict = OrderedDict()
     lru_lock = threading.Lock()
@@ -69,7 +93,7 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
             tok = engine._state_token()
         except Exception:
             return None  # in-memory engines have no commit marker
-        return (tuple(tok) if isinstance(tok, list) else tok, path)
+        return (tuple(tok) if isinstance(tok, list) else tok, syn_tok, path)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -209,21 +233,27 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
             key = _cache_key(self.path)
             if key is None:
                 return None, None
+            t0 = time.time()
             with lru_lock:
-                body = lru.get(key)
-                if body is not None:
+                obj = lru.get(key)
+                if obj is not None:
                     lru.move_to_end(key)
-            return key, body
+            if obj is None:
+                return key, None
+            # hits must not replay the original run's latency to clients
+            obj = dict(obj)
+            if "totalTime" in obj:
+                obj["totalTime"] = int((time.time() - t0) * 1000)
+            return key, obj
 
-        def _cache_put(self, key, obj) -> bytes:
-            body = json.dumps(obj).encode()
+        def _cache_put(self, key, obj):
             if key is not None:
                 with lru_lock:
-                    lru[key] = body
+                    lru[key] = obj
                     lru.move_to_end(key)
                     while len(lru) > cache_size:
                         lru.popitem(last=False)
-            return body
+            return obj
 
         def do_GET(self):
             u = urlparse(self.path)
@@ -307,19 +337,29 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
             # return the doc_id/score shape like the bm25 scorer.
             mt = _MULTITERM_RE.fullmatch(query.strip())
             nr = _NEAR_RE.fullmatch(query.strip())
-            # sloppy phrase `"w1 w2"~k` = ordered proximity
-            sp = _SLOPPY_RE.fullmatch(query.strip()) if nr is None else None
+            # sloppy phrase: `"w1 w2"~k` = ordered proximity (legacy
+            # distance-<=k form); `"w1 w2 w3 ..."~k` (>= 3 words) =
+            # Lucene n-term slop (span excess <= k)
+            spn = (
+                _SLOPPY_N_RE.fullmatch(query.strip()) if nr is None else None
+            )
+            sp = (
+                _SLOPPY_RE.fullmatch(query.strip())
+                if nr is None and spn is None
+                else None
+            )
             # general wildcard (`te*t` / `t?st` / `*ing`) — only when the
             # cheaper trailing-star prefix shape didn't already match
             wc = (
                 _WILDCARD_RE.fullmatch(query.strip())
-                if mt is None and nr is None and sp is None
+                if mt is None and nr is None and sp is None and spn is None
                 else None
             )
             if (
                 mt is not None
                 or nr is not None
                 or sp is not None
+                or spn is not None
                 or wc is not None
             ) and (scorer != "reference" or field or want_exact_count):
                 # extension syntax only runs on the reference scorer and
@@ -341,6 +381,7 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 mt is not None
                 or nr is not None
                 or sp is not None
+                or spn is not None
                 or wc is not None
             ):
                 # expansion-on-expansion is undefined: 400 beats
@@ -369,6 +410,12 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 rows = engine.search_near(
                     nr.group(1).lower(), nr.group(3).lower(),
                     slop=int(nr.group(2)),
+                    k=page * size, with_snippets=True,
+                )
+            elif spn is not None:
+                rows = engine.search_sloppy(
+                    spn.group(1).lower().split(),
+                    slop=int(spn.group(2)),
                     k=page * size, with_snippets=True,
                 )
             elif sp is not None:
@@ -430,6 +477,7 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
                 and mt is None
                 and nr is None
                 and sp is None
+                and spn is None
                 and wc is None
                 and not field
                 and scorer == "reference"

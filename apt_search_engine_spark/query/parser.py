@@ -41,6 +41,13 @@ NEAR_RE = re.compile(r"([a-z0-9]+)\s+NEAR/([1-9][0-9]?)\s+([a-z0-9]+)", re.I)
 SLOPPY_RE = re.compile(
     r'"\s*([a-z0-9]+)\s+([a-z0-9]+)\s*"~([1-9][0-9]?)', re.I
 )
+# N-word sloppy phrase `"w1 w2 w3 ..."~k` (>= 3 words): Lucene
+# PhraseQuery slop over in-order chains — span excess <= k
+# (engine.search_sloppy_df; k=0 is excluded here because `~0` is the
+# exact phrase, which the plain quoted syntax already serves).
+SLOPPY_N_RE = re.compile(
+    r'"\s*([a-z0-9]+(?:\s+[a-z0-9]+){2,})\s*"~([1-9][0-9]?)', re.I
+)
 # General wildcard pattern (`te*t`, `t?st`, `*ing`): `*` = any run, `?` =
 # any single char, anywhere in the term. The trailing-star-only shape
 # (`pre*`) is dispatched to the cheaper prefix path by MULTITERM_RE

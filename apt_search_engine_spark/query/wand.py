@@ -106,6 +106,7 @@ def _score_partition_factory(
     slice_ords: int,
     with_prior_rows: bool = False,
     deleted: np.ndarray | None = None,
+    with_tomb_rows: bool = False,
 ):
     """Returns a mapInPandas function closing over the per-term weights
     (floor(6000/df) * multiplicity), k and the DEFAULT prior (uniform
@@ -118,7 +119,14 @@ def _score_partition_factory(
     prior — max(slice priors, default) bounds every doc in the slice, so
     block-max pruning stays admissible under a NON-UNIFORM prior
     (VERDICT r3 'missing' #2: a doc_prior previously forced the exact
-    plan)."""
+    plan).
+
+    With `with_tomb_rows` the partition carries TOMBSTONE rows (tomb
+    true, doc_ord set) the same way — the distributed-deletes mode for
+    tombstone sets too large to collect (engine.DELETED_COLLECT_MAX):
+    each slice masks its decoded ordinals against its own slice-local
+    sorted tombstone array. Deleting docs only removes scores, so block
+    maxima stay admissible and pruning needs no other change."""
 
     terms_sorted = sorted(weights)
 
@@ -139,6 +147,19 @@ def _score_partition_factory(
             cur_slice = None
             lo, hi = s * slice_ords, (s + 1) * slice_ords
             theta = heap[0][0] if len(heap) == k else -np.inf
+            # ---- split off this slice's tombstone rows -------------------
+            slice_dead = None
+            if with_tomb_rows:
+                is_tomb = rows["tomb"].fillna(False).astype(bool)
+                if is_tomb.any():
+                    slice_dead = np.sort(
+                        rows.loc[is_tomb, "doc_ord"]
+                        .to_numpy()
+                        .astype(np.int64)
+                    )
+                    rows = rows[~is_tomb]
+                if not len(rows):
+                    return
             # ---- split off this slice's prior rows -----------------------
             pri_ords = None
             pri_vals = None
@@ -180,6 +201,8 @@ def _score_partition_factory(
                     m = (ords >= lo) & (ords < hi)  # mask: block may span
                     if deleted is not None:
                         m &= _live_mask(ords, deleted)
+                    if slice_dead is not None:
+                        m &= _live_mask(ords, slice_dead)
                     if not m.all():
                         ords, wtf = ords[m], wtf[m]
                     if ords.size:
@@ -246,6 +269,7 @@ def wand_topk(
     idf_num: int | None = None,
     prior_by_ord: DataFrame | None = None,
     deleted: np.ndarray | None = None,
+    deleted_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag-of-words query whose (already
     stemmed) terms and multiplicities are `term_mult`, over a pre-filtered
@@ -308,6 +332,18 @@ def wand_topk(
             F.col("prior").cast("double").alias("prior"),
         ).join(sliced.select("slice").distinct(), "slice", "left_semi")
         sliced = sliced.unionByName(pri, allowMissingColumns=True)
+    if deleted_df is not None:
+        # distributed deletes (engine.DELETED_COLLECT_MAX exceeded):
+        # tombstone rows ride the SAME slice co-partitioning as prior
+        # rows — restricted to covered slices, one shared repartition,
+        # masked slice-locally in the scorer. The driver never holds
+        # the set.
+        tmb = deleted_df.select(
+            (F.col("doc_ord") / slice_ords).cast("long").alias("slice"),
+            F.col("doc_ord").cast("long").alias("doc_ord"),
+            F.lit(True).alias("tomb"),
+        ).join(sliced.select("slice").distinct(), "slice", "left_semi")
+        sliced = sliced.unionByName(tmb, allowMissingColumns=True)
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     partitioned = sliced.repartition(n_parts, "slice").sortWithinPartitions("slice")
     survivors = partitioned.mapInPandas(
@@ -315,6 +351,7 @@ def wand_topk(
             weights, k, prior, slice_ords,
             with_prior_rows=prior_by_ord is not None,
             deleted=deleted,
+            with_tomb_rows=deleted_df is not None,
         ),
         _OUT_SCHEMA,
     )
@@ -330,6 +367,7 @@ def _score_partition_bm25_factory(
     c1: float,
     slice_ords: int,
     deleted: np.ndarray | None = None,
+    with_tomb_rows: bool = False,
 ):
     """BM25 variant of the slice scorer. Per-posting contribution is
     idf_t * (occ*k1p1) / (occ + (c0 + c1*dl)) — the SAME IEEE-754
@@ -363,6 +401,19 @@ def _score_partition_bm25_factory(
             cur_slice = None
             lo, hi = s * slice_ords, (s + 1) * slice_ords
             theta = heap[0][0] if len(heap) == k else -np.inf
+            # ---- split off this slice's tombstone rows -------------------
+            slice_dead = None
+            if with_tomb_rows:
+                is_tomb = rows["tomb"].fillna(False).astype(bool)
+                if is_tomb.any():
+                    slice_dead = np.sort(
+                        rows.loc[is_tomb, "doc_ord"]
+                        .to_numpy()
+                        .astype(np.int64)
+                    )
+                    rows = rows[~is_tomb]
+                if not len(rows):
+                    return
             by_term = {t: g for t, g in rows.groupby("term", sort=True)}
             # ---- block-max prune ------------------------------------------
             ub = 0.0
@@ -393,6 +444,8 @@ def _score_partition_bm25_factory(
                     m = (ords >= lo) & (ords < hi)
                     if deleted is not None:
                         m &= _live_mask(ords, deleted)
+                    if slice_dead is not None:
+                        m &= _live_mask(ords, slice_dead)
                     if not m.all():
                         ords, occs, dls = ords[m], occs[m], dls[m]
                     if ords.size:
@@ -449,6 +502,7 @@ def wand_bm25_topk(
     k: int,
     slice_ords: int = SLICE_ORDS,
     deleted: np.ndarray | None = None,
+    deleted_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) under Okapi BM25 via block-max WAND. `idfs`
     and the K(dl) = c0 + c1*dl constants are the caller's Python-computed
@@ -470,11 +524,21 @@ def wand_bm25_topk(
             )
         ).alias("slice"),
     )
+    if deleted_df is not None:
+        # distributed deletes: slice-co-partitioned tombstone rows (see
+        # wand_topk) — the driver never materializes the set
+        tmb = deleted_df.select(
+            (F.col("doc_ord") / slice_ords).cast("long").alias("slice"),
+            F.col("doc_ord").cast("long").alias("doc_ord"),
+            F.lit(True).alias("tomb"),
+        ).join(sliced.select("slice").distinct(), "slice", "left_semi")
+        sliced = sliced.unionByName(tmb, allowMissingColumns=True)
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     partitioned = sliced.repartition(n_parts, "slice").sortWithinPartitions("slice")
     survivors = partitioned.mapInPandas(
         _score_partition_bm25_factory(
-            idfs, k, k1p1, c0, c1, slice_ords, deleted=deleted
+            idfs, k, k1p1, c0, c1, slice_ords, deleted=deleted,
+            with_tomb_rows=deleted_df is not None,
         ),
         _OUT_SCHEMA,
     )

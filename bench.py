@@ -185,7 +185,22 @@ def main() -> None:
             )
 
         # -- docops / dedup operator sample on the sf documents table -------
+        from apt_search_engine_spark.extras import docops
         from apt_search_engine_spark.extras.docops import SPARK_QUERIES
+
+        def _cold_docops(fn):
+            # the docops suite memoizes+persists shared subtrees (the
+            # admitted-token stream, LSH band rows) for the driver's
+            # one-session correctness gate; a timed repeat must not serve
+            # from that cache, so each run drops the memo and unpersists
+            # first — every repeat measures the cold operator, and the
+            # median gets the same 3-run treatment as the search keys
+            # (r4 VERDICT: single-shot artifact numbers swung 2-3x with
+            # host contention)
+            for df in docops._MEMO.values():
+                df.unpersist(blocking=True)
+            docops._MEMO.clear()
+            fn(spark, sf_dir).collect()
 
         for name in (
             "dedup_exact",
@@ -198,7 +213,7 @@ def main() -> None:
             if name in SPARK_QUERIES:
                 fn = SPARK_QUERIES[name]
                 queries[name] = round(
-                    _time(lambda fn=fn: fn(spark, sf_dir).collect()), 3
+                    _time(lambda fn=fn: _cold_docops(fn), repeat=3), 3
                 )
 
         # -- canonical pinned-scale build -----------------------------------

@@ -282,3 +282,50 @@ def test_compact_auto_purges_past_threshold(spark, corpus, tmp_path):
     assert tombstones_df(spark, sdir) is None  # auto-purged
     eng = SearchEngine(spark, index_dir=sdir)
     assert {d for d, _ in _rows(eng.search_df(QUERY, k=10))}.isdisjoint(more)
+
+
+def test_distributed_tombstones_match_collected_path(
+    spark, corpus, built, tmp_path, monkeypatch
+):
+    """r4 VERDICT scale-hardening #2: past DELETED_COLLECT_MAX the
+    tombstone set never reaches the driver — exact plans anti-join the
+    tombstone table, the WAND scorers get slice-co-partitioned tombstone
+    rows. Forcing the threshold to 0 must leave every query family
+    rank+score identical to the collected path."""
+    import shutil
+
+    from apt_search_engine_spark.query import engine as engine_mod
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built, idx)
+    base = SearchEngine(spark, index_dir=idx)
+    dead = [r.doc_id for r in base.search_df(QUERY, k=6).collect()][::2]
+    assert delete_docs(spark, idx, dead) == len(dead)
+
+    collected = SearchEngine(spark, index_dir=idx)
+    assert not collected._deleted_distributed()
+    assert collected._deleted_keys() is not None
+
+    monkeypatch.setattr(engine_mod, "DELETED_COLLECT_MAX", 0)
+    dist = SearchEngine(spark, index_dir=idx)
+    assert dist._deleted_distributed()
+    assert dist._deleted_keys() is None
+    assert dist._deleted_df() is not None
+
+    for fam, run in (
+        ("normal", lambda e: e.search_df(QUERY, k=10)),
+        ("wand", lambda e: e.search_df_wand(QUERY, k=10)),
+        ("phrase", lambda e: e.search_df(PHRASE, k=10)),
+        ("boolean", lambda e: e.search_df(f'{PHRASE} AND "europe tips"', k=10)),
+        ("bm25", lambda e: e.search_bm25_df(QUERY, k=10)),
+        ("bm25_wand", lambda e: e.search_bm25_wand_df(QUERY, k=10)),
+    ):
+        got = _rows(run(dist))
+        want = _rows(run(collected))
+        assert got == want, fam
+        assert not (set(dead) & {d for d, _ in got}), fam
+    # match counts agree too (exact-plan count path)
+    assert (
+        dist.match_count_df(QUERY).collect()[0].n_matches
+        == collected.match_count_df(QUERY).collect()[0].n_matches
+    )

@@ -349,6 +349,16 @@ def test_near_same_stem_requires_two_occurrences(engine, oracle):
     assert got == want
     # discriminative: some docs contain the term but not twice-within-1
     assert want and len(want) < len(docs)
+    # the ORDERED form ('"travel travel"~1' — reachable via the quoted
+    # sloppy syntax, r4 ADVICE hazard) takes the same two-distinct-
+    # occurrences branch: identical result set, no self-pairing
+    got_ordered = {
+        r.doc_id
+        for r in engine.search_near_df(
+            "travel", "travel", slop=1, k=10**6, ordered=True
+        ).collect()
+    }
+    assert got_ordered == want
 
 
 def test_match_count_dedup_by_url(spark, tmp_path):
@@ -617,3 +627,113 @@ def test_synonym_refuses_phrase_family(spark, engine):
         engine.search_synonym_df('"travel guide"', syn)
     with pytest.raises(ValueError, match="bag-of-words"):
         engine.search_synonym('"travel guide" AND tips', syn)
+
+
+def test_mlt_term_selection_is_one_driver_round_trip(spark, engine, oracle):
+    """r4 VERDICT ask #6: the seed term-vector fetch and its lexicon df
+    lookup run as ONE action (the worker-side re-analysis joins the
+    lexicon inside the job), not the old serial doc_meta-collect ->
+    term_dfs-collect pair. The broadcast build side may add one internal
+    job, so the ceiling is 2 jobs for the single collect()."""
+    seed = sorted(oracle.docs)[1]
+    # fresh engine: no memoized dfs/readers from other tests
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_dir=engine.index_dir)
+    # resolve the parquet relations up front: first-touch file listing /
+    # footer reads are 1-task metadata jobs a long-lived engine pays
+    # once, not per query — they are not the round trips under test
+    eng._read(eng.doc_meta_path)
+    eng._read(eng.lexicon_path)
+    sc = spark.sparkContext
+    sc.setJobGroup("mlt-rt", "mlt term selection", False)
+    try:
+        terms = eng.mlt_terms(seed, max_terms=5)
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert terms == engine.mlt_terms(seed, max_terms=5)
+    jobs = sc.statusTracker().getJobIdsForGroup("mlt-rt")
+    assert 1 <= len(jobs) <= 2, jobs
+    # and the df memo is seeded from the same job: scoring the selected
+    # terms costs no further lexicon round trip
+    assert all(t in eng._df_cache for t in terms)
+
+
+def _oracle_sloppy_docs(oracle, stems, slop):
+    """Reference decision procedure for the n-term in-order sloppy
+    match: exhaustive strictly-increasing chain search with span
+    budget slop + n - 1 (the engine uses an equivalent greedy
+    minimal-chain scan)."""
+    import bisect
+
+    out = set()
+    doc_sets = [set(oracle.inverted.get(t, {})) for t in stems]
+    for d in set.intersection(*doc_sets) if doc_sets else set():
+        pls = [oracle.inverted[t][d]["positions"] for t in stems]
+        for p1 in pls[0]:
+            cur, good = p1, True
+            for ps in pls[1:]:
+                j = bisect.bisect_right(ps, cur)
+                if j >= len(ps):
+                    good = False
+                    break
+                cur = ps[j]
+            if good and cur - p1 <= slop + len(stems) - 1:
+                out.add(d)
+                break
+    return out
+
+
+def test_sloppy_nterm_matches_oracle_and_chain_property(engine, oracle):
+    """search_sloppy_df (Lucene n-term slop, in-order): candidate set
+    equals the exhaustive-chain oracle at every slop, slop-0 equals the
+    exact phrase, and candidates are monotone in slop (adjacency ⊆
+    sloppy(s) ⊆ sloppy(s') ⊆ AND-candidates for s < s')."""
+    from apt_search_engine_spark.query import parser
+
+    words = ["travel", "guide", "europe"]
+    stems = [parser.stem(w) for w in words]
+    assert len(set(stems)) == 3
+    and_docs = set.intersection(
+        *[set(oracle.inverted.get(t, {})) for t in stems]
+    )
+    assert and_docs, "fixture corpus must contain all three stems somewhere"
+    prev = None
+    nonempty_seen = False
+    for slop in (0, 2, 6, 20):
+        got = {
+            r.doc_id
+            for r in engine.search_sloppy_df(words, slop=slop, k=10**6).collect()
+        }
+        want = _oracle_sloppy_docs(oracle, stems, slop)
+        assert got == want, (slop, got ^ want)
+        if prev is not None:
+            assert prev <= got
+        assert got <= and_docs
+        prev = got
+        nonempty_seen = nonempty_seen or bool(got)
+    assert nonempty_seen
+    # slop-0 == the exact 3-term phrase
+    phrase_docs = {
+        r.doc_id
+        for r in engine.search_df('"travel guide europe"', k=10**6).collect()
+    }
+    got0 = {
+        r.doc_id
+        for r in engine.search_sloppy_df(words, slop=0, k=10**6).collect()
+    }
+    assert got0 == phrase_docs
+    # repeated stems need two DISTINCT occurrences (no self-pairing):
+    # "travel travel"~big matches only docs with >= 2 travel occurrences
+    got_rep = {
+        r.doc_id
+        for r in engine.search_sloppy_df(
+            ["travel", "travel"], slop=10**6, k=10**6
+        ).collect()
+    }
+    want_rep = {
+        d
+        for d, info in oracle.inverted.get("travel", {}).items()
+        if len(info["positions"]) >= 2
+    }
+    assert got_rep == want_rep

@@ -51,9 +51,16 @@ def test_phrase_plan_reads_postings_twice(engine):
 def test_boolean_plan_reads_each_segment_once(engine):
     # two phrase segments -> 2 scans each (fat + narrow), nothing doubled
     parsed = parser.parse('"travel guide" AND "europe tips"')
-    scans = _postings_scans(engine._boolean_filtered(parsed))
+    df = engine._boolean_filtered(parsed)
+    scans = _postings_scans(df)
     assert len(scans) == 4, "\n".join(scans)
     assert len([ln for ln in scans if "positions_vb" in ln]) == 2
+    # r5 single-exchange fold: the segments union into ONE aggregate —
+    # the r4 shape's N-1 full-outer segment joins must be gone (the only
+    # joins left are the phrase subtrees' rare-doc semi-joins)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan, plan
+    assert "Union" in plan, plan
 
 
 def test_normal_plan_reads_postings_once(engine):

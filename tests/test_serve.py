@@ -392,7 +392,10 @@ def test_synonyms_param(spark, engine, oracle):
 
 def test_response_cache_hit_and_key_isolation(engine):
     """Identical repeated /search requests serve from the driver-side
-    LRU (X-Cache: hit, byte-identical body); different requests miss."""
+    LRU (X-Cache: hit, same results); different requests miss. Hits
+    report their own near-zero latency, never the original run's
+    totalTime (r4 ADVICE)."""
+    import json as _json
     import threading
     import urllib.request
 
@@ -405,14 +408,19 @@ def test_response_cache_hit_and_key_isolation(engine):
 
     def _get_hdr(url):
         with urllib.request.urlopen(url, timeout=120) as r:
-            return r.headers.get("X-Cache"), r.read()
+            return r.headers.get("X-Cache"), _json.loads(r.read())
 
     try:
         url = f"http://127.0.0.1:{port}/search?query=travel%20guide&size=3"
         c1, b1 = _get_hdr(url)
         c2, b2 = _get_hdr(url)
         assert (c1, c2) == ("miss", "hit")
-        assert b1 == b2
+        t1 = b1.pop("totalTime")
+        t2 = b2.pop("totalTime")
+        assert b1 == b2  # identical results/counts modulo latency
+        # the hit never ran a Spark job: its latency is its own (tiny),
+        # not a replay of the miss's job wall time
+        assert t2 <= t1
         c3, _ = _get_hdr(url + "&page=2")  # different request -> miss
         assert c3 == "miss"
     finally:
@@ -444,5 +452,48 @@ def test_sloppy_phrase_syntax(engine, oracle):
         sloppy_urls = {r["url"] for r in body["results"]}
         near_urls = {r["url"] for r in near["results"]}
         assert sloppy_urls <= near_urls
+    finally:
+        httpd.shutdown()
+
+
+def test_sloppy_nterm_syntax(engine):
+    """`"w1 w2 w3"~k` (>= 3 words) routes to the n-term Lucene-slop
+    path at the serve layer; results match engine.search_sloppy_df and
+    the slop-0-equivalent exact phrase is a subset."""
+    import threading
+    import urllib.parse
+
+    from apt_search_engine_spark.jobs.serve import serve
+
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = urllib.parse.quote('"travel guide europe"~6')
+        status, body = _get(
+            f"http://127.0.0.1:{port}/search?query={q}&size=100"
+        )
+        assert status == 200 and body["results"]
+        want = {
+            r.doc_id
+            for r in engine.search_sloppy_df(
+                ["travel", "guide", "europe"], slop=6, k=100
+            ).collect()
+        }
+        assert {r["url"] for r in body["results"]} == want
+        # (the uncapped adjacency ⊆ sloppy chain property is pinned in
+        # tests/test_multiterm.py — top-k caps don't preserve subsets)
+        # extension syntax refuses non-reference scorers like the others
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query={q}&scorer=bm25",
+                timeout=60,
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         httpd.shutdown()
