@@ -32,18 +32,44 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _md5_pick(values, pos: int):
+    """Deterministic per-doc channel value: index = ascii(md5-hex char
+    at `pos` of the source doc_id) % len — the exact rule the oracle SQL
+    restates (extras/search_oracle._channel_case_sql)."""
+    return F.element_at(
+        F.array(*[F.lit(v) for v in values]),
+        (
+            F.ascii(
+                F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1)
+            )
+            % len(values)
+            + 1
+        ).cast("int"),
+    )
+
+
 def _adapt_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) -> transcripts shape
     (conv_id, turn_idx, role, text, tool, ts): one conversation per source,
-    turns ordered by doc_id — deterministic."""
+    turns ordered by doc_id — deterministic. The ROLE column (the h1
+    heading channel under the build's DEFAULT_CHANNELS) is drawn from a
+    4-value list that overlaps the corpus vocabulary, so T6 tag
+    weighting is non-vacuous in the DuckDB gate (r4 VERDICT missing #1);
+    tool stays '' here — the title-weight entry builds its own index
+    with a tool-fed title channel (_title_engine_over)."""
     from pyspark.sql import Window
+
+    from apt_search_engine_spark.extras.search_oracle import (
+        _ADAPTER_ROLES,
+        _ROLE_MD5_POS,
+    )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = Window.partitionBy("source").orderBy("doc_id")
     return d.select(
         F.col("source").alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
+        _md5_pick(_ADAPTER_ROLES, _ROLE_MD5_POS).alias("role"),
         F.col("text"),
         F.lit("").alias("tool"),
         F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
@@ -67,8 +93,10 @@ def _engine_over(spark: SparkSession, sf_dir: str):
             INDEX_LAYOUT_VERSION,
         )
 
+        # adapter=2: the md5-rule role channel (r5) changed the analyzed
+        # corpus — indexes cached by earlier revisions must not be reused
         key = hashlib.md5(
-            f"{sf_dir}|layout={INDEX_LAYOUT_VERSION}".encode()
+            f"{sf_dir}|layout={INDEX_LAYOUT_VERSION}|adapter=2".encode()
         ).hexdigest()[:10]
         idx = os.path.join(tempfile.gettempdir(), f"aptse_entry_{key}")
         if not os.path.exists(os.path.join(idx, "meta.json")):
@@ -432,6 +460,106 @@ def _sloppy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _engine_over(spark, sf_dir)
         .search_near_df(NEAR_W1, NEAR_W2, slop=NEAR_SLOP, k=10, ordered=True)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _title_engine_over(spark: SparkSession, sf_dir: str):
+    """Second (small) disk index for the title-weight entry: the build's
+    channel mapping is overridden so the TITLE channel processes the
+    transcript TOOL column (md5-rule, vocabulary-overlapping) instead of
+    the Q11 literal, and tool is non-constant — T6's title arm and the
+    4.0 weight (Ranker.java:43-52) become gate-visible. h1 stays the
+    role column like the shared index."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        _ADAPTER_TOOLS,
+        _TOOL_MD5_POS,
+    )
+    from apt_search_engine_spark.indexing.build import (
+        INDEX_LAYOUT_VERSION,
+        IndexBuilder,
+    )
+    from apt_search_engine_spark.query.engine import SearchEngine
+
+    ck = f"title::{sf_dir}"
+    if ck not in _ENGINE_CACHE:
+        key = hashlib.md5(
+            f"{sf_dir}|layout={INDEX_LAYOUT_VERSION}|adapter=2|title".encode()
+        ).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"aptse_title_{key}")
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            if os.path.isdir(idx):
+                shutil.rmtree(idx, ignore_errors=True)
+            tr = (
+                _adapt_documents(spark, sf_dir)
+                .drop("tool")
+                .withColumn(
+                    "doc_key",
+                    F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx")),
+                )
+            )
+            # re-derive the per-doc tool by joining the source doc rows
+            # (same md5 rule the oracle restates); the adapter orders
+            # turns by source doc_id, so the join key is positional
+            from pyspark.sql import Window
+
+            src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            w = Window.partitionBy("source").orderBy("doc_id")
+            keyed = src.select(
+                F.concat(
+                    F.col("source"),
+                    F.lit("#"),
+                    (F.row_number().over(w) - 1).cast("int"),
+                ).alias("doc_key"),
+                _md5_pick(_ADAPTER_TOOLS, _TOOL_MD5_POS).alias("tool"),
+            )
+            tr = tr.join(keyed, "doc_key").drop("doc_key")
+            stage = f"{idx}.build-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+            IndexBuilder(
+                spark,
+                stage,
+                n_batches=1,
+                channels=(("title", "col", "tool"), ("h1", "col", "role")),
+            ).build(tr, with_blocks=False)
+            try:
+                os.rename(stage, idx)
+            except OSError:
+                if not os.path.exists(os.path.join(idx, "meta.json")):
+                    raise
+                shutil.rmtree(stage, ignore_errors=True)
+        _ENGINE_CACHE[ck] = SearchEngine(spark, index_dir=idx)
+    return _ENGINE_CACHE[ck]
+
+
+def _field_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded search h1:'table' over the shared index: docs whose
+    md5-rule role contains the term ('table writer') AND contain it in
+    the body — T6 substring tag assignment decides field membership,
+    df recounts over the restriction (Q12)
+    (extras/search_oracle.fielded_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        FIELD_QUERY,
+        FIELD_QUERY_FIELD,
+    )
+
+    return (
+        _engine_over(spark, sf_dir)
+        .search_field_df(FIELD_QUERY_FIELD, FIELD_QUERY, k=10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _title_weight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal-path ranking over the tool-fed TITLE index — the 4.0
+    title weight reorders results vs the shared index
+    (extras/search_oracle.title_weight_topk_sql)."""
+    from apt_search_engine_spark.extras.search_oracle import (
+        TITLE_WEIGHT_QUERY,
+    )
+
+    return (
+        _title_engine_over(spark, sf_dir)
+        .search_df(TITLE_WEIGHT_QUERY, k=10)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
 
@@ -820,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_synonym_topk"] = _synonym_q
     q["search_sloppy_topk"] = _sloppy_q
     q["search_sloppy3_topk"] = _sloppy3_q
+    q["search_field_topk"] = _field_q
+    q["search_title_weight_topk"] = _title_weight_q
     # approximate / iterative ops — each paired with a generated DuckDB
     # oracle (portable hash variants where DuckDB lacks the primitive)
     q["simhash64"] = _simhash_q

@@ -94,3 +94,44 @@ def test_unrounded_scores_bit_exact(driver_engine, oracles, oracle_con):
             repr(r.score),
             repr(oracle.get(r.doc_id)),
         )
+
+
+def test_tag_channels_are_discriminative(spark, driver_engine):
+    """r4 VERDICT missing #1: tag/field scoring must be NON-VACUOUS in
+    the gate. The md5-rule role channel assigns h1 tags that actually
+    change wtf (some posting scores differ from the all-body fold), the
+    fielded h1 query returns real rows, and the tool-fed title index
+    ranks the flagship query differently from the shared index."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    # fielded h1 search: non-empty and a strict subset of the unfielded
+    # match set
+    fielded = entry._field_q(spark, SF).collect()
+    assert fielded
+    from apt_search_engine_spark.extras.search_oracle import FIELD_QUERY
+
+    all_match = driver_engine.match_count_df(FIELD_QUERY).collect()[0].n_matches
+    assert 0 < len(fielded) <= all_match
+    field_full = driver_engine.search_field_df(
+        "h1", FIELD_QUERY, k=10**6
+    ).count()
+    assert 0 < field_full < all_match, "h1 restriction must discriminate"
+
+    # h1 tags exist on the shared index (role words overlap the vocab)
+    ex = driver_engine._exploded(["tabl"], with_field="h1")
+    assert ex.filter(F.col("n_field") > 0).count() > 0
+
+    # title index reorders the flagship query vs the shared index
+    from apt_search_engine_spark.extras.search_oracle import (
+        TITLE_WEIGHT_QUERY,
+    )
+
+    shared = [
+        r.doc_id
+        for r in driver_engine.search_df(TITLE_WEIGHT_QUERY, k=10).collect()
+    ]
+    titled = [
+        r.doc_id for r in entry._title_weight_q(spark, SF).collect()
+    ]
+    assert titled and titled != shared, "title weight must reorder"
