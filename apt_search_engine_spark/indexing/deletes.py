@@ -31,11 +31,16 @@ rewritten, and the tombstones are removed LAST — so at any crash point
 the query-time tombstone filter is still active, and filtering ordinals
 that no longer exist in the postings is a harmless no-op.
 
-Scale notes: the tombstone set is collected driver-side for the WAND
-mask (a sorted int64 array) — deletion volume between purges should
-stay driver-sized; past that, run `purge_deleted` (the same rule as
-Lucene's liveDocs bitset, which is also per-segment memory-resident).
-The purge itself is one pass over the postings (term-ranged, streaming
+Scale notes: up to engine.DELETED_COLLECT_MAX tombstones the set is
+collected driver-side for the WAND mask (a sorted int64 array, like
+Lucene's memory-resident liveDocs bitset); past that the QUERY path
+keeps it distributed (exact plans anti-join the tombstone table, the
+WAND scorers receive slice-co-partitioned tombstone rows —
+query/engine._deleted_df, query/wand tomb rows). `purge_deleted`
+still collects the set into its rewrite closure — the purge IS the
+remedy for oversized tombstone volumes, so run it before they exceed
+driver memory (compact()'s auto-purge bounds the fraction). The purge
+itself is one pass over the postings (term-ranged, streaming
 re-chunk, bounded memory per task) plus three narrow doc-table filters.
 """
 

@@ -859,6 +859,35 @@ class SearchEngine:
         if not seg_postings:
             return self._empty_postings(with_occ_dl=with_occ_dl)
 
+        # All-AND candidate bound (r5): when every operator is AND, the
+        # merged set can only contain docs holding the GLOBALLY rarest
+        # query term, so every segment not containing it is semi-joined
+        # against that term's narrow doc set BEFORE the fold — a bare
+        # head-term segment ("rare phrase" AND the) otherwise ships its
+        # full posting list through the fold exchange at corpus scale.
+        # Presence flags over bounded segments decide the same kept set:
+        # a doc lacking the rarest term lacks its segment, so the AND
+        # fold drops it regardless; postings of kept docs are untouched
+        # (the semi join filters docs, never rows within a doc).
+        all_terms = sorted({t for ts in seg_terms for t in ts})
+        if (
+            len(seg_postings) > 1
+            and all_terms  # stopword-only segments contribute no terms
+            and operators
+            and all(op == "AND" for op in operators[: len(seg_postings) - 1])
+        ):
+            dfs = self.term_dfs(all_terms)
+            if not all(t in dfs for t in all_terms):
+                # some AND-required term is unindexed: intersection empty
+                return self._empty_postings(with_occ_dl=with_occ_dl)
+            rarest = min(all_terms, key=lambda t: (dfs[t], t))
+            probe = self._term_doc_set(rarest)
+            for i, terms in enumerate(seg_terms):
+                if rarest not in terms:
+                    seg_postings[i] = seg_postings[i].join(
+                        probe, key, "left_semi"
+                    )
+
         # Single-exchange fold (r5): union the segments' postings with a
         # segment tag and aggregate ONCE by doc key. The r4 shape
         # aggregated each segment separately and folded them with N-1

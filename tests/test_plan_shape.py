@@ -49,11 +49,13 @@ def test_phrase_plan_reads_postings_twice(engine):
 
 
 def test_boolean_plan_reads_each_segment_once(engine):
-    # two phrase segments -> 2 scans each (fat + narrow), nothing doubled
+    # two phrase segments -> 2 scans each (fat + narrow), nothing
+    # doubled, plus ONE narrow global rarest-term probe bounding the
+    # segment that lacks the rarest query term (r5 all-AND bound)
     parsed = parser.parse('"travel guide" AND "europe tips"')
     df = engine._boolean_filtered(parsed)
     scans = _postings_scans(df)
-    assert len(scans) == 4, "\n".join(scans)
+    assert len(scans) == 5, "\n".join(scans)
     assert len([ln for ln in scans if "positions_vb" in ln]) == 2
     # r5 single-exchange fold: the segments union into ONE aggregate —
     # the r4 shape's N-1 full-outer segment joins must be gone (the only
