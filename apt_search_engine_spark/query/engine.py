@@ -198,6 +198,106 @@ def _sloppy_match_udf(terms: list[str], slop: int):
     return _m
 
 
+def _boolean_fold_udf(seg_specs: list[list[str]], operators: list[str]):
+    """Fused P4+P5+P7 decision for the boolean path: ONE Arrow pass over
+    per-doc rows collected from ALL segments' postings (tagged with a
+    segment id) evaluates every segment's match — presence for a bare /
+    single-term segment, the shift-intersection adjacency for a phrase
+    segment — and folds the reference's left-to-right set algebra
+    (AND=&&, OR=||, NOT=&&!; handlePhraseWithBoolean,
+    QueryProcessor.java:202-281). The r4 shape aggregated each phrase
+    segment separately (own exchange + own Arrow filter stage) and
+    folded the per-segment aggregates in a second exchange; this shape
+    pays one exchange and one Python stage for the whole query. Same
+    vectorized machinery as _phrase_match_udf, restricted per segment
+    by the collected seg tag."""
+    from apt_search_engine_spark.indexing import codec
+
+    stride = np.int64(1) << 33
+    phrase_specs = []
+    for terms in seg_specs:
+        offsets: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            offsets.setdefault(t, []).append(i)
+        phrase_specs.append(
+            (list(offsets.keys()), [offsets[t] for t in offsets])
+        )
+
+    @F.pandas_udf("boolean")
+    def _m(segs: pd.Series, ts: pd.Series, vbs: pd.Series) -> pd.Series:
+        n = len(vbs)
+        if n == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        counts = np.fromiter((len(r) for r in vbs), np.int64, n)
+        flat_vb = [
+            bytes(v) if v is not None else b""
+            for row in vbs
+            for v in row
+        ]
+        flat_t = np.array([t for row in ts for t in row])
+        flat_s = np.fromiter(
+            (s for row in segs for s in row), np.int64, len(flat_t)
+        )
+        arrs = codec.decode_doc_ids_many(flat_vb)
+        lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        pres: list[np.ndarray] = []
+        for si, terms in enumerate(seg_specs):
+            seg_rows = flat_s == si
+            p = np.zeros(n, dtype=bool)
+            if len(terms) <= 1:
+                # bare term / one-word phrase: presence == any posting
+                # (a REPEATED-term phrase like '"run run"' still takes
+                # the chain below — it needs two adjacent occurrences)
+                hit = np.flatnonzero(seg_rows)
+                if hit.size:
+                    p[np.unique(row_of[hit])] = True
+                pres.append(p)
+                continue
+            term_list, off_list = phrase_specs[si]
+            cur = None
+            for tname, offs in zip(term_list, off_list):
+                sel = np.flatnonzero(seg_rows & (flat_t == tname))
+                if sel.size == 0:
+                    cur = np.empty(0, np.int64)
+                    break
+                cat = np.concatenate([arrs[j] for j in sel])
+                base = (
+                    np.repeat(row_of[sel], lens[sel]) * stride + cat
+                )
+                for off in offs:
+                    sh = base - off
+                    if cur is None:
+                        cur = sh
+                    else:
+                        idx = np.searchsorted(sh, cur)
+                        valid = idx < sh.size
+                        keep = np.zeros(cur.size, dtype=bool)
+                        keep[valid] = sh[idx[valid]] == cur[valid]
+                        cur = cur[keep]
+                    if cur.size == 0:
+                        break
+                if cur is not None and cur.size == 0:
+                    break
+            if cur is not None and cur.size:
+                p[np.unique(cur // stride)] = True
+            pres.append(p)
+
+        keep = pres[0]
+        for i in range(1, len(pres)):
+            op = operators[i - 1] if i - 1 < len(operators) else None
+            if op == "AND":
+                keep = keep & pres[i]
+            elif op == "OR":
+                keep = keep | pres[i]
+            elif op == "NOT":
+                keep = keep & ~pres[i]
+        return pd.Series(keep)
+
+    return _m
+
+
 def _near_match_udf(w1: str, w2: str, slop: int, ordered: bool = False):
     """Fused NEAR/slop proximity filter over per-doc aggregated rows:
     true when some occurrence of `w1` and some occurrence of `w2` lie
@@ -840,21 +940,46 @@ class SearchEngine:
         segments = [p for p in parsed.segments if not parser.is_operator(p)]
         operators = parser.extract_operators(parsed.segments)
 
+        # Each segment becomes its BOUNDED exploded postings (phrase
+        # segments carry positions and are semi-joined by their own
+        # rarest term, exactly _proximity_filtered's pre-aggregate
+        # shape; bare segments carry a null positions column) — the
+        # per-segment aggregates and Arrow filter stages of the r4 path
+        # are FUSED into the one fold aggregate + one fold UDF below.
         seg_postings: list[DataFrame] = []
-        seg_terms: list[list[str]] = []
+        seg_terms: list[list[str]] = []   # sorted distinct, owner calc
+        seg_specs: list[list[str]] = []   # ordered w/ repeats, fold UDF
+        null_pos = F.lit(None).cast("binary").alias("positions_vb")
         for part in segments:
             if part.startswith('"') and part.endswith('"'):
                 toks = [parser.stem(w) for w in parser.tokenize(part[1:-1])]
-                seg_postings.append(
-                    self._phrase_filtered(toks, with_occ_dl=with_occ_dl)
-                )
-                seg_terms.append(sorted(set(toks)))
+                distinct = sorted(set(toks))
+                dfs = self.term_dfs(distinct)
+                if not toks or any(t not in dfs for t in distinct):
+                    # P4: a phrase with an unindexed term matches nothing
+                    ex = self._empty_postings(
+                        with_positions=True, with_occ_dl=with_occ_dl
+                    )
+                else:
+                    ex = self._exploded(
+                        distinct,
+                        with_occ_dl=with_occ_dl,
+                        with_positions=True,
+                    )
+                    if len(distinct) > 1:
+                        rare = min(distinct, key=lambda t: (dfs[t], t))
+                        ex = ex.join(
+                            self._term_doc_set(rare), key, "left_semi"
+                        )
+                seg_postings.append(ex)
+                seg_terms.append(distinct)
+                seg_specs.append(toks)
             else:
                 term = parser.stem(part)
-                seg_postings.append(
-                    self._exploded([term], with_occ_dl=with_occ_dl)
-                )
+                ex = self._exploded([term], with_occ_dl=with_occ_dl)
+                seg_postings.append(ex.withColumn("positions_vb", null_pos))
                 seg_terms.append([term])
+                seg_specs.append([term])
 
         if not seg_postings:
             return self._empty_postings(with_occ_dl=with_occ_dl)
@@ -888,18 +1013,19 @@ class SearchEngine:
                         probe, key, "left_semi"
                     )
 
-        # Single-exchange fold (r5): union the segments' postings with a
-        # segment tag and aggregate ONCE by doc key. The r4 shape
-        # aggregated each segment separately and folded them with N-1
-        # full-outer joins — N aggregate exchanges plus join stages per
-        # query; this shape pays ONE exchange for the whole fold however
-        # many segments the query has. Presence of segment i is
-        # array_contains over the collected tag set, and the reference's
-        # left-fold set algebra (AND=&&, OR=||, NOT=&&!) evaluates over
-        # those flags exactly as before — set membership after the fold
-        # is a pure function of which segments contain the doc
+        # Single-exchange, single-Arrow-pass fold (r5): union the
+        # segments' tagged postings and aggregate ONCE by doc key; ONE
+        # fused UDF (_boolean_fold_udf) then evaluates every segment's
+        # match — presence for bare segments, the positions
+        # shift-intersection for phrase segments — and the reference's
+        # left-fold set algebra (AND=&&, OR=||, NOT=&&!) in the same
+        # batch. The r4 shape paid one aggregate exchange + one Arrow
+        # filter stage PER phrase segment plus a fold exchange; this
+        # pays one exchange and one Python stage for the whole query
         # (handlePhraseWithBoolean, QueryProcessor.java:202-281).
-        payload = ["term", "wtf"] + (["occ", "dl"] if with_occ_dl else [])
+        payload = ["term", "wtf", "positions_vb"] + (
+            ["occ", "dl"] if with_occ_dl else []
+        )
         tagged = [
             sp.select(
                 F.col(key),
@@ -912,23 +1038,16 @@ class SearchEngine:
         for t in tagged[1:]:
             union = union.unionByName(t)
         per_doc = union.groupBy(key).agg(
-            F.collect_set("seg").alias("segs"),
-            F.collect_list(F.struct("seg", "p")).alias("ps"),
+            F.collect_list(F.struct("seg", "p")).alias("ps")
         )
-        pres = [
-            F.array_contains(F.col("segs"), i)
-            for i in range(len(seg_postings))
-        ]
-        keep = pres[0]
-        for i in range(1, len(seg_postings)):
-            op = operators[i - 1] if i - 1 < len(operators) else None
-            if op == "AND":
-                keep = keep & pres[i]
-            elif op == "OR":
-                keep = keep | pres[i]
-            elif op == "NOT":
-                keep = keep & ~pres[i]
-        per_doc = per_doc.filter(keep)
+        fold = _boolean_fold_udf(seg_specs, operators)
+        per_doc = per_doc.filter(
+            fold(
+                F.expr("transform(ps, x -> x.seg)"),
+                F.expr("transform(ps, x -> x.p.term)"),
+                F.expr("transform(ps, x -> x.p.positions_vb)"),
+            )
+        )
 
         # later segments overwrite same-term entries (reference map-put
         # order): keep each term's rows only from its owning segment
