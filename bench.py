@@ -260,7 +260,7 @@ def main() -> None:
         repo = os.path.dirname(os.path.abspath(__file__))
         scaling: dict[str, object] = {}
         for pair in ("1v4", "2v8", "8v32"):
-            for rnd in ("r4", "r3", "r2"):
+            for rnd in ("r5", "r4", "r3", "r2"):
                 p = os.path.join(repo, f"ladder_{rnd}_{pair}.json")
                 if os.path.exists(p):
                     with open(p) as f:
