@@ -84,13 +84,15 @@ def main(argv=None) -> int:
     from apt_search_engine_spark.query.parser import (
         MULTITERM_RE,
         NEAR_RE,
+        SLOPPY_N_RE,
         SLOPPY_RE,
         WILDCARD_RE,
     )
 
     qtext = (args.query or "").strip()
     ext = (
-        SLOPPY_RE.fullmatch(qtext)
+        SLOPPY_N_RE.fullmatch(qtext)
+        or SLOPPY_RE.fullmatch(qtext)
         or NEAR_RE.fullmatch(qtext)
         or MULTITERM_RE.fullmatch(qtext)
         or WILDCARD_RE.fullmatch(qtext)
@@ -129,6 +131,25 @@ def main(argv=None) -> int:
     # `word~2` = fuzzy, `w1 NEAR/3 w2` = unordered proximity, plus
     # general wildcards `te*t` / `t?st` / `*ing` and the sloppy phrase
     # `"w1 w2"~k`
+    spn = SLOPPY_N_RE.fullmatch(args.query.strip())
+    if spn is not None:
+        # n-term (>= 3 words) Lucene slop: in-order chains, span excess
+        # <= k (engine.search_sloppy_df; the 2-word form below keeps its
+        # legacy distance-<=k semantics)
+        words, slop = spn.group(1).lower().split(), int(spn.group(2))
+        if args.no_snippets or args.exact:
+            df = engine.search_sloppy_df(words, slop=slop, k=args.k)
+            results = [
+                {"doc_id": r.doc_id, "score": r.score} for r in df.collect()
+            ]
+        else:
+            results = engine.search_sloppy(
+                words, slop=slop, k=args.k, with_snippets=True
+            )
+        ms = int((time.time() - t0) * 1000)
+        print(json.dumps({"results": results, "totalCount": len(results),
+                          "totalTime": ms}))
+        return 0
     sp = SLOPPY_RE.fullmatch(args.query.strip())
     if sp is not None:
         w1, w2, slop = sp.group(1).lower(), sp.group(2).lower(), int(sp.group(3))

@@ -72,9 +72,12 @@ def make_handler(engine, synonyms_df=None, cache_size: int = 256):
     from collections import OrderedDict
 
     if synonyms_df is not None:
+        # NULL-bearing rows are dropped (they matched nothing through
+        # the expansion join anyway, and None breaks the sort)
         syn_rows = sorted(
             (r.term, r.synonym)
             for r in synonyms_df.select("term", "synonym").collect()
+            if r.term is not None and r.synonym is not None
         )
         synonyms_df = engine.spark.createDataFrame(
             syn_rows or [("", "")], "term string, synonym string"

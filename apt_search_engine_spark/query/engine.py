@@ -198,19 +198,25 @@ def _sloppy_match_udf(terms: list[str], slop: int):
     return _m
 
 
-def _boolean_fold_udf(seg_specs: list[list[str]], operators: list[str]):
-    """Fused P4+P5+P7 decision for the boolean path: ONE Arrow pass over
+def _boolean_fold_udf(seg_specs: list[list[str]]):
+    """Fused P4+P5 decision for the boolean path: ONE Arrow pass over
     per-doc rows collected from ALL segments' postings (tagged with a
     segment id) evaluates every segment's match — presence for a bare /
-    single-term segment, the shift-intersection adjacency for a phrase
-    segment — and folds the reference's left-to-right set algebra
-    (AND=&&, OR=||, NOT=&&!; handlePhraseWithBoolean,
-    QueryProcessor.java:202-281). The r4 shape aggregated each phrase
-    segment separately (own exchange + own Arrow filter stage) and
-    folded the per-segment aggregates in a second exchange; this shape
-    pays one exchange and one Python stage for the whole query. Same
-    vectorized machinery as _phrase_match_udf, restricted per segment
-    by the collected seg tag."""
+    one-word segment, the shift-intersection adjacency for a phrase
+    segment — and returns the PER-SEGMENT match flags as a boolean
+    array (the P7 left-fold set algebra and the per-segment posting
+    restriction both evaluate over these flags in the calling plan).
+    Returning flags rather than the folded verdict is load-bearing for
+    OR/NOT queries: a doc kept through one branch must NOT score
+    another phrase segment's terms when that phrase did not match in
+    it — the reference's segment maps only ever contain MATCHING docs
+    (handlePhraseWithBoolean, QueryProcessor.java:202-281). The r4
+    shape aggregated each phrase segment separately (own exchange +
+    own Arrow filter stage) and folded the per-segment aggregates in
+    a second exchange; this shape pays one exchange and one Python
+    stage for the whole query. Same vectorized machinery as
+    _phrase_match_udf, restricted per segment by the collected seg
+    tag."""
     from apt_search_engine_spark.indexing import codec
 
     stride = np.int64(1) << 33
@@ -223,11 +229,11 @@ def _boolean_fold_udf(seg_specs: list[list[str]], operators: list[str]):
             (list(offsets.keys()), [offsets[t] for t in offsets])
         )
 
-    @F.pandas_udf("boolean")
+    @F.pandas_udf("array<boolean>")
     def _m(segs: pd.Series, ts: pd.Series, vbs: pd.Series) -> pd.Series:
         n = len(vbs)
         if n == 0:
-            return pd.Series(np.zeros(0, dtype=bool))
+            return pd.Series(np.zeros((0, len(seg_specs)), dtype=bool).tolist())
         counts = np.fromiter((len(r) for r in vbs), np.int64, n)
         flat_vb = [
             bytes(v) if v is not None else b""
@@ -284,16 +290,7 @@ def _boolean_fold_udf(seg_specs: list[list[str]], operators: list[str]):
                 p[np.unique(cur // stride)] = True
             pres.append(p)
 
-        keep = pres[0]
-        for i in range(1, len(pres)):
-            op = operators[i - 1] if i - 1 < len(operators) else None
-            if op == "AND":
-                keep = keep & pres[i]
-            elif op == "OR":
-                keep = keep | pres[i]
-            elif op == "NOT":
-                keep = keep & ~pres[i]
-        return pd.Series(keep)
+        return pd.Series(np.stack(pres, axis=1).tolist())
 
     return _m
 
@@ -1040,17 +1037,38 @@ class SearchEngine:
         per_doc = union.groupBy(key).agg(
             F.collect_list(F.struct("seg", "p")).alias("ps")
         )
-        fold = _boolean_fold_udf(seg_specs, operators)
-        per_doc = per_doc.filter(
+        fold = _boolean_fold_udf(seg_specs)
+        per_doc = per_doc.withColumn(
+            "segm",
             fold(
                 F.expr("transform(ps, x -> x.seg)"),
                 F.expr("transform(ps, x -> x.p.term)"),
                 F.expr("transform(ps, x -> x.p.positions_vb)"),
-            )
+            ),
         )
+        # P7: the reference's left-fold set algebra over the per-segment
+        # match flags decides membership (AND=&&, OR=||, NOT=&&!)
+        pres = [
+            F.element_at(F.col("segm"), i + 1)
+            for i in range(len(seg_postings))
+        ]
+        keep = pres[0]
+        for i in range(1, len(seg_postings)):
+            op = operators[i - 1] if i - 1 < len(operators) else None
+            if op == "AND":
+                keep = keep & pres[i]
+            elif op == "OR":
+                keep = keep | pres[i]
+            elif op == "NOT":
+                keep = keep & ~pres[i]
+        per_doc = per_doc.filter(keep)
 
         # later segments overwrite same-term entries (reference map-put
-        # order): keep each term's rows only from its owning segment
+        # order): keep each term's rows only from its owning segment,
+        # and ONLY where that segment matched the doc — the reference's
+        # per-segment maps contain matching docs only, so a doc kept
+        # through an OR/NOT branch must not score a phrase segment's
+        # terms when the phrase did not occur in it (r5 review finding)
         owner: dict[str, int] = {}
         for i, terms in enumerate(seg_terms):
             for t in terms:
@@ -1060,7 +1078,10 @@ class SearchEngine:
             mine = sorted(t for t in terms if owner[t] == i)
             if mine:
                 in_list = ", ".join(f"'{_esc(t)}'" for t in mine)
-                conds.append(f"(x.seg = {i} AND x.p.term IN ({in_list}))")
+                conds.append(
+                    f"(x.seg = {i} AND element_at(segm, {i + 1})"
+                    f" AND x.p.term IN ({in_list}))"
+                )
         if not conds:
             return self._empty_postings(with_occ_dl=with_occ_dl)
         combined = (

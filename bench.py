@@ -34,9 +34,13 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def _time(fn, repeat: int = 1) -> float:
+def _time(fn, repeat: int = 1, setup=None) -> float:
+    """Median of `repeat` timed runs; `setup` runs before each repeat
+    OUTSIDE the timed region (cache teardown must not bill the op)."""
     runs = []
     for _ in range(repeat):
+        if setup is not None:
+            setup()
         t0 = time.time()
         fn()
         runs.append(time.time() - t0)
@@ -188,19 +192,19 @@ def main() -> None:
         from apt_search_engine_spark.extras import docops
         from apt_search_engine_spark.extras.docops import SPARK_QUERIES
 
-        def _cold_docops(fn):
+        def _clear_docops():
             # the docops suite memoizes+persists shared subtrees (the
             # admitted-token stream, LSH band rows) for the driver's
             # one-session correctness gate; a timed repeat must not serve
-            # from that cache, so each run drops the memo and unpersists
-            # first — every repeat measures the cold operator, and the
-            # median gets the same 3-run treatment as the search keys
-            # (r4 VERDICT: single-shot artifact numbers swung 2-3x with
-            # host contention)
+            # from that cache, so each repeat drops the memo and
+            # unpersists FIRST — outside the timed region (teardown is
+            # not the operator's cost) — and every repeat measures the
+            # cold operator, with the same median-of-3 treatment as the
+            # search keys (r4 VERDICT: single-shot artifact numbers
+            # swung 2-3x with host contention)
             for df in docops._MEMO.values():
                 df.unpersist(blocking=True)
             docops._MEMO.clear()
-            fn(spark, sf_dir).collect()
 
         for name in (
             "dedup_exact",
@@ -213,7 +217,12 @@ def main() -> None:
             if name in SPARK_QUERIES:
                 fn = SPARK_QUERIES[name]
                 queries[name] = round(
-                    _time(lambda fn=fn: _cold_docops(fn), repeat=3), 3
+                    _time(
+                        lambda fn=fn: fn(spark, sf_dir).collect(),
+                        repeat=3,
+                        setup=_clear_docops,
+                    ),
+                    3,
                 )
 
         # -- canonical pinned-scale build -----------------------------------

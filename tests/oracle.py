@@ -178,17 +178,27 @@ class OracleEngine:
         return final
 
     # --- calculateRelevance (Ranker.java:55-66) ---
+    # IEEE association per the SURVEY 7.4 determinism contract (the
+    # reference's own accumulation is multi-threaded and racy, so its
+    # ulp-level ordering is not even deterministic): contrib =
+    # (tagsum * tf) * idf with tagsum an EXACT sum of the binary-
+    # fraction weights — the association the engine's stored/derived
+    # wtf column and every generated DuckDB oracle implement, so all
+    # three agree bit-for-bit pre-rounding (the reference's per-
+    # occurrence weight*(tf*idf) loop agrees in real arithmetic and
+    # to <= 1 ulp in doubles).
     @staticmethod
     def _relevance(df: int, tf: float, tags: list[str]) -> float:
-        tfidf = tf * (IDF_NUMERATOR // df)  # Java int division
-        if not tags:
-            return tfidf * 0.5
-        return sum(tag_weight(t) for t in tags) * tfidf
+        tagsum = sum(tag_weight(t) for t in tags) if tags else 0.5
+        return (tagsum * tf) * (IDF_NUMERATOR // df)  # Java int division
 
     # --- RankDocuments (Ranker.java:168-230) ---
     def _rank_normal(self, term_docs: dict[str, dict[str, dict]]):
-        scores: dict[str, float] = {}
-        # deterministic: ascending term order (SURVEY.md 7.4)
+        raw: dict[str, float] = {}
+        # deterministic: ascending term order, prior multiplied ONCE on
+        # the per-doc sum (SURVEY.md 7.4 — the engine's _apply_prior
+        # shape; the reference multiplies per term inside its racy
+        # accumulation loop, real-arithmetic-equal)
         for term in sorted(term_docs):
             docs = term_docs[term]
             df = len(docs)
@@ -197,8 +207,8 @@ class OracleEngine:
                 tfidf = self._relevance(df, info["tf"], info["tags"])
                 if tfidf == 0.0:
                     continue
-                scores[doc_id] = scores.get(doc_id, 0.0) + tfidf * self.prior(doc_id)
-        return scores
+                raw[doc_id] = raw.get(doc_id, 0.0) + tfidf
+        return {d: v * self.prior(d) for d, v in raw.items() if v != 0.0}
 
     # --- PhraseRank (Ranker.java:295-342): first-term gating (Q7),
     # df = filtered candidate count (Q12) ---

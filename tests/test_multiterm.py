@@ -660,27 +660,34 @@ def test_mlt_term_selection_is_one_driver_round_trip(spark, engine, oracle):
 
 
 def _oracle_sloppy_docs(oracle, stems, slop):
-    """Reference decision procedure for the n-term in-order sloppy
-    match: exhaustive strictly-increasing chain search with span
-    budget slop + n - 1 (the engine uses an equivalent greedy
-    minimal-chain scan)."""
-    import bisect
-
+    """Independent reference decision procedure for the n-term in-order
+    sloppy match: prefix-max DP over reachable chain positions (for
+    each occurrence of term i, the MAXIMUM start position of any
+    strictly-increasing chain reaching it), match iff some chain end
+    has end - maxstart <= slop + n - 1. Deliberately a DIFFERENT
+    algorithm from the engine UDF's greedy minimal-chain scan, so a
+    greedy-strategy bug cannot cancel out (r5 review finding)."""
+    budget = slop + len(stems) - 1
     out = set()
     doc_sets = [set(oracle.inverted.get(t, {})) for t in stems]
     for d in set.intersection(*doc_sets) if doc_sets else set():
         pls = [oracle.inverted[t][d]["positions"] for t in stems]
-        for p1 in pls[0]:
-            cur, good = p1, True
-            for ps in pls[1:]:
-                j = bisect.bisect_right(ps, cur)
-                if j >= len(ps):
-                    good = False
-                    break
-                cur = ps[j]
-            if good and cur - p1 <= slop + len(stems) - 1:
-                out.add(d)
+        # maxstart[p] for level 0 is p itself
+        level = {p: p for p in pls[0]}
+        for ps in pls[1:]:
+            nxt = {}
+            for p in ps:
+                best = None
+                for q, st in level.items():
+                    if q < p and (best is None or st > best):
+                        best = st
+                if best is not None:
+                    nxt[p] = best
+            level = nxt
+            if not level:
                 break
+        if any(p - st <= budget for p, st in level.items()):
+            out.add(d)
     return out
 
 

@@ -145,3 +145,25 @@ def test_scores_not_degenerate_beyond_reference_corpus_cap(spark):
         wtf * (eng.idf_numerator // dfs[t]) for (t, _), wtf in ex.items()
     ) * eng.prior
     assert rows[0].score == pytest.approx(want, rel=1e-9)
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        '"travel guide" OR "europe tips"',
+        '"travel guide" OR europe',
+        '"travel guide" NOT "europe tips"',
+        '"travel guide" OR "europe tips" AND spark',
+        "travel guide europe tips",
+    ],
+)
+def test_boolean_or_not_full_ranking_identical(engine, oracle, query):
+    """UNCAPPED parity for OR/NOT boolean queries (r5 review finding):
+    a doc kept through one branch must not score another phrase
+    segment's terms when that phrase did not match in it — the top-10
+    cut in test_topk_rank_identical can hide the leak (the affected
+    docs usually rank below k), so this compares the FULL ranking."""
+    got = engine.search(query, k=10**6, with_snippets=False)
+    want = oracle.search(query, k=10**6)
+    assert len(got) == len(want), (query, len(got), len(want))
+    _assert_rank_identical(got, want, query)
